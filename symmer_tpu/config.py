@@ -1,0 +1,68 @@
+"""Global configuration for symmer-tpu.
+
+The reference (symmer) scatters per-class strategy attributes around the code
+base (e.g. ``process.method``, ``PauliwordOp.sigfig``); here we centralise the
+knobs that govern *where* and *how* the symplectic kernels execute.
+
+Backends
+--------
+``host``    packed-uint64 numpy kernels (fast for tiny operators -- XLA
+            dispatch latency dominates below ~10^4 term-words).
+``device``  jitted XLA/Pallas kernels on the default JAX backend (TPU).
+``auto``    pick per-call based on problem size (term count x word count).
+
+Precision
+---------
+Coefficients follow the dtype of the arrays the user supplies.  Tests enable
+float64 (via ``jax.config.update('jax_enable_x64', True)`` in ``enable_x64``)
+for 1e-10 energy parity with the reference; the benchmark path uses complex64
+on TPU where f64 is software-emulated.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SymmerTPUConfig:
+    # 'auto' | 'host' | 'device'
+    backend: str = "auto"
+    # number of term-words above which 'auto' dispatches to the device path
+    device_threshold: int = 1 << 16
+    # number of significant figures when printing operators/states
+    sigfig: int = 3
+    # zero threshold used by cleanup when not explicitly specified
+    zero_threshold: float = 1e-15
+    # use exact multi-word sort keys in device cleanup instead of 128-bit
+    # hashed keys (slower, but collision-free by construction)
+    exact_cleanup_keys: bool = False
+    # extra env-derived switches
+    _x64_enabled: bool = field(default=False, repr=False)
+
+    def use_device(self, work_items: int) -> bool:
+        if self.backend == "device":
+            return True
+        if self.backend == "host":
+            return False
+        return work_items >= self.device_threshold
+
+
+config = SymmerTPUConfig()
+
+
+def enable_x64(enable: bool = True) -> None:
+    """Enable float64/complex128 inside JAX (needed for 1e-10 energy parity).
+
+    Must be called before any JAX computation is traced. Tests call this from
+    conftest; library users on TPU will typically leave x64 off and work in
+    complex64 for speed.
+    """
+    import jax
+
+    jax.config.update("jax_enable_x64", enable)
+    config._x64_enabled = enable
+
+
+if os.environ.get("SYMMER_TPU_X64", "0") == "1":  # pragma: no cover
+    enable_x64(True)

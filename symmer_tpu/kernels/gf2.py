@@ -1,0 +1,143 @@
+"""GF(2) linear algebra on bit-packed rows (host path).
+
+Replaces the reference's numba GF(2) matmul and boolean echelon forms
+(symmer ``operators/utils.py:9-78`` and ``:292-359``) with packed-uint64
+row operations: a full-row XOR update touches W = ceil(bits/64) words, a 64x
+reduction over the boolean implementation.
+
+A C++ fast path (:mod:`symmer_tpu.native`) is used for large reductions when
+available; semantics are identical.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from .pack import pack_bits, unpack_bits
+
+
+def rref_packed(M: np.ndarray, inplace: bool = False) -> np.ndarray:
+    """Row-reduced echelon form over GF(2) on packed rows, no row reordering.
+
+    Matches symmer ``_rref_binary`` (``operators/utils.py:292``): iterate rows
+    in order, pivot on the first set bit, and XOR the pivot row into every
+    other row with that bit set (above and below).
+    """
+    M = np.ascontiguousarray(M, dtype=np.uint64)
+    if not inplace:
+        M = M.copy()
+    R = M.shape[0]
+    try:
+        from ..native import gf2core
+
+        if gf2core is not None and R > 8:
+            gf2core.rref_inplace(M)
+            return M
+    except Exception:
+        pass
+    for i in range(R):
+        row = M[i]
+        nz = np.nonzero(row)[0]
+        if nz.size == 0:
+            continue
+        w = int(nz[0])
+        word = row[w]
+        pivot_bit = word & (~word + np.uint64(1))  # lowest set bit
+        hit = (M[:, w] & pivot_bit) != 0
+        hit[i] = False
+        if hit.any():
+            M[hit] ^= row
+    return M
+
+
+def _pivot_cols(M: np.ndarray) -> np.ndarray:
+    """First set-bit column index per row; -1 for zero rows."""
+    R, W = M.shape
+    out = np.full(R, -1, dtype=np.int64)
+    for i in range(R):
+        nz = np.nonzero(M[i])[0]
+        if nz.size:
+            w = int(nz[0])
+            out[i] = w * 64 + int(M[i, w] & (~M[i, w] + np.uint64(1))).bit_length() - 1
+    return out
+
+
+def rref_packed_reordered(M: np.ndarray) -> np.ndarray:
+    """Full RREF with rows ordered by pivot column (zero rows last).
+
+    Matches symmer ``rref_binary`` (``operators/utils.py:317``).
+    """
+    red = rref_packed(M)
+    piv = _pivot_cols(red)
+    nonzero = piv >= 0
+    order = np.concatenate([
+        np.nonzero(nonzero)[0][np.argsort(piv[nonzero], kind="stable")],
+        np.nonzero(~nonzero)[0],
+    ])
+    return red[order]
+
+
+# ---------------------------------------------------------------------------
+# Boolean-matrix wrappers (control-path convenience; sizes here are moderate)
+# ---------------------------------------------------------------------------
+
+def rref_bool(matrix: np.ndarray, reorder: bool = False) -> np.ndarray:
+    matrix = np.atleast_2d(np.asarray(matrix, dtype=bool))
+    n_cols = matrix.shape[1]
+    packed = pack_bits(matrix, n_cols)
+    red = rref_packed_reordered(packed) if reorder else rref_packed(packed)
+    return unpack_bits(red, n_cols)
+
+
+def cref_bool(matrix: np.ndarray, reorder: bool = True) -> np.ndarray:
+    """Column-reduced echelon form: rref of the transpose, transposed back.
+
+    Matches symmer ``cref_binary``/``_cref_binary`` (``operators/utils.py:337-359``).
+    """
+    return rref_bool(np.asarray(matrix, dtype=bool).T, reorder=reorder).T
+
+
+def rank_gf2(matrix: np.ndarray) -> int:
+    red = rref_bool(matrix)
+    return int(np.any(red, axis=1).sum())
+
+
+def matmul_gf2_packed(
+    A_pack: np.ndarray, B_pack: np.ndarray, chunk_bytes: int = 1 << 26
+) -> np.ndarray:
+    """C[i,j] = parity( popcount(A_i & B_j) ) for packed rows A, B -> bool.
+
+    This is (A @ B^T) mod 2 for the underlying bit matrices — the kernel behind
+    all commutation/adjacency checks (cf. symmer ``matmul_GF2``).
+    """
+    M1, W = A_pack.shape
+    M2 = B_pack.shape[0]
+    out = np.empty((M1, M2), dtype=bool)
+    rows = max(1, chunk_bytes // max(1, M2 * W * 8))
+    for i0 in range(0, M1, rows):
+        i1 = min(M1, i0 + rows)
+        acc = np.bitwise_count(A_pack[i0:i1, None, :] & B_pack[None, :, :]).sum(axis=2)
+        out[i0:i1] = (acc & 1).astype(bool)
+    return out
+
+
+def kernel_basis_packed(M: np.ndarray, n_bits: int) -> np.ndarray:
+    """Basis of the null space {v : M v = 0 (mod 2)} of the packed bit matrix.
+
+    Used by the symmetry-generator search: stack [M; I], column-reduce, read
+    the columns of the identity block under zero columns of the reduced M
+    (cf. symmer ``IndependentOp.symmetry_generators`` ``independent_op.py:90-144``).
+
+    Args:
+        M: packed rows, each row a vector of ``n_bits`` bits.
+    Returns:
+        packed rows spanning the kernel (possibly zero rows -> empty).
+    """
+    Mb = unpack_bits(M, n_bits)
+    R = Mb.shape[0]
+    stacked = np.vstack([Mb, np.eye(n_bits, dtype=bool)])
+    reduced = cref_bool(stacked, reorder=False)
+    zero_cols = ~np.any(reduced[:R], axis=0)
+    basis = reduced[R:, zero_cols].T  # rows = kernel vectors
+    return pack_bits(basis, n_bits)
