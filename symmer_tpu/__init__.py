@@ -1,0 +1,16 @@
+"""symmer-tpu: a TPU-native framework for symplectic Pauli-operator algebra
+and qubit-subspace reduction, with the capabilities of UCL-CCS/symmer.
+
+Public surface mirrors symmer's (reference __init__.py:1-6).
+"""
+from .config import config, enable_x64  # noqa: F401
+from .parallel import process  # noqa: F401
+from .operators import PauliwordOp, QuantumState  # noqa: F401
+try:  # projection layer lands in M3
+    from .projection import (  # noqa: F401
+        QubitTapering,
+        ContextualSubspace,
+        QubitSubspaceManager,
+    )
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,198 @@
+"""Host/device dispatch for the symplectic kernels.
+
+Every hot operation exists twice -- packed-numpy (np_core) and XLA (jx_core)
+with identical semantics.  The functions here take host uint64 planes and
+dispatch on problem size via :data:`symmer_tpu.config.config`: below the
+threshold, XLA dispatch latency dominates and the host path wins; above it the
+device path (TPU) wins by orders of magnitude.
+
+Device calls use power-of-two padded term buckets so jit compile caches are
+reused across the dynamically-shaped operator algebra (SURVEY §7.1 static-shape
+design).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import config
+from . import np_core, pack
+
+Planes = Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+
+def _next_bucket(n: int) -> int:
+    if n <= 8:
+        return 8
+    return 1 << (n - 1).bit_length()
+
+
+@functools.lru_cache(maxsize=None)
+def _jx():
+    import jax
+
+    from . import jx_core
+
+    return jax, jx_core
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted():
+    jax, jx = _jx()
+    return {
+        "cleanup_t": jax.jit(jx.cleanup_sorted),
+        "cleanup": jax.jit(lambda x, z, c, n: jx.cleanup_sorted(x, z, c, n, None)),
+        "mul_cleanup": jax.jit(
+            lambda x1, z1, c1, x2, z2, c2, th: jx.cleanup_sorted(
+                *jx.mul_pairs(x1, z1, c1, x2, z2, c2),
+                x1.shape[0] * x2.shape[0],
+                th,
+            )
+        ),
+        "anticommutes": jax.jit(jx.anticommutes),
+        "clifford_scan": jax.jit(jx.clifford_scan),
+        "rot_nc_cleanup": jax.jit(
+            lambda x, z, c, xr, zr, ang, n, th: jx.cleanup_sorted(
+                *jx.rotate_nonclifford(x, z, c, xr, zr, ang), 2 * n, th
+            )
+        ),
+    }
+
+
+def _to_dev(x64: np.ndarray, pad_rows: int = 0):
+    jax, _ = _jx()
+    import jax.numpy as jnp
+
+    a = pack.to_u32(x64)
+    if pad_rows > a.shape[0]:
+        a = np.pad(a, [(0, pad_rows - a.shape[0]), (0, 0)])
+    return jnp.asarray(a)
+
+
+def _coeff_to_dev(c: np.ndarray, pad_rows: int = 0):
+    import jax.numpy as jnp
+
+    if pad_rows > c.shape[0]:
+        c = np.pad(c, (0, pad_rows - c.shape[0]))
+    return jnp.asarray(np.ascontiguousarray(c))
+
+
+def _planes_from_dev(x, z, c, n_out: int) -> Planes:
+    xo = pack.from_u32(np.asarray(x)[:n_out])
+    zo = pack.from_u32(np.asarray(z)[:n_out])
+    return xo, zo, np.asarray(c)[:n_out]
+
+
+def cleanup(x, z, c, zero_threshold: Optional[float]) -> Planes:
+    T, W = x.shape
+    if not config.use_device(T * W):
+        return np_core.cleanup(x, z, c, zero_threshold)
+    import jax.numpy as jnp
+
+    Tp = _next_bucket(T)
+    jx_, jz_, jc_ = _to_dev(x, Tp), _to_dev(z, Tp), _coeff_to_dev(c, Tp)
+    if zero_threshold is None:
+        ox, oz, oc, n = _jitted()["cleanup"](jx_, jz_, jc_, T)
+    else:
+        ox, oz, oc, n = _jitted()["cleanup_t"](jx_, jz_, jc_, T, jnp.asarray(zero_threshold))
+    return _planes_from_dev(ox, oz, oc, int(n))
+
+
+def multiply_cleanup(x1, z1, c1, x2, z2, c2, zero_threshold: Optional[float]) -> Planes:
+    M1, W = x1.shape
+    M2 = x2.shape[0]
+    if not config.use_device(M1 * M2 * W):
+        out = np_core.multiply(x1, z1, c1, x2, z2, c2)
+        return np_core.cleanup(*out, zero_threshold)
+    import jax.numpy as jnp
+
+    th = jnp.asarray(zero_threshold if zero_threshold is not None else 0.0)
+    ox, oz, oc, n = _jitted()["mul_cleanup"](
+        _to_dev(x1), _to_dev(z1), _coeff_to_dev(c1),
+        _to_dev(x2), _to_dev(z2), _coeff_to_dev(c2), th,
+    )
+    return _planes_from_dev(ox, oz, oc, int(n))
+
+
+def anticommutes(x1, z1, x2, z2) -> np.ndarray:
+    M1, W = x1.shape
+    M2 = x2.shape[0]
+    if not config.use_device(M1 * M2 * W // 8):
+        return np_core.anticommutes(x1, z1, x2, z2)
+    out = _jitted()["anticommutes"](_to_dev(x1), _to_dev(z1), _to_dev(x2), _to_dev(z2))
+    return np.asarray(out)
+
+
+def is_clifford_angle(angle, tol: float = 1e-18):
+    """Return the pi/2 multiple m if the angle is Clifford, else None."""
+    if angle is None:
+        return 1
+    angle = complex(angle).real
+    multiple = angle * 2 / np.pi
+    m = round(multiple)
+    return m if abs(m - multiple) <= tol else None
+
+
+def perform_rotations(
+    x, z, c,
+    rotations: Sequence[Tuple[np.ndarray, np.ndarray, Optional[float]]],
+    zero_threshold: Optional[float] = 1e-15,
+) -> Planes:
+    """Apply a sequence of single-Pauli rotations (xr, zr, angle) left-to-right.
+
+    Clifford runs are batched into one lax.scan on the device path; the
+    sequence is broken at non-Clifford rotations, which grow the term count
+    and trigger a cleanup (mirrors symmer base.py:1163-1186 semantics, where
+    a cleanup follows every rotation -- Clifford rotations cannot create
+    duplicates so deferring their cleanup is exact).
+    """
+    T, W = x.shape
+    use_dev = config.use_device(T * W * max(1, len(rotations)) // 4)
+    if not use_dev:
+        for xr, zr, angle in rotations:
+            (x, z, c), needs = np_core.rotate_single(x, z, c, xr, zr, angle)
+            if needs:
+                x, z, c = np_core.cleanup(x, z, c, zero_threshold)
+        return np_core.cleanup(x, z, c, zero_threshold)
+
+    import jax.numpy as jnp
+
+    jitted = _jitted()
+    i = 0
+    n_rot = len(rotations)
+    while i < n_rot:
+        m = is_clifford_angle(rotations[i][2])
+        if m is not None:
+            # gather maximal Clifford run
+            j = i
+            ms, rxs, rzs = [], [], []
+            while j < n_rot:
+                mj = is_clifford_angle(rotations[j][2])
+                if mj is None:
+                    break
+                rxs.append(pack.to_u32(rotations[j][0].reshape(1, -1))[0])
+                rzs.append(pack.to_u32(rotations[j][1].reshape(1, -1))[0])
+                ms.append(mj)
+                j += 1
+            xs, zs, cs = jitted["clifford_scan"](
+                _to_dev(x), _to_dev(z), _coeff_to_dev(c),
+                jnp.asarray(np.array(rxs)), jnp.asarray(np.array(rzs)),
+                jnp.asarray(np.array(ms, np.int32)),
+            )
+            x = pack.from_u32(np.asarray(xs))
+            z = pack.from_u32(np.asarray(zs))
+            c = np.asarray(cs)
+            i = j
+        else:
+            xr, zr, angle = rotations[i]
+            th = jnp.asarray(zero_threshold if zero_threshold is not None else 0.0)
+            ox, oz, oc, n = jitted["rot_nc_cleanup"](
+                _to_dev(x), _to_dev(z), _coeff_to_dev(c),
+                _to_dev(xr.reshape(1, -1))[0], _to_dev(zr.reshape(1, -1))[0],
+                jnp.asarray(float(complex(angle).real)), x.shape[0], th,
+            )
+            x, z, c = _planes_from_dev(ox, oz, oc, int(n))
+            i += 1
+    return cleanup(x, z, c, zero_threshold)

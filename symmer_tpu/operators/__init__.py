@@ -1,0 +1,10 @@
+"""Operator algebra layer (parity surface of symmer.operators)."""
+from .utils import *  # noqa: F401,F403
+from .base import (  # noqa: F401
+    PauliwordOp,
+    QuantumState,
+    change_of_basis_XY_to_Z,
+    get_PauliwordOp_projector,
+    get_ij_operator,
+    single_term_expval,
+)

@@ -1,0 +1,235 @@
+"""Operator-level utilities (parity surface of symmer ``operators/utils.py``).
+
+The boolean-symplectic helpers are thin wrappers over the packed kernels in
+:mod:`symmer_tpu.kernels`; they exist for API familiarity and for tests that
+speak the reference's [X|Z] dialect.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..kernels import gf2, np_core, pack
+
+
+# ---------------------------------------------------------------------------
+# string <-> symplectic (reference operators/utils.py:80-163)
+# ---------------------------------------------------------------------------
+
+def symplectic_to_string(symp_vec: np.ndarray) -> str:
+    symp_vec = np.asarray(symp_vec).astype(bool)
+    n_qubits = len(symp_vec) // 2
+    X_block, Z_block = symp_vec[:n_qubits], symp_vec[n_qubits:]
+    x, z, _ = pack.symplectic_to_planes(symp_vec)
+    return pack.planes_to_strings(x, z, n_qubits)[0]
+
+
+def string_to_symplectic(pauli_str: str, n_qubits: int) -> np.ndarray:
+    assert len(pauli_str) == n_qubits, "Number of qubits is incompatible with pauli string"
+    x, z, _ = pack.strings_to_planes([pauli_str])
+    return pack.planes_to_symplectic(x, z, n_qubits)[0].astype(int)
+
+
+def random_symplectic_matrix(n_qubits, n_terms, diagonal=False, density=0.3):
+    """Random boolean [X|Z] matrix (reference operators/utils.py:281-290)."""
+    if diagonal:
+        Z_block = np.random.choice(
+            [True, False], size=[n_terms, n_qubits], p=[density / 2, 1 - density / 2]
+        )
+        return np.hstack([np.zeros_like(Z_block), Z_block])
+    return np.random.choice([True, False], size=[n_terms, 2 * n_qubits], p=[density, 1 - density])
+
+
+# ---------------------------------------------------------------------------
+# GF(2) echelon forms (packed implementations under the hood)
+# ---------------------------------------------------------------------------
+
+def _rref_binary(matrix: np.ndarray) -> np.ndarray:
+    return gf2.rref_bool(matrix, reorder=False)
+
+
+def rref_binary(matrix: np.ndarray) -> np.ndarray:
+    return gf2.rref_bool(matrix, reorder=True)
+
+
+def _cref_binary(matrix: np.ndarray) -> np.ndarray:
+    return gf2.cref_bool(matrix, reorder=False)
+
+
+def cref_binary(matrix: np.ndarray) -> np.ndarray:
+    return gf2.cref_bool(matrix, reorder=True)
+
+
+def matmul_GF2(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """(A @ B) mod 2 over boolean matrices (reference operators/utils.py:9-26)."""
+    A = np.atleast_2d(np.asarray(A, dtype=bool))
+    B = np.atleast_2d(np.asarray(B, dtype=bool))
+    Ap = pack.pack_bits(A, A.shape[1])
+    Bp = pack.pack_bits(B.T, B.shape[0])
+    return gf2.matmul_gf2_packed(Ap, Bp)
+
+
+# ---------------------------------------------------------------------------
+# independence / contextuality checks (reference operators/utils.py:504-616)
+# ---------------------------------------------------------------------------
+
+def check_independent(operators) -> bool:
+    """True iff the terms are algebraically independent under multiplication."""
+    if operators.n_terms > 2 * operators.n_qubits:
+        return False
+    joint = np.hstack([operators.x_pack, operators.z_pack])
+    red = gf2.rref_packed(joint)
+    return not bool(np.any(~np.any(red, axis=1)))
+
+
+def check_jordan_independent(operators) -> bool:
+    """Independence under the Jordan product (reference utils.py:521-564)."""
+    if operators.n_terms > 3 * operators.n_qubits:
+        return False
+    comm_mask = np.sum(operators.commutes_termwise(operators), axis=1) == operators.n_terms
+    if not check_independent(operators[comm_mask]):
+        return False
+    # row-reduce with Y treated as independent letter: [X^Y | Z^Y | Y]
+    y = operators.x_pack & operators.z_pack
+    xzy = np.hstack([operators.x_pack ^ y, operators.z_pack ^ y, y])
+    red = gf2.rref_packed(xzy)
+    return not bool(np.any(~np.any(red, axis=1)))
+
+
+def check_adjmat_noncontextual(adjmat: np.ndarray) -> bool:
+    """Noncontextuality test on a commutation adjacency matrix.
+
+    (reference operators/utils.py:567-589, after arXiv:1904.02260)
+    """
+    mask_non_universal = np.where(~np.all(adjmat, axis=1))[0]
+    unique_commutation_character = np.unique(
+        adjmat[mask_non_universal, :][:, mask_non_universal], axis=0
+    )
+    return bool(np.all(np.count_nonzero(unique_commutation_character, axis=0) == 1))
+
+
+def perform_noncontextual_sweep(operator):
+    """Single ordered sweep retaining terms that keep the set noncontextual.
+
+    (reference operators/utils.py:592-616)
+    """
+    noncon_indices = np.array([0])
+    adjmat = np.array([[True]], dtype=bool)
+    for index in range(1, operator.n_terms):
+        term = operator[index]
+        adjmat_vector = np.append(
+            term.commutes_termwise(operator[noncon_indices]), True
+        )
+        adjmat_padded = np.pad(adjmat, pad_width=((0, 1), (0, 1)), mode="constant")
+        adjmat_padded[-1, :] = adjmat_vector
+        adjmat_padded[:, -1] = adjmat_vector
+        if check_adjmat_noncontextual(adjmat_padded):
+            noncon_indices = np.append(noncon_indices, index)
+            adjmat = adjmat_padded
+    return operator[noncon_indices]
+
+
+# ---------------------------------------------------------------------------
+# misc numerics
+# ---------------------------------------------------------------------------
+
+def binary_array_to_int(bin_arr: np.ndarray) -> np.ndarray:
+    """Rows of binary (MSB first, reference convention) -> integers.
+
+    Uses Python objects above 63 bits so arbitrary widths are exact
+    (cf. reference operators/utils.py:618-640 which loses precision >64q).
+    """
+    bin_arr = np.atleast_2d(bin_arr).astype(int)
+    n = bin_arr.shape[1]
+    if n < 63:
+        return bin_arr @ (1 << np.arange(n - 1, -1, -1))
+    weights = np.array([1 << int(i) for i in range(n - 1, -1, -1)], dtype=object)
+    return bin_arr.astype(object) @ weights
+
+
+def packed_rows_to_ints(pck: np.ndarray, n_bits: int) -> List[int]:
+    """Packed LSB-first rows -> Python ints with bit q = qubit q weight 2^(n-1-q).
+
+    Matches the reference's MSB-first integer convention for basis states.
+    """
+    bits = pack.unpack_bits(pck, n_bits)
+    out = []
+    for row in bits:
+        v = 0
+        for b in row:  # qubit 0 is the most significant bit
+            v = (v << 1) | int(b)
+        out.append(v)
+    return out
+
+
+def mul_symplectic(symp_vec1, coeff1, symp_vec2, coeff2):
+    """Single-pair Pauli product on boolean symplectic vectors.
+
+    (reference operators/utils.py:429-470)
+    """
+    x1, z1, _ = pack.symplectic_to_planes(np.asarray(symp_vec1))
+    x2, z2, _ = pack.symplectic_to_planes(np.asarray(symp_vec2))
+    xo, zo, co = np_core.multiply(x1, z1, np.array([coeff1]), x2, z2, np.array([coeff2]))
+    n_qubits = len(np.asarray(symp_vec1)) // 2
+    return (
+        pack.planes_to_symplectic(xo, zo, n_qubits)[0].astype(int),
+        co[0],
+    )
+
+
+def unit_n_sphere_cartesian_coords(angles: np.ndarray) -> np.ndarray:
+    """(reference operators/utils.py:472-485)"""
+    cartesians = [
+        np.prod(np.sin(angles[:i])) * np.cos(angles[i]) for i in range(len(angles))
+    ]
+    cartesians.append(np.prod(np.sin(angles)))
+    return np.array(cartesians)
+
+
+def binomial_coefficient(n, k):
+    """n-choose-k allowing non-integer n (reference operators/utils.py:487-502)."""
+    prod = 1
+    for r in range(k):
+        prod *= (n - r) / (k - r)
+    return prod
+
+
+def count1_in_int_bitstring(i):
+    """HAKMEM-style popcount for int arrays (reference operators/utils.py:165-180)."""
+    i = i - ((i >> 1) & 0x55555555)
+    i = (i & 0x33333333) + ((i >> 2) & 0x33333333)
+    return (((i + (i >> 4) & 0xF0F0F0F) * 0x1010101) & 0xFFFFFFFF) >> 24
+
+
+# ---------------------------------------------------------------------------
+# serialisation (reference operators/utils.py:401-427)
+# ---------------------------------------------------------------------------
+
+def safe_PauliwordOp_to_dict(op) -> Dict[str, Tuple[float, float]]:
+    terms, coeffs = zip(*op.to_dictionary.items())
+    return dict(zip(terms, [(c.real, c.imag) for c in coeffs]))
+
+
+def safe_QuantumState_to_dict(psi) -> Dict[str, Tuple[float, float]]:
+    terms, coeffs = zip(*psi.to_dictionary.items())
+    return dict(zip(terms, [(c.real, c.imag) for c in coeffs]))
+
+
+# ---------------------------------------------------------------------------
+# optional external-library interchange (qiskit / openfermion are NOT
+# dependencies of symmer-tpu; dictionaries are the canonical interchange)
+# ---------------------------------------------------------------------------
+
+def QubitOperator_to_dict(op, num_qubits: int) -> Dict[str, complex]:
+    op_dict = {}
+    for term, coeff in op.terms.items():
+        letters = ["I"] * num_qubits
+        for idx, letter in term:
+            letters[idx] = letter
+        op_dict["".join(letters)] = coeff
+    return op_dict
+
+
+def SparsePauliOp_to_dict(op) -> Dict[str, complex]:
+    return {pstr: coeff for pstr, coeff in op.to_list()}
