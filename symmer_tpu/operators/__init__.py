@@ -8,3 +8,6 @@ from .base import (  # noqa: F401
     get_ij_operator,
     single_term_expval,
 )
+from .independent_op import IndependentOp  # noqa: F401
+from .anticommuting_op import AntiCommutingOp  # noqa: F401
+from .noncontextual_op import NoncontextualOp, NoncontextualSolver  # noqa: F401

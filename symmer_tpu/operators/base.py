@@ -1240,8 +1240,10 @@ def get_ij_operator(
 def single_term_expval(P_op: PauliwordOp, psi: QuantumState) -> float:
     """Expectation value of a single Pauli term (reference base.py:2438-2471)."""
     assert P_op.n_terms == 1, "Supplied multiple Pauli terms."
+    # NOTE the coefficient of P_op is ignored, exactly as in the reference
+    # (the projector there is built from the symplectic row alone)
     return state_core.expval(
-        P_op.x_pack, P_op.z_pack, np.ones(1, complex) * P_op.coeff_vec[0],
+        P_op.x_pack, P_op.z_pack, np.ones(1, complex),
         psi._s_pack, psi._amps,
     ).real
 
