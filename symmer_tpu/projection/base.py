@@ -1,0 +1,118 @@
+"""Stabilizer-subspace (S3) projection engine.
+
+Parity surface of symmer ``projection/base.py``: rotate the stabilizers onto
+single-qubit Paulis via Cliffords, drop operator terms anticommuting with them,
+fix the +/-1 eigenvalues as coefficient sign flips, and delete the stabilised
+qubit columns from the packed planes.
+"""
+from __future__ import annotations
+
+from functools import reduce
+from typing import List, Union
+
+import numpy as np
+
+from ..kernels import pack
+from ..operators import IndependentOp, PauliwordOp, QuantumState
+from ..evolution import Had, trotter
+
+
+class S3Projection:
+    """(reference projection/base.py:7-159)"""
+
+    rotated_flag = False
+
+    def __init__(self, stabilizers: IndependentOp) -> None:
+        self.stabilizers = stabilizers
+
+    def _perform_projection(self, operator: PauliwordOp) -> PauliwordOp:
+        """Project onto the subspace stabilised by single-qubit Paulis.
+
+        (reference :44-84)
+        """
+        assert operator.n_qubits == self.stabilizers.n_qubits, (
+            "The input operator does not have the same number of qubits as the stabilizers"
+        )
+        assert self.rotated_flag, (
+            "The operator has not been rotated - intended for use with "
+            "perform_projection method"
+        )
+        self.rotated_flag = False
+
+        # drop terms anticommuting with any rotated stabilizer
+        commutes_all = np.all(
+            operator.commutes_termwise(self.rotated_stabilizers), axis=1
+        )
+        op_symp = operator.symp_matrix[commutes_all]
+        op_coef = operator.coeff_vec[commutes_all]
+
+        # sign flips from the +/-1 eigenvalue assignment
+        stab_symp_indices = np.where(self.rotated_stabilizers.symp_matrix)[1]
+        eigval_assignment = (
+            op_symp[:, stab_symp_indices] * self.rotated_stabilizers.coeff_vec
+        )
+        eigval_assignment[eigval_assignment == 0] = 1
+        coeff_sign_flip = op_coef * (np.prod(eigval_assignment, axis=1)).T
+
+        # delete the stabilised qubit columns
+        unfixed_XZ = np.hstack(
+            [self.free_qubit_indices, self.free_qubit_indices + operator.n_qubits]
+        )
+        projected_symplectic = op_symp[:, unfixed_XZ]
+
+        if projected_symplectic.shape[1]:
+            return PauliwordOp(projected_symplectic, coeff_sign_flip).cleanup()
+        return PauliwordOp(np.array([], dtype=bool), [np.sum(coeff_sign_flip)])
+
+    def perform_projection(
+        self,
+        operator: PauliwordOp,
+        ref_state: Union[List[int], np.ndarray, QuantumState] = None,
+        sector: Union[List[int], np.ndarray] = None,
+    ) -> PauliwordOp:
+        """(reference :86-124)"""
+        if sector is None and ref_state is not None:
+            self.stabilizers.update_sector(ref_state)
+        elif sector is not None:
+            self.stabilizers.coeff_vec = np.array(sector, dtype=int)
+
+        self.rotated_stabilizers = self.stabilizers.rotate_onto_single_qubit_paulis()
+        self.stab_qubit_indices = (
+            np.where(self.rotated_stabilizers.symp_matrix)[1] % operator.n_qubits
+        )
+        self.free_qubit_indices = np.setdiff1d(
+            np.arange(operator.n_qubits), self.stab_qubit_indices
+        )
+
+        if len(self.stabilizers.stabilizer_rotations) > 0:
+            op_rotated = operator.perform_rotations(self.stabilizers.stabilizer_rotations)
+        else:
+            op_rotated = operator
+
+        self.rotated_flag = True
+        return self._perform_projection(operator=op_rotated)
+
+    def _project_state(self, state: QuantumState) -> QuantumState:
+        """Project a state into the stabilizer subspace (reference :126-159)."""
+        transformation_list = []
+        rotated = self.stabilizers.rotate_onto_single_qubit_paulis()
+        # Hadamards on X-stabilised qubits
+        transformation_list += [
+            Had(self.stabilizers.n_qubits, i)
+            for i in np.where(np.sum(rotated.X_block & ~rotated.Z_block, axis=0))[0]
+        ]
+        # (P^2 + P)/2 projectors onto the stabilizer subspace
+        transformation_list += [
+            ((rotated[i] ** 2) + rotated[i]) * 0.5 for i in range(rotated.n_terms)
+        ]
+        # Clifford rotations mapping the stabilizers onto single-qubit Paulis
+        transformation_list += [
+            trotter(s[0] * (np.pi / 4 * 1j)) for s in self.stabilizers.stabilizer_rotations
+        ]
+        transformation = reduce(lambda x, y: x * y, transformation_list)
+        transformed_state = transformation * state
+        # drop stabilised qubit positions and merge duplicates
+        return QuantumState(
+            transformed_state.state_matrix[:, self.free_qubit_indices],
+            transformed_state._amps,
+        ).cleanup(zero_threshold=1e-12)
