@@ -1,0 +1,135 @@
+"""symmer-tpu benchmark harness.
+
+Measures the reference's headline operations (symmer README.md:50-54, see
+BASELINE.md) on the available JAX backend (TPU under the driver):
+
+  1. non-Clifford rotation of a 1,000-qubit, 100,000-term operator (+cleanup)
+  2. squaring a 1,000-qubit, 500-term operator (250k cross terms, +cleanup)
+  3. expectation value of a depth-2,000 Clifford circuit on 1,000 qubits
+  4. multiplying two 100,000,000-qubit single Pauli terms
+
+Prints ONE JSON line for the headline metric (1) on stdout; the full table
+goes to stderr.  vs_baseline is the speedup over the reference's ~1 s laptop
+claim for the same operation.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _median_time(fn, warmup=2, reps=5):
+    for _ in range(warmup):
+        fn()
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from symmer_tpu.kernels import jx_core
+
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    print(f"# backend: {dev.platform} ({dev})", file=sys.stderr)
+
+    results = {}
+
+    # ---- 1. non-Clifford rotation: 1,000 qubits x 100,000 terms -----------
+    n_qubits, n_terms = 1000, 100_000
+    W = 2 * ((n_qubits + 63) // 64)  # u32 words
+    x = jnp.asarray(rng.integers(0, 2**32, (n_terms, W), dtype=np.uint64).astype(np.uint32))
+    z = jnp.asarray(rng.integers(0, 2**32, (n_terms, W), dtype=np.uint64).astype(np.uint32))
+    cr = jnp.asarray(rng.normal(size=n_terms).astype(np.float32))
+    ci = jnp.asarray(rng.normal(size=n_terms).astype(np.float32))
+    xr = jnp.asarray(rng.integers(0, 2**32, (W,), dtype=np.uint64).astype(np.uint32))
+    zr = jnp.asarray(rng.integers(0, 2**32, (W,), dtype=np.uint64).astype(np.uint32))
+
+    @jax.jit
+    def rotate_and_cleanup(x, z, cr, ci, xr, zr, angle):
+        xo, zo, cro, cio = jx_core.rotate_nonclifford(x, z, cr, ci, xr, zr, angle)
+        return jx_core.cleanup_sorted(xo, zo, cro, cio, xo.shape[0], 1e-7)
+
+    out = rotate_and_cleanup(x, z, cr, ci, xr, zr, 0.3)
+    jax.block_until_ready(out)
+    t_rot = _median_time(
+        lambda: jax.block_until_ready(rotate_and_cleanup(x, z, cr, ci, xr, zr, 0.3))
+    )
+    results["rotate_1000q_100k_terms_ms"] = t_rot * 1e3
+
+    # ---- 2. square a 1,000-qubit, 500-term operator -----------------------
+    T2 = 500
+    x2, z2 = x[:T2], z[:T2]
+    cr2, ci2 = cr[:T2], ci[:T2]
+
+    @jax.jit
+    def square_and_cleanup(x, z, cr, ci):
+        xo, zo, cro, cio = jx_core.mul_pairs(x, z, cr, ci, x, z, cr, ci)
+        return jx_core.cleanup_sorted(xo, zo, cro, cio, xo.shape[0], 1e-7)
+
+    jax.block_until_ready(square_and_cleanup(x2, z2, cr2, ci2))
+    t_sq = _median_time(lambda: jax.block_until_ready(square_and_cleanup(x2, z2, cr2, ci2)))
+    results["square_1000q_500_terms_ms"] = t_sq * 1e3
+
+    # ---- 3. Clifford circuit expectation: 1,000 qubits, depth 2,000 -------
+    depth = 2000
+    n_obs = 100  # observable terms carried through the circuit
+    xo_, zo_ = x[:n_obs], z[:n_obs]
+    cro_, cio_ = cr[:n_obs], ci[:n_obs]
+    rx = jnp.asarray(rng.integers(0, 2**32, (depth, W), dtype=np.uint64).astype(np.uint32))
+    rz = jnp.asarray(rng.integers(0, 2**32, (depth, W), dtype=np.uint64).astype(np.uint32))
+    rm = jnp.asarray(rng.integers(0, 4, depth, dtype=np.int64).astype(np.int32))
+
+    @jax.jit
+    def clifford_expval(x, z, cr, ci, rx, rz, rm):
+        x, z, cr, ci = jx_core.clifford_scan(x, z, cr, ci, rx, rz, rm)
+        return jx_core.expval_iz_sum(x, cr, ci, x.shape[0])
+
+    jax.block_until_ready(clifford_expval(xo_, zo_, cro_, cio_, rx, rz, rm))
+    t_cl = _median_time(
+        lambda: jax.block_until_ready(clifford_expval(xo_, zo_, cro_, cio_, rx, rz, rm))
+    )
+    results["clifford_1000q_depth2000_ms"] = t_cl * 1e3
+
+    # ---- 4. two 100,000,000-qubit single Pauli terms ----------------------
+    Wbig = 2 * ((100_000_000 + 63) // 64)
+    xb1 = jnp.asarray(rng.integers(0, 2**32, (1, Wbig), dtype=np.uint64).astype(np.uint32))
+    zb1 = jnp.asarray(rng.integers(0, 2**32, (1, Wbig), dtype=np.uint64).astype(np.uint32))
+    xb2 = jnp.asarray(rng.integers(0, 2**32, (1, Wbig), dtype=np.uint64).astype(np.uint32))
+    zb2 = jnp.asarray(rng.integers(0, 2**32, (1, Wbig), dtype=np.uint64).astype(np.uint32))
+    cb = jnp.ones(1, jnp.float32)
+    cz = jnp.zeros(1, jnp.float32)
+
+    mul1 = jax.jit(jx_core.mul_pairs)
+    jax.block_until_ready(mul1(xb1, zb1, cb, cz, xb2, zb2, cb, cz))
+    t_big = _median_time(
+        lambda: jax.block_until_ready(mul1(xb1, zb1, cb, cz, xb2, zb2, cb, cz))
+    )
+    results["mul_100M_qubit_single_terms_ms"] = t_big * 1e3
+
+    for k, v in results.items():
+        baseline_ms = 1000.0  # reference: ~1 s on a laptop for each op
+        print(f"# {k}: {v:.2f} ms  (vs 1s baseline: {baseline_ms / v:.1f}x)", file=sys.stderr)
+
+    headline = results["rotate_1000q_100k_terms_ms"]
+    print(
+        json.dumps(
+            {
+                "metric": "nonclifford_rotation_1000q_100k_terms",
+                "value": round(headline, 3),
+                "unit": "ms",
+                "vs_baseline": round(1000.0 / headline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

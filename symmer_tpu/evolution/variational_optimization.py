@@ -31,6 +31,9 @@ def evolve_state(
     ref_state: QuantumState,
 ) -> QuantumState:
     """|psi(x)> = e^{i x_{n-1} P_{n-1}} ... e^{i x_0 P_0} |ref>."""
+    assert len(x) == excitation_generators.n_terms, (
+        "parameter count does not match the number of excitation generators"
+    )
     state = ref_state
     for k in range(excitation_generators.n_terms):
         if x[k] == 0:
@@ -75,9 +78,12 @@ class VQE_Driver:
             self.prepare_for_evolution(excitation_ops)
 
     def prepare_for_evolution(self, excitation_ops: PauliwordOp) -> None:
+        # identity terms contribute only a global phase and carry no parameter
+        # (the reference's circuit builder drops them too, decomposition.py:152)
+        non_identity = np.any(excitation_ops.symp_matrix, axis=1)
         self.excitation_generators = PauliwordOp.from_planes(
-            excitation_ops.x_pack, excitation_ops.z_pack,
-            np.ones(excitation_ops.n_terms), excitation_ops.n_qubits,
+            excitation_ops.x_pack[non_identity], excitation_ops.z_pack[non_identity],
+            np.ones(int(non_identity.sum())), excitation_ops.n_qubits,
         )
         self.n_params = self.excitation_generators.n_terms
 
@@ -212,9 +218,10 @@ class ADAPT_VQE(VQE_Driver):
 
     def _derivative_from_param_shift(self, index: int) -> float:
         adapt_op_temp = self.adapt_operator.append(self.excitation_pool[index])
+        non_identity = np.any(adapt_op_temp.symp_matrix, axis=1)
         gen = PauliwordOp.from_planes(
-            adapt_op_temp.x_pack, adapt_op_temp.z_pack,
-            np.ones(adapt_op_temp.n_terms), adapt_op_temp.n_qubits,
+            adapt_op_temp.x_pack[non_identity], adapt_op_temp.z_pack[non_identity],
+            np.ones(int(non_identity.sum())), adapt_op_temp.n_qubits,
         )
         upper_state = self.get_state(gen, np.append(self.opt_parameters, +np.pi / 4))
         lower_state = self.get_state(gen, np.append(self.opt_parameters, -np.pi / 4))
@@ -227,9 +234,11 @@ class ADAPT_VQE(VQE_Driver):
             if self.expectation_eval == "observable_rotation":
                 self.current_state = self.get_state(self.adapt_operator, self.opt_parameters)
             else:
+                non_identity = np.any(self.adapt_operator.symp_matrix, axis=1)
                 gen = PauliwordOp.from_planes(
-                    self.adapt_operator.x_pack, self.adapt_operator.z_pack,
-                    np.ones(self.adapt_operator.n_terms), self.adapt_operator.n_qubits,
+                    self.adapt_operator.x_pack[non_identity],
+                    self.adapt_operator.z_pack[non_identity],
+                    np.ones(int(non_identity.sum())), self.adapt_operator.n_qubits,
                 )
                 self.current_state = self.get_state(gen, np.asarray(self.opt_parameters))
             gradient = [

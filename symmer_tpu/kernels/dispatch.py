@@ -2,13 +2,18 @@
 
 Every hot operation exists twice -- packed-numpy (np_core) and XLA (jx_core)
 with identical semantics.  The functions here take host uint64 planes and
-dispatch on problem size via :data:`symmer_tpu.config.config`: below the
-threshold, XLA dispatch latency dominates and the host path wins; above it the
-device path (TPU) wins by orders of magnitude.
+complex coefficients and dispatch on problem size via
+:data:`symmer_tpu.config.config`: below the threshold, XLA dispatch latency
+dominates and the host path wins; above it the device path (TPU) wins by
+orders of magnitude.
 
-Device calls use power-of-two padded term buckets so jit compile caches are
-reused across the dynamically-shaped operator algebra (SURVEY §7.1 static-shape
-design).
+Boundary conventions:
+  - planes: host uint64 -> device uint32 via the lossless little-endian view;
+  - coefficients: host complex -> split (re, im) float planes on device
+    (complex dtypes never cross onto the device -- XLA TPU has no native
+    complex and some PJRT transports cannot transfer them at all);
+  - device calls use power-of-two padded term buckets so jit compile caches
+    are reused across the dynamically-shaped operator algebra.
 """
 from __future__ import annotations
 
@@ -43,10 +48,12 @@ def _jitted():
     jax, jx = _jx()
     return {
         "cleanup_t": jax.jit(jx.cleanup_sorted),
-        "cleanup": jax.jit(lambda x, z, c, n: jx.cleanup_sorted(x, z, c, n, None)),
+        "cleanup": jax.jit(
+            lambda x, z, cr, ci, n: jx.cleanup_sorted(x, z, cr, ci, n, None)
+        ),
         "mul_cleanup": jax.jit(
-            lambda x1, z1, c1, x2, z2, c2, th: jx.cleanup_sorted(
-                *jx.mul_pairs(x1, z1, c1, x2, z2, c2),
+            lambda x1, z1, cr1, ci1, x2, z2, cr2, ci2, th: jx.cleanup_sorted(
+                *jx.mul_pairs(x1, z1, cr1, ci1, x2, z2, cr2, ci2),
                 x1.shape[0] * x2.shape[0],
                 th,
             )
@@ -54,15 +61,21 @@ def _jitted():
         "anticommutes": jax.jit(jx.anticommutes),
         "clifford_scan": jax.jit(jx.clifford_scan),
         "rot_nc_cleanup": jax.jit(
-            lambda x, z, c, xr, zr, ang, n, th: jx.cleanup_sorted(
-                *jx.rotate_nonclifford(x, z, c, xr, zr, ang), 2 * n, th
+            lambda x, z, cr, ci, xr, zr, ang, n, th: jx.cleanup_sorted(
+                *jx.rotate_nonclifford(x, z, cr, ci, xr, zr, ang), 2 * n, th
             )
         ),
     }
 
 
+def _coeff_dtype():
+    """Device float dtype for coefficient planes (f64 iff x64 enabled)."""
+    import jax
+
+    return np.float64 if jax.config.jax_enable_x64 else np.float32
+
+
 def _to_dev(x64: np.ndarray, pad_rows: int = 0):
-    jax, _ = _jx()
     import jax.numpy as jnp
 
     a = pack.to_u32(x64)
@@ -72,17 +85,23 @@ def _to_dev(x64: np.ndarray, pad_rows: int = 0):
 
 
 def _coeff_to_dev(c: np.ndarray, pad_rows: int = 0):
+    """complex host coeffs -> (re, im) device planes."""
     import jax.numpy as jnp
 
+    dt = _coeff_dtype()
+    cr = np.ascontiguousarray(c.real, dtype=dt)
+    ci = np.ascontiguousarray(c.imag, dtype=dt)
     if pad_rows > c.shape[0]:
-        c = np.pad(c, (0, pad_rows - c.shape[0]))
-    return jnp.asarray(np.ascontiguousarray(c))
+        cr = np.pad(cr, (0, pad_rows - c.shape[0]))
+        ci = np.pad(ci, (0, pad_rows - c.shape[0]))
+    return jnp.asarray(cr), jnp.asarray(ci)
 
 
-def _planes_from_dev(x, z, c, n_out: int) -> Planes:
+def _planes_from_dev(x, z, cr, ci, n_out: int) -> Planes:
     xo = pack.from_u32(np.asarray(x)[:n_out])
     zo = pack.from_u32(np.asarray(z)[:n_out])
-    return xo, zo, np.asarray(c)[:n_out]
+    c = np.asarray(cr)[:n_out].astype(np.float64) + 1j * np.asarray(ci)[:n_out].astype(np.float64)
+    return xo, zo, c
 
 
 def cleanup(x, z, c, zero_threshold: Optional[float]) -> Planes:
@@ -92,12 +111,15 @@ def cleanup(x, z, c, zero_threshold: Optional[float]) -> Planes:
     import jax.numpy as jnp
 
     Tp = _next_bucket(T)
-    jx_, jz_, jc_ = _to_dev(x, Tp), _to_dev(z, Tp), _coeff_to_dev(c, Tp)
+    jx_, jz_ = _to_dev(x, Tp), _to_dev(z, Tp)
+    jcr, jci = _coeff_to_dev(c, Tp)
     if zero_threshold is None:
-        ox, oz, oc, n = _jitted()["cleanup"](jx_, jz_, jc_, T)
+        ox, oz, ocr, oci, n = _jitted()["cleanup"](jx_, jz_, jcr, jci, T)
     else:
-        ox, oz, oc, n = _jitted()["cleanup_t"](jx_, jz_, jc_, T, jnp.asarray(zero_threshold))
-    return _planes_from_dev(ox, oz, oc, int(n))
+        ox, oz, ocr, oci, n = _jitted()["cleanup_t"](
+            jx_, jz_, jcr, jci, T, jnp.asarray(zero_threshold, _coeff_dtype())
+        )
+    return _planes_from_dev(ox, oz, ocr, oci, int(n))
 
 
 def multiply_cleanup(x1, z1, c1, x2, z2, c2, zero_threshold: Optional[float]) -> Planes:
@@ -108,12 +130,16 @@ def multiply_cleanup(x1, z1, c1, x2, z2, c2, zero_threshold: Optional[float]) ->
         return np_core.cleanup(*out, zero_threshold)
     import jax.numpy as jnp
 
-    th = jnp.asarray(zero_threshold if zero_threshold is not None else 0.0)
-    ox, oz, oc, n = _jitted()["mul_cleanup"](
-        _to_dev(x1), _to_dev(z1), _coeff_to_dev(c1),
-        _to_dev(x2), _to_dev(z2), _coeff_to_dev(c2), th,
+    th = jnp.asarray(
+        zero_threshold if zero_threshold is not None else 0.0, _coeff_dtype()
     )
-    return _planes_from_dev(ox, oz, oc, int(n))
+    cr1, ci1 = _coeff_to_dev(c1)
+    cr2, ci2 = _coeff_to_dev(c2)
+    ox, oz, ocr, oci, n = _jitted()["mul_cleanup"](
+        _to_dev(x1), _to_dev(z1), cr1, ci1,
+        _to_dev(x2), _to_dev(z2), cr2, ci2, th,
+    )
+    return _planes_from_dev(ox, oz, ocr, oci, int(n))
 
 
 def anticommutes(x1, z1, x2, z2) -> np.ndarray:
@@ -176,23 +202,27 @@ def perform_rotations(
                 rzs.append(pack.to_u32(rotations[j][1].reshape(1, -1))[0])
                 ms.append(mj)
                 j += 1
-            xs, zs, cs = jitted["clifford_scan"](
-                _to_dev(x), _to_dev(z), _coeff_to_dev(c),
+            cr, ci = _coeff_to_dev(c)
+            xs, zs, crs, cis = jitted["clifford_scan"](
+                _to_dev(x), _to_dev(z), cr, ci,
                 jnp.asarray(np.array(rxs)), jnp.asarray(np.array(rzs)),
                 jnp.asarray(np.array(ms, np.int32)),
             )
             x = pack.from_u32(np.asarray(xs))
             z = pack.from_u32(np.asarray(zs))
-            c = np.asarray(cs)
+            c = np.asarray(crs).astype(np.float64) + 1j * np.asarray(cis).astype(np.float64)
             i = j
         else:
             xr, zr, angle = rotations[i]
-            th = jnp.asarray(zero_threshold if zero_threshold is not None else 0.0)
-            ox, oz, oc, n = jitted["rot_nc_cleanup"](
-                _to_dev(x), _to_dev(z), _coeff_to_dev(c),
-                _to_dev(xr.reshape(1, -1))[0], _to_dev(zr.reshape(1, -1))[0],
-                jnp.asarray(float(complex(angle).real)), x.shape[0], th,
+            th = jnp.asarray(
+                zero_threshold if zero_threshold is not None else 0.0, _coeff_dtype()
             )
-            x, z, c = _planes_from_dev(ox, oz, oc, int(n))
+            cr, ci = _coeff_to_dev(c)
+            ox, oz, ocr, oci, n = jitted["rot_nc_cleanup"](
+                _to_dev(x), _to_dev(z), cr, ci,
+                _to_dev(xr.reshape(1, -1))[0], _to_dev(zr.reshape(1, -1))[0],
+                jnp.asarray(float(complex(angle).real), _coeff_dtype()), x.shape[0], th,
+            )
+            x, z, c = _planes_from_dev(ox, oz, ocr, oci, int(n))
             i += 1
     return cleanup(x, z, c, zero_threshold)

@@ -1,8 +1,15 @@
 """Device (XLA/TPU) implementations of the symplectic kernels.
 
 Layout: uint32 bit planes ``x32, z32 : uint32[n_terms, n_words32]`` -- the
-little-endian view of the host uint64 planes (see kernels/pack.py).  All
-functions here are pure and jit-compiled with *static shapes*: callers pad the
+little-endian view of the host uint64 planes (see kernels/pack.py).
+
+Coefficients are carried as SPLIT real/imaginary float planes ``cr, ci``
+(complex dtypes are avoided on the TPU compute path entirely: XLA TPU lowers
+complex to re/im pairs anyway, and split planes shard and fuse cleanly).
+Pauli phases are powers of i times a sign, so the phase application reduces to
+lane swaps and negations -- no transcendental complex arithmetic anywhere.
+
+All functions are pure and jit-compiled with *static shapes*: callers pad the
 term axis to power-of-two buckets and carry an explicit validity count, the key
 divergence from the reference's dynamically-shaped numpy design (SURVEY §7.1).
 
@@ -19,7 +26,6 @@ Kernel inventory (reference counterparts cited):
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -50,49 +56,50 @@ def parity_and(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(pc(a & b), axis=-1) & 1
 
 
-_I4_RE = jnp.array([1.0, 0.0, -1.0, 0.0])
-_I4_IM = jnp.array([0.0, 1.0, 0.0, -1.0])
-
-
-def _i_pow(k: jnp.ndarray, dtype) -> jnp.ndarray:
-    """i**k (k int array, mod 4) as a complex array."""
+def apply_i_pow(k: jnp.ndarray, re: jnp.ndarray, im: jnp.ndarray):
+    """(re, im) * i^k for integer array k (broadcastable with re/im)."""
     k = k % 4
-    return (_I4_RE[k] + 1j * _I4_IM[k]).astype(dtype)
+    # i^k: 0 -> (re, im); 1 -> (-im, re); 2 -> (-re, -im); 3 -> (im, -re)
+    out_re = jnp.where(
+        k == 0, re, jnp.where(k == 1, -im, jnp.where(k == 2, -re, im))
+    )
+    out_im = jnp.where(
+        k == 0, im, jnp.where(k == 1, re, jnp.where(k == 2, -im, -re))
+    )
+    return out_re, out_im
 
 
-def mul_phase(x1, z1, x2, z2) -> jnp.ndarray:
-    """Phase of the product P1 P2 relative to the XOR'd planes (complex)."""
-    xo = x1 ^ x2
-    zo = z1 ^ z2
-    y_in = y_count(x1, z1) + y_count(x2, z2)
-    y_out = y_count(xo, zo)
-    sign = 1 - 2 * parity_and(x1, z2)
-    return sign * _i_pow(3 * y_in + y_out, jnp.complex64)
-
-
-def mul_pairs(x1, z1, c1, x2, z2, c2):
-    """All-pairs product: returns (x, z, c) with rows ordered i*M2+j."""
+def mul_pairs(x1, z1, cr1, ci1, x2, z2, cr2, ci2):
+    """All-pairs product: returns (x, z, cr, ci) with rows ordered i*M2+j."""
     M1, W = x1.shape
     M2 = x2.shape[0]
     xo = x1[:, None, :] ^ x2[None, :, :]
     zo = z1[:, None, :] ^ z2[None, :, :]
     y_in = y_count(x1, z1)[:, None] + y_count(x2, z2)[None, :]
     y_out = jnp.sum(pc(xo & zo), axis=-1)
-    sign = 1 - 2 * (jnp.sum(pc(x1[:, None, :] & z2[None, :, :]), axis=-1) & 1)
-    phase = sign * _i_pow(3 * y_in + y_out, c1.dtype)
-    c = phase * (c1[:, None] * c2[None, :])
-    return xo.reshape(M1 * M2, W), zo.reshape(M1 * M2, W), c.reshape(M1 * M2)
+    sign = (1 - 2 * (jnp.sum(pc(x1[:, None, :] & z2[None, :, :]), axis=-1) & 1)).astype(cr1.dtype)
+    # c1 * c2 (outer), then * sign * i^(3 y_in + y_out)
+    pr = cr1[:, None] * cr2[None, :] - ci1[:, None] * ci2[None, :]
+    pi = cr1[:, None] * ci2[None, :] + ci1[:, None] * cr2[None, :]
+    pr, pi = pr * sign, pi * sign
+    pr, pi = apply_i_pow(3 * y_in + y_out, pr, pi)
+    return (
+        xo.reshape(M1 * M2, W),
+        zo.reshape(M1 * M2, W),
+        pr.reshape(M1 * M2),
+        pi.reshape(M1 * M2),
+    )
 
 
-def mul_single(x, z, c, xr, zr):
+def mul_single(x, z, cr, ci, xr, zr):
     """Multiply every term by one Pauli (row vectors xr, zr) from the right."""
     xo = x ^ xr[None, :]
     zo = z ^ zr[None, :]
     y_in = y_count(x, z) + y_count(xr[None, :], zr[None, :])[0]
     y_out = y_count(xo, zo)
-    sign = 1 - 2 * parity_and(x, zr[None, :])
-    phase = sign * _i_pow(3 * y_in + y_out, c.dtype)
-    return xo, zo, phase * c
+    sign = (1 - 2 * parity_and(x, zr[None, :])).astype(cr.dtype)
+    pr, pi = apply_i_pow(3 * y_in + y_out, cr * sign, ci * sign)
+    return xo, zo, pr, pi
 
 
 def row_hashes(x: jnp.ndarray, z: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -121,7 +128,8 @@ def _rows_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def cleanup_sorted(
     x: jnp.ndarray,
     z: jnp.ndarray,
-    c: jnp.ndarray,
+    cr: jnp.ndarray,
+    ci: jnp.ndarray,
     n_valid: jnp.ndarray,
     zero_threshold: Optional[jnp.ndarray] = None,
 ):
@@ -129,23 +137,25 @@ def cleanup_sorted(
 
     Args:
         x, z: uint32[T, W] planes (rows >= n_valid are ignored).
-        c: complex[T].
+        cr, ci: float[T] coefficient planes.
         n_valid: scalar count of valid rows.
         zero_threshold: optional scalar; terms with |coeff| <= threshold are
             dropped (matching symmer cleanup semantics).
 
     Returns:
-        (x_out, z_out, c_out, n_out): compacted arrays of static shape [T, ...]
-        with the first ``n_out`` rows valid (remaining rows zeroed).
+        (x_out, z_out, cr_out, ci_out, n_out): compacted arrays of static
+        shape [T, ...] with the first ``n_out`` rows valid (remaining zeroed).
     """
     T, W = x.shape
     valid = jnp.arange(T) < n_valid
     invalid_flag = (~valid).astype(UINT)
     h1, h2, h3, h4 = row_hashes(x, z)
     perm = jnp.lexsort((h4, h3, h2, h1, invalid_flag))
-    xs, zs, cs = x[perm], z[perm], c[perm]
+    xs, zs = x[perm], z[perm]
+    crs, cis = cr[perm], ci[perm]
     vs = valid[perm]
-    cs = jnp.where(vs, cs, 0)
+    crs = jnp.where(vs, crs, 0)
+    cis = jnp.where(vs, cis, 0)
 
     joint = jnp.concatenate([xs, zs], axis=1)
     same_as_prev = jnp.concatenate([
@@ -157,24 +167,28 @@ def cleanup_sorted(
     seg_id = jnp.where(vs, seg_id, T - 1)
     n_unique = jnp.sum(boundary.astype(jnp.int32))
 
-    c_sum = jax.ops.segment_sum(cs, seg_id, num_segments=T)
+    cr_sum = jax.ops.segment_sum(crs, seg_id, num_segments=T)
+    ci_sum = jax.ops.segment_sum(cis, seg_id, num_segments=T)
     # representative row per segment (first occurrence in sorted order)
     x_u = jnp.zeros_like(xs).at[seg_id].set(jnp.where(vs[:, None], xs, 0))
     z_u = jnp.zeros_like(zs).at[seg_id].set(jnp.where(vs[:, None], zs, 0))
     in_range = jnp.arange(T) < n_unique
-    c_sum = jnp.where(in_range, c_sum, 0)
+    cr_sum = jnp.where(in_range, cr_sum, 0)
+    ci_sum = jnp.where(in_range, ci_sum, 0)
 
     if zero_threshold is not None:
-        keep = in_range & (jnp.abs(c_sum) > zero_threshold)
+        keep = in_range & (cr_sum * cr_sum + ci_sum * ci_sum > zero_threshold * zero_threshold)
         order = jnp.lexsort(((~keep).astype(jnp.int32),))  # stable: kept first
-        x_u, z_u, c_sum = x_u[order], z_u[order], c_sum[order]
+        x_u, z_u = x_u[order], z_u[order]
+        cr_sum, ci_sum = cr_sum[order], ci_sum[order]
         n_out = jnp.sum(keep.astype(jnp.int32))
         final = jnp.arange(T) < n_out
         x_u = jnp.where(final[:, None], x_u, 0)
         z_u = jnp.where(final[:, None], z_u, 0)
-        c_sum = jnp.where(final, c_sum, 0)
-        return x_u, z_u, c_sum, n_out
-    return x_u, z_u, c_sum, n_unique
+        cr_sum = jnp.where(final, cr_sum, 0)
+        ci_sum = jnp.where(final, ci_sum, 0)
+        return x_u, z_u, cr_sum, ci_sum, n_out
+    return x_u, z_u, cr_sum, ci_sum, n_unique
 
 
 def anticommutes(x1, z1, x2, z2) -> jnp.ndarray:
@@ -189,65 +203,76 @@ def anticommutes_single(x, z, xr, zr) -> jnp.ndarray:
     return (a & 1).astype(bool)
 
 
-def clifford_scan(x, z, c, rx, rz, rm):
+def clifford_scan(x, z, cr, ci, rx, rz, rm):
     """Apply a sequence of Clifford rotations R_k(m_k * pi/2) via lax.scan.
 
     Args:
-        x, z: uint32[T, W]; c: complex[T].
+        x, z: uint32[T, W]; cr, ci: float[T].
         rx, rz: uint32[D, W] rotation Pauli planes.
-        rm: int32[D] pi/2 multiples (mod 4 semantics: 0:+P 1:-iPQ 2:-P 3:+iPQ
-            on anticommuting terms).
+        rm: int32[D] pi/2 multiples (mod 4 semantics on anticommuting terms:
+            0:+P 1:-iPQ 2:-P 3:+iPQ).
     Returns:
-        rotated (x, z, c) -- term count is preserved (Clifford property).
+        rotated (x, z, cr, ci) -- term count is preserved (Clifford property).
     """
 
     def step(carry, rot):
-        x, z, c = carry
+        x, z, cr, ci = carry
         xr, zr, m = rot
         ac = anticommutes_single(x, z, xr, zr)
         m4 = m % 4
-        xm, zm, cm = mul_single(x, z, c, xr, zr)
-        phase = jnp.where(m4 == 1, -1j, 1j).astype(c.dtype)
+        xm, zm, mr, mi = mul_single(x, z, cr, ci, xr, zr)
+        # phase: m4==1 -> -i * (PQ product); m4==3 -> +i
+        pr1, pi1 = mi, -mr     # -i * (mr + i mi)
+        pr3, pi3 = -mi, mr     # +i * (mr + i mi)
         swap = ac & ((m4 == 1) | (m4 == 3))
         x_new = jnp.where(swap[:, None], xm, x)
         z_new = jnp.where(swap[:, None], zm, z)
-        c_new = jnp.where(
-            ac,
-            jnp.where((m4 == 1) | (m4 == 3), cm * phase, jnp.where(m4 == 2, -c, c)),
-            c,
-        )
-        return (x_new, z_new, c_new), None
+        sel_r = jnp.where(m4 == 1, pr1, pr3)
+        sel_i = jnp.where(m4 == 1, pi1, pi3)
+        keep_r = jnp.where(m4 == 2, -cr, cr)
+        keep_i = jnp.where(m4 == 2, -ci, ci)
+        cr_new = jnp.where(ac, jnp.where((m4 == 1) | (m4 == 3), sel_r, keep_r), cr)
+        ci_new = jnp.where(ac, jnp.where((m4 == 1) | (m4 == 3), sel_i, keep_i), ci)
+        return (x_new, z_new, cr_new, ci_new), None
 
-    (x, z, c), _ = lax.scan(step, (x, z, c), (rx, rz, rm))
-    return x, z, c
+    (x, z, cr, ci), _ = lax.scan(step, (x, z, cr, ci), (rx, rz, rm))
+    return x, z, cr, ci
 
 
-def rotate_nonclifford(x, z, c, xr, zr, angle):
+def rotate_nonclifford(x, z, cr, ci, xr, zr, angle):
     """Non-Clifford rotation producing 2T rows: [orig terms, PQ terms].
 
     Commuting terms keep coefficient in the first copy (second copy zeroed);
     anticommuting terms split cos(t)/-i sin(t) across the copies.  Compose with
     cleanup_sorted.
     """
-    T, W = x.shape
     ac = anticommutes_single(x, z, xr, zr)
-    xm, zm, cm = mul_single(x, z, c, xr, zr)
-    cos_t = jnp.cos(angle)
-    sin_t = jnp.sin(angle)
-    c_first = jnp.where(ac, c * cos_t, c)
-    c_second = jnp.where(ac, cm * (-1j * sin_t), 0)
-    x_out = jnp.concatenate([x, xm], axis=0)
-    z_out = jnp.concatenate([z, zm], axis=0)
-    c_out = jnp.concatenate([c_first, c_second], axis=0)
-    return x_out, z_out, c_out
+    xm, zm, mr, mi = mul_single(x, z, cr, ci, xr, zr)
+    cos_t = jnp.cos(angle).astype(cr.dtype)
+    sin_t = jnp.sin(angle).astype(cr.dtype)
+    first_r = jnp.where(ac, cr * cos_t, cr)
+    first_i = jnp.where(ac, ci * cos_t, ci)
+    # -i sin(t) * (mr + i mi) = sin(t) * (mi - i mr)
+    second_r = jnp.where(ac, mi * sin_t, 0)
+    second_i = jnp.where(ac, -mr * sin_t, 0)
+    return (
+        jnp.concatenate([x, xm], axis=0),
+        jnp.concatenate([z, zm], axis=0),
+        jnp.concatenate([first_r, second_r], axis=0),
+        jnp.concatenate([first_i, second_i], axis=0),
+    )
 
 
-def expval_iz_sum(x, z, c, n_valid) -> jnp.ndarray:
+def expval_iz_sum(x, cr, ci, n_valid):
     """Sum coefficients of terms composed only of I/Z (X planes all zero).
 
     This is <0...0| O |0...0> and the final reduction of the Clifford
     simulator (cf. symmer circuit_symmerlator.py:158-166).
+    Returns (re, im).
     """
     T = x.shape[0]
     is_diag = jnp.all(x == 0, axis=1) & (jnp.arange(T) < n_valid)
-    return jnp.sum(jnp.where(is_diag, c, 0))
+    return (
+        jnp.sum(jnp.where(is_diag, cr, 0)),
+        jnp.sum(jnp.where(is_diag, ci, 0)),
+    )

@@ -1,0 +1,85 @@
+"""ctypes bindings for the native host kernels (gf2core.cpp).
+
+Compiled lazily on first import (cached as libgf2core.so next to the source);
+all callers fall back to the pure-numpy implementations if compilation is
+unavailable, so the native module is a performance optimisation, not a hard
+dependency.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import warnings
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "gf2core.cpp")
+_LIB = os.path.join(_HERE, "libgf2core.so")
+
+
+def _build() -> bool:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception as exc:  # pragma: no cover
+        warnings.warn(f"symmer_tpu native build failed ({exc}); using numpy fallbacks")
+        return False
+
+
+class _GF2Core:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.rref_inplace.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64]
+        lib.rref_inplace.restype = None
+        lib.unique_rows.argtypes = [u64p, ctypes.c_int64, ctypes.c_int64, i64p, i64p]
+        lib.unique_rows.restype = ctypes.c_int64
+        lib.matmul_gf2.argtypes = [
+            u64p, ctypes.c_int64, u64p, ctypes.c_int64, ctypes.c_int64, u8p,
+        ]
+        lib.matmul_gf2.restype = None
+
+    def rref_inplace(self, M: np.ndarray) -> None:
+        assert M.dtype == np.uint64 and M.flags["C_CONTIGUOUS"]
+        self._lib.rref_inplace(M, M.shape[0], M.shape[1])
+
+    def unique_rows(self, rows: np.ndarray):
+        """Returns (first_idx[int64, n_unique], inverse[int64, n]) in
+        first-occurrence order (cf. qiskit Rust unordered_unique)."""
+        rows = np.ascontiguousarray(rows, dtype=np.uint64)
+        n, words = rows.shape
+        first_idx = np.empty(max(n, 1), dtype=np.int64)
+        inverse = np.empty(max(n, 1), dtype=np.int64)
+        n_unique = self._lib.unique_rows(rows, n, words, first_idx, inverse)
+        return first_idx[:n_unique], inverse[:n]
+
+    def matmul_gf2(self, A: np.ndarray, B_rows: np.ndarray) -> np.ndarray:
+        """parity(popcount(A_i & B_j)) -> bool[m, p]."""
+        A = np.ascontiguousarray(A, dtype=np.uint64)
+        B_rows = np.ascontiguousarray(B_rows, dtype=np.uint64)
+        m, words = A.shape
+        p = B_rows.shape[0]
+        out = np.empty((m, p), dtype=np.uint8)
+        self._lib.matmul_gf2(A, m, B_rows, p, words, out)
+        return out.astype(bool)
+
+
+gf2core = None
+if os.environ.get("SYMMER_TPU_NO_NATIVE", "0") != "1":
+    if _build():
+        try:
+            gf2core = _GF2Core(ctypes.CDLL(_LIB))
+        except Exception as exc:  # pragma: no cover
+            warnings.warn(f"symmer_tpu native load failed ({exc}); using numpy fallbacks")
+            gf2core = None

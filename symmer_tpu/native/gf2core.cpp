@@ -1,0 +1,115 @@
+// Native host kernels for symmer-tpu.
+//
+// The reference leans on two compiled accelerators for its host hot loops:
+//   - numba-jitted GF(2) matmul                (symmer operators/utils.py:28-78)
+//   - qiskit's Rust unordered_unique row dedup (symmer operators/utils.py:271-279)
+// Here both are replaced by C++ operating directly on the bit-packed uint64
+// planes (64 qubits per word), exposed through ctypes (see __init__.py).
+//
+// Build: g++ -O3 -shared -fPIC gf2core.cpp -o libgf2core.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Row-reduced echelon form over GF(2), packed rows, no row reordering.
+// Matches symmer _rref_binary semantics (operators/utils.py:292-315):
+// iterate rows in order, pivot on the first set bit, XOR the pivot row into
+// every other row with that bit set.
+void rref_inplace(uint64_t* M, int64_t rows, int64_t words) {
+    for (int64_t i = 0; i < rows; ++i) {
+        uint64_t* row_i = M + i * words;
+        int64_t w = -1;
+        uint64_t pivot_bit = 0;
+        for (int64_t k = 0; k < words; ++k) {
+            if (row_i[k]) {
+                w = k;
+                pivot_bit = row_i[k] & (~row_i[k] + 1ULL);  // lowest set bit
+                break;
+            }
+        }
+        if (w < 0) continue;
+        for (int64_t j = 0; j < rows; ++j) {
+            if (j == i) continue;
+            uint64_t* row_j = M + j * words;
+            if (row_j[w] & pivot_bit) {
+                for (int64_t k = 0; k < words; ++k) row_j[k] ^= row_i[k];
+            }
+        }
+    }
+}
+
+// FNV-1a over a packed row.
+static inline uint64_t row_hash(const uint64_t* row, int64_t words) {
+    uint64_t h = 1469598103934665603ULL;
+    for (int64_t k = 0; k < words; ++k) {
+        h ^= row[k];
+        h *= 1099511628211ULL;
+        h ^= h >> 29;
+    }
+    return h;
+}
+
+// Unordered-unique over packed rows: open-addressing hash table keyed on the
+// full row contents.  Writes the index of the first occurrence of each unique
+// row to first_idx (length >= n) and the unique-row id of every input row to
+// inverse (length n).  Returns the number of unique rows.
+int64_t unique_rows(
+    const uint64_t* rows, int64_t n, int64_t words,
+    int64_t* first_idx, int64_t* inverse
+) {
+    if (n == 0) return 0;
+    int64_t cap = 16;
+    while (cap < 2 * n) cap <<= 1;
+    std::vector<int64_t> table(cap, -1);
+    const int64_t mask = cap - 1;
+    int64_t n_unique = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint64_t* row = rows + i * words;
+        uint64_t h = row_hash(row, words);
+        int64_t slot = (int64_t)(h & (uint64_t)mask);
+        for (;;) {
+            int64_t entry = table[slot];
+            if (entry < 0) {
+                table[slot] = n_unique;
+                first_idx[n_unique] = i;
+                inverse[i] = n_unique;
+                ++n_unique;
+                break;
+            }
+            const uint64_t* seen = rows + first_idx[entry] * words;
+            if (std::memcmp(seen, row, (size_t)words * 8) == 0) {
+                inverse[i] = entry;
+                break;
+            }
+            slot = (slot + 1) & mask;
+        }
+    }
+    return n_unique;
+}
+
+// GF(2) matmul on packed operands: C[i,j] = parity(popcount(A_i & B_j)).
+// A: (m, words) packed rows; B: (p, words) packed rows (i.e. B^T's columns);
+// C: (m, p) uint8 output.
+void matmul_gf2(
+    const uint64_t* A, int64_t m,
+    const uint64_t* B, int64_t p,
+    int64_t words, uint8_t* C
+) {
+    for (int64_t i = 0; i < m; ++i) {
+        const uint64_t* a = A + i * words;
+        uint8_t* c_row = C + i * p;
+        for (int64_t j = 0; j < p; ++j) {
+            const uint64_t* b = B + j * words;
+            uint64_t acc = 0;
+            for (int64_t k = 0; k < words; ++k) {
+                acc ^= a[k] & b[k];
+            }
+            c_row[j] = (uint8_t)(__builtin_popcountll(acc) & 1);
+        }
+    }
+}
+
+}  // extern "C"

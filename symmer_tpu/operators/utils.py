@@ -27,6 +27,9 @@ def symplectic_to_string(symp_vec: np.ndarray) -> str:
 
 def string_to_symplectic(pauli_str: str, n_qubits: int) -> np.ndarray:
     assert len(pauli_str) == n_qubits, "Number of qubits is incompatible with pauli string"
+    assert set(pauli_str).issubset({"I", "X", "Y", "Z"}), (
+        "pauliword must only contain X,Y,Z,I terms"
+    )
     x, z, _ = pack.strings_to_planes([pauli_str])
     return pack.planes_to_symplectic(x, z, n_qubits)[0].astype(int)
 

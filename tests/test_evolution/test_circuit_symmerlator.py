@@ -1,0 +1,155 @@
+"""Clifford-simulator tests: random circuits vs dense statevector evolution.
+
+(modeled on symmer tests/test_evolution/test_circuit_symmerlator.py, with the
+dense oracle replacing qiskit's Statevector)
+"""
+import numpy as np
+import pytest
+
+from symmer_tpu import PauliwordOp
+from symmer_tpu.evolution import CircuitSymmerlator, qasm_to_PauliwordOp
+from symmer_tpu.evolution.gate_library import CX, CZ, Had, S, X, Y, Z, RZ, RX, RY
+
+from ..conftest import dense_op
+
+rng = np.random.default_rng(5)
+
+GATES_1Q = ["x", "y", "z", "h", "s", "sdg", "sx", "sy", "sz"]
+GATES_2Q = ["cx", "cy", "cz", "swap"]
+GATES_ROT = ["rx", "ry", "rz"]
+
+
+def _dense_gate(name, n, qubits, angle=None):
+    import scipy.linalg
+
+    from ..conftest import dense_pauli
+
+    def emb(m1q, q):
+        out = np.array([[1]], dtype=complex)
+        for k in range(n):
+            out = np.kron(out, m1q if k == q else np.eye(2))
+        return out
+
+    H2 = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+    mats = {
+        "x": np.array([[0, 1], [1, 0]]),
+        "y": np.array([[0, -1j], [1j, 0]]),
+        "z": np.diag([1, -1]),
+        "h": H2,
+        "s": np.diag([1, 1j]),
+        "sdg": np.diag([1, -1j]),
+        "sx": scipy.linalg.expm(1j * np.pi / 4 * np.array([[0, 1], [1, 0]])),
+        "sy": scipy.linalg.expm(1j * np.pi / 4 * np.array([[0, -1j], [1j, 0]])),
+        "sz": scipy.linalg.expm(1j * np.pi / 4 * np.diag([1, -1])),
+    }
+    if name in mats:
+        return emb(mats[name], qubits[0])
+    if name in GATES_ROT:
+        P = {"rx": "X", "ry": "Y", "rz": "Z"}[name]
+        m = scipy.linalg.expm(-1j * angle / 2 * dense_pauli(P))
+        return emb(m, qubits[0])
+    c, t = qubits
+    dim = 2**n
+    out = np.zeros((dim, dim), dtype=complex)
+    if name == "swap":
+        for b in range(dim):
+            bits = [(b >> (n - 1 - k)) & 1 for k in range(n)]
+            bits[c], bits[t] = bits[t], bits[c]
+            b2 = sum(bit << (n - 1 - k) for k, bit in enumerate(bits))
+            out[b2, b] = 1
+        return out
+    targ = {"cx": np.array([[0, 1], [1, 0]]), "cy": np.array([[0, -1j], [1j, 0]]),
+            "cz": np.diag([1, -1])}[name]
+    for b in range(dim):
+        cb = (b >> (n - 1 - c)) & 1
+        tb = (b >> (n - 1 - t)) & 1
+        if cb == 0:
+            out[b, b] += 1
+        else:
+            for tb2 in (0, 1):
+                b2 = b ^ ((tb ^ tb2) << (n - 1 - t))
+                out[b2, b] += targ[tb2, tb]
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_clifford_circuit_expectation(seed):
+    """<0|U^dag O U|0> from the Heisenberg simulator vs dense evolution."""
+    rng = np.random.default_rng(seed)
+    n = 4
+    sim = CircuitSymmerlator(n)
+    U = np.eye(2**n, dtype=complex)
+    for _ in range(30):
+        if rng.random() < 0.7:
+            g = rng.choice(GATES_1Q)
+            q = int(rng.integers(n))
+            getattr(sim, {"x": "X", "y": "Y", "z": "Z", "h": "H", "s": "S",
+                          "sdg": "Sdag", "sx": "sqrtX", "sy": "sqrtY",
+                          "sz": "sqrtZ"}[g])(q)
+            U = _dense_gate(g, n, [q]) @ U
+        else:
+            g = rng.choice(GATES_2Q)
+            q1, q2 = rng.choice(n, 2, replace=False)
+            {"cx": sim.CX, "cy": sim.CY, "cz": sim.CZ, "swap": sim.SWAP}[g](int(q1), int(q2))
+            U = _dense_gate(g, n, [int(q1), int(q2)]) @ U
+    obs = PauliwordOp.random(n, 8)
+    obs = (obs + obs.dagger).multiply_by_constant(0.5)
+    val = sim.evaluate(obs)
+    v0 = np.zeros(2**n)
+    v0[0] = 1
+    expect = v0 @ U.conj().T @ dense_op(obs) @ U @ v0
+    assert np.isclose(complex(val).real, expect.real, atol=1e-8)
+
+
+def test_rotation_gates_against_dense():
+    n = 2
+    sim = CircuitSymmerlator(n)
+    sim.RX(0, 0.3)
+    sim.RZ(1, -0.7)
+    sim.CX(0, 1)
+    U = _dense_gate("cx", n, [0, 1]) @ _dense_gate("rz", n, [1], -0.7) @ _dense_gate("rx", n, [0], 0.3)
+    obs = PauliwordOp.random(n, 5)
+    obs = (obs + obs.dagger).multiply_by_constant(0.5)
+    val = sim.evaluate(obs)
+    v0 = np.zeros(4); v0[0] = 1
+    expect = v0 @ U.conj().T @ dense_op(obs) @ U @ v0
+    assert np.isclose(complex(val).real, expect.real, atol=1e-8)
+
+
+def test_from_qasm():
+    qasm = (
+        'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[3];\n'
+        "h q[0];\ncx q[0],q[1];\ns q[2];\ncz q[1],q[2];\nx q[2];\n"
+    )
+    sim = CircuitSymmerlator.from_qasm(qasm)
+    obs = PauliwordOp.random(3, 6)
+    obs = (obs + obs.dagger).multiply_by_constant(0.5)
+    val = sim.evaluate(obs)
+    U = np.eye(8, dtype=complex)
+    for g, qs in [("h", [0]), ("cx", [0, 1]), ("s", [2]), ("cz", [1, 2]), ("x", [2])]:
+        U = _dense_gate(g, 3, qs) @ U
+    v0 = np.zeros(8); v0[0] = 1
+    expect = v0 @ U.conj().T @ dense_op(obs) @ U @ v0
+    assert np.isclose(complex(val).real, expect.real, atol=1e-8)
+
+
+def test_qasm_to_pauliwordop_matches_gate_product():
+    qasm = (
+        'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[2];\n'
+        "h q[0];\ncx q[0],q[1];\nrz(0.5) q[1];\n"
+    )
+    decomp = qasm_to_PauliwordOp(qasm)
+    U = _dense_gate("rz", 2, [1], -0.5) @ _dense_gate("cx", 2, [0, 1]) @ _dense_gate("h", 2, [0])
+    D = dense_op(decomp)
+    nz = np.argmax(np.abs(U))
+    ph = D.flatten()[nz] / U.flatten()[nz]
+    assert np.isclose(abs(ph), 1, atol=1e-10)
+    assert np.allclose(D, ph * U, atol=1e-10)
+
+
+def test_unsupported_gates_raise():
+    sim = CircuitSymmerlator(3)
+    with pytest.raises(NotImplementedError):
+        sim.T(0)
+    with pytest.raises(NotImplementedError):
+        sim.Toffoli(0, 1, 2)

@@ -1,0 +1,117 @@
+"""VQE / ADAPT-VQE driver tests."""
+import numpy as np
+import pytest
+
+from symmer_tpu import PauliwordOp, QuantumState
+from symmer_tpu.evolution.variational_optimization import ADAPT_VQE, VQE_Driver, evolve_state
+from symmer_tpu.utils import exact_gs_energy
+
+from ..conftest import dense_op
+
+
+@pytest.fixture
+def h2_taper(h2_fixture):
+    from symmer_tpu import QubitTapering
+
+    H = PauliwordOp.from_dictionary(h2_fixture["H_dict"])
+    QT = QubitTapering(H)
+    H_taper = QT.taper_it(ref_state=h2_fixture["hf_array"])
+    return H_taper, QT.tapered_ref_state.normalize, h2_fixture["fci_energy"]
+
+
+def test_evolve_state_matches_dense():
+    import scipy.linalg
+
+    gen = PauliwordOp.from_list(["XXI", "IYZ"])
+    ref = QuantumState.zero(3)
+    x = np.array([0.4, -0.9])
+    state = evolve_state(gen, x, ref)
+    v = np.zeros(8); v[0] = 1
+    U0 = scipy.linalg.expm(1j * x[0] * dense_op(gen[0]))
+    U1 = scipy.linalg.expm(1j * x[1] * dense_op(gen[1]))
+    assert np.allclose(state.to_sparse_matrix.toarray().reshape(-1), U1 @ U0 @ v)
+
+
+EXPECTATION_METHODS = [
+    "symbolic_direct", "symbolic_projector", "observable_rotation",
+    "sparse_array", "dense_array",
+]
+
+
+@pytest.mark.parametrize("method", EXPECTATION_METHODS)
+def test_expectation_methods_agree(method, h2_taper):
+    H_taper, ref, fci = h2_taper
+    excitations = PauliwordOp.from_list(["X"])
+    driver = VQE_Driver(H_taper, excitation_ops=excitations, ref_state=ref)
+    driver.verbose = False
+    driver.expectation_eval = method
+    x = np.array([0.3])
+    # dense oracle
+    import scipy.linalg
+
+    v = ref.to_sparse_matrix.toarray().reshape(-1)
+    U = scipy.linalg.expm(1j * 0.3 * dense_op(excitations))
+    expect = (U @ v).conj() @ dense_op(H_taper) @ (U @ v)
+    assert np.isclose(driver.f(x), expect.real, atol=1e-8), method
+
+
+def test_vqe_reaches_fci_on_h2(h2_taper):
+    H_taper, ref, fci = h2_taper
+    excitations = PauliwordOp.from_list(["Y"])
+    driver = VQE_Driver(H_taper, excitation_ops=excitations, ref_state=ref)
+    driver.verbose = False
+    opt_out, history = driver.run(x0=np.array([0.1]), method="BFGS")
+    assert abs(opt_out["fun"] - fci) < 1e-6
+    assert len(history["energy"]) > 0
+
+
+def test_gradient_matches_finite_difference(h2_taper):
+    H_taper, ref, _ = h2_taper
+    excitations = PauliwordOp.from_list(["Y", "X"])
+    driver = VQE_Driver(H_taper, excitation_ops=excitations, ref_state=ref)
+    driver.verbose = False
+    x = np.array([0.2, -0.1])
+    grad = driver.gradient(x)
+    eps = 1e-6
+    for i in range(2):
+        xp = x.copy(); xp[i] += eps
+        xm = x.copy(); xm[i] -= eps
+        fd = (driver.f(xp) - driver.f(xm)) / (2 * eps)
+        assert abs(grad[i] - fd) < 1e-5
+
+
+def test_adapt_vqe_h2(h2_taper):
+    H_taper, ref, fci = h2_taper
+    pool = PauliwordOp.from_list(["X", "Y", "Z"])
+    adapt = ADAPT_VQE(H_taper, excitation_pool=pool, ref_state=ref)
+    adapt.verbose = False
+    adapt.derivative_eval = "commutators"
+    out = adapt.optimize(max_cycles=3)
+    assert abs(out["result"]["fun"] - fci) < 1e-6
+    assert len(out["adapt_operator"]) >= 1
+
+
+def test_adapt_vqe_param_shift(h2_taper):
+    H_taper, ref, fci = h2_taper
+    pool = PauliwordOp.from_list(["Y"])
+    adapt = ADAPT_VQE(H_taper, excitation_pool=pool, ref_state=ref)
+    adapt.verbose = False
+    adapt.derivative_eval = "param_shift"
+    out = adapt.optimize(max_cycles=2)
+    assert abs(out["result"]["fun"] - fci) < 1e-6
+
+
+def test_adapt_tetris(be_fixture):
+    from symmer_tpu import QubitTapering
+
+    H = PauliwordOp.from_dictionary(be_fixture["hamiltonian"])
+    QT = QubitTapering(H)
+    H_taper = QT.taper_it(ref_state=be_fixture["data"]["hf_array"])
+    ref = QT.tapered_ref_state.normalize
+    pool = PauliwordOp.from_list(["YIIII", "IYIII", "IIYII", "XYIII", "IIXYI"])
+    adapt = ADAPT_VQE(H_taper, excitation_pool=pool, ref_state=ref)
+    adapt.verbose = False
+    adapt.TETRIS = True
+    adapt.derivative_eval = "commutators"
+    out = adapt.optimize(max_cycles=2)
+    assert out["result"]["fun"] is not None

@@ -1,0 +1,133 @@
+"""NoncontextualOp tests (modeled on symmer tests/test_operators/test_noncontextual_op.py)."""
+import itertools
+
+import numpy as np
+import pytest
+
+from symmer_tpu import PauliwordOp, QuantumState
+from symmer_tpu.operators import IndependentOp, NoncontextualOp
+from symmer_tpu.utils import exact_gs_energy
+
+
+def _h2_taper(h2_fixture):
+    from symmer_tpu import QubitTapering
+
+    H = PauliwordOp.from_dictionary(h2_fixture["H_dict"])
+    QT = QubitTapering(H)
+    return QT.taper_it(ref_state=h2_fixture["hf_array"])
+
+
+def test_contextual_rejected():
+    with pytest.raises(AssertionError):
+        NoncontextualOp.from_PauliwordOp(PauliwordOp.from_list(["XX", "YY", "ZZ", "XY"]))
+
+
+def test_diag_strategy(h2_fixture):
+    H = PauliwordOp.from_dictionary(h2_fixture["H_dict"])
+    nc = NoncontextualOp.from_hamiltonian(H, strategy="diag")
+    assert not np.any(nc.X_block)
+    assert nc.is_noncontextual
+
+
+@pytest.mark.parametrize(
+    "strategy",
+    ["diag", "DFS_magnitude", "DFS_largest", "SingleSweep_magnitude",
+     "SingleSweep_random", "SingleSweep_CurrentOrder"],
+)
+def test_extraction_strategies_produce_noncontextual(strategy, be_fixture):
+    np.random.seed(0)
+    H = PauliwordOp.from_dictionary(be_fixture["hamiltonian"])
+    nc = NoncontextualOp.from_hamiltonian(H, strategy=strategy, DFS_runtime=2)
+    assert nc.is_noncontextual
+    assert nc.n_terms <= H.n_terms
+
+
+def test_generators_strategy(be_fixture):
+    H = PauliwordOp.from_dictionary(be_fixture["hamiltonian"])
+    gens = PauliwordOp.from_list(["IIIIIZIIIZ", "IIIIZIIIZI"])
+    nc = NoncontextualOp.from_hamiltonian(H, strategy="generators", generators=gens)
+    assert nc.is_noncontextual
+
+
+def test_random_noncontextual_op():
+    np.random.seed(1)
+    nc = NoncontextualOp.random(4, n_cliques=3, n_commuting_terms=4)
+    assert nc.is_noncontextual
+    assert nc.n_cliques == 3
+
+
+def test_reconstruction_masks():
+    np.random.seed(2)
+    nc = NoncontextualOp.random(4, n_cliques=2, n_commuting_terms=4)
+    assert nc.G_indices.shape == (nc.n_terms, nc.symmetry_generators.n_terms)
+    assert nc.C_indices.shape == (nc.n_terms, nc.n_cliques)
+    # every term is either pure-symmetry or belongs to exactly one clique
+    assert np.all(np.sum(nc.C_indices, axis=1) <= 1)
+
+
+def test_brute_force_matches_exhaustive_objective():
+    np.random.seed(3)
+    nc = NoncontextualOp.random(4, n_cliques=3, n_commuting_terms=4)
+    nc.solve(strategy="brute_force")
+    G = nc.symmetry_generators.n_terms
+    best = min(
+        nc.get_energy(np.array(nu)) for nu in itertools.product([-1, 1], repeat=G)
+    )
+    assert np.isclose(nc.energy, best, atol=1e-12)
+
+
+def test_energies_batch_matches_loop():
+    np.random.seed(4)
+    nc = NoncontextualOp.random(4, n_cliques=2, n_commuting_terms=4)
+    G = nc.symmetry_generators.n_terms
+    nu_list = np.array(list(itertools.product([-1, 1], repeat=G)))
+    batch = nc.get_energies_batch(nu_list)
+    loop = np.array([nc.get_energy(nu) for nu in nu_list])
+    assert np.allclose(batch, loop, atol=1e-12)
+
+
+def test_solve_with_reference_fixes_sector(h2_fixture):
+    H_taper = _h2_taper(h2_fixture)
+    # H2 tapered is 1 qubit: the noncontextual part with ref state
+    nc = NoncontextualOp.from_hamiltonian(H_taper, strategy="diag")
+    nc.solve(strategy="brute_force")
+    assert nc.energy <= 0
+
+
+def test_binary_relaxation():
+    np.random.seed(5)
+    nc = NoncontextualOp.random(3, n_cliques=2, n_commuting_terms=2)
+    nc.solve(strategy="binary_relaxation")
+    e_relax = nc.energy
+    nc.solve(strategy="brute_force")
+    assert e_relax >= nc.energy - 1e-8
+
+
+def test_noncontextual_energy_upper_bounds_ground_state():
+    np.random.seed(6)
+    nc = NoncontextualOp.random(4, n_cliques=3, n_commuting_terms=4)
+    nc.solve()
+    gs, _ = exact_gs_energy(nc.to_sparse_matrix)
+    assert nc.energy >= gs - 1e-8
+
+
+def test_noncon_state_energy_consistency():
+    np.random.seed(7)
+    nc = NoncontextualOp.random(4, n_cliques=3, n_commuting_terms=4)
+    nc.solve()
+    for method in ["LCU", "seq_rot"]:
+        psi, nu = nc.noncon_state(UP_method=method)
+        e = nc.expval(psi.normalize)
+        assert np.isclose(e, nc.energy, atol=1e-6), method
+
+
+def test_noncontextual_hf_energy(be_fixture):
+    H = PauliwordOp.from_dictionary(be_fixture["hamiltonian"])
+    from symmer_tpu import QubitTapering
+
+    QT = QubitTapering(H)
+    H_taper = QT.taper_it(ref_state=be_fixture["data"]["hf_array"])
+    nc = NoncontextualOp.from_hamiltonian(H_taper, strategy="SingleSweep_magnitude")
+    nc.solve(strategy="brute_force")
+    hf = be_fixture["data"]["calculated_properties"]["HF"]["energy"]
+    assert np.isclose(nc.energy, hf)

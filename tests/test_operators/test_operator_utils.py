@@ -1,0 +1,126 @@
+"""GF(2) and utility-function tests (modeled on symmer test_operator_utils.py)."""
+import numpy as np
+import pytest
+
+from symmer_tpu import PauliwordOp
+from symmer_tpu.operators.utils import (
+    _cref_binary,
+    _rref_binary,
+    binary_array_to_int,
+    check_adjmat_noncontextual,
+    check_independent,
+    check_jordan_independent,
+    cref_binary,
+    matmul_GF2,
+    mul_symplectic,
+    perform_noncontextual_sweep,
+    rref_binary,
+    string_to_symplectic,
+    symplectic_to_string,
+    unit_n_sphere_cartesian_coords,
+)
+
+rng = np.random.default_rng(0)
+
+
+def _ref_rref(matrix):
+    """direct transliteration of the reference _rref_binary loop as oracle"""
+    m = matrix.copy()
+    for i, row in enumerate(m):
+        if np.any(row):
+            piv = np.where(row)[0][0]
+            upd = np.setdiff1d(np.where(m[:, piv]), i)
+            m[upd] = np.bitwise_xor(m[upd], row)
+    return m
+
+
+def test_string_symplectic_roundtrip():
+    for s in ["IXYZ", "ZZZZ", "IIII", "YXIZ"]:
+        symp = string_to_symplectic(s, 4)
+        assert symplectic_to_string(symp) == s
+
+
+def test_string_to_symplectic_validates():
+    with pytest.raises(AssertionError):
+        string_to_symplectic("AXYZ", 4)
+    with pytest.raises(AssertionError):
+        string_to_symplectic("XY", 4)
+
+
+def test_matmul_gf2():
+    A = rng.integers(0, 2, (7, 9)).astype(bool)
+    B = rng.integers(0, 2, (9, 5)).astype(bool)
+    assert np.array_equal(matmul_GF2(A, B), (A.astype(int) @ B.astype(int)) % 2 == 1)
+
+
+def test_rref_matches_reference_semantics():
+    for _ in range(10):
+        m = rng.integers(0, 2, (8, 12)).astype(bool)
+        assert np.array_equal(_rref_binary(m), _ref_rref(m))
+
+
+def test_rref_reordered_pivots_ascend():
+    m = rng.integers(0, 2, (8, 12)).astype(bool)
+    red = rref_binary(m)
+    pivots = [np.where(r)[0][0] for r in red if np.any(r)]
+    assert pivots == sorted(pivots)
+
+
+def test_cref_is_transposed_rref():
+    m = rng.integers(0, 2, (8, 12)).astype(bool)
+    assert np.array_equal(_cref_binary(m), _ref_rref(m.T.copy()).T)
+    assert np.array_equal(cref_binary(m), rref_binary(m.T.copy()).T)
+
+
+def test_check_independent():
+    assert check_independent(PauliwordOp.from_list(["XI", "IZ"]))
+    assert not check_independent(PauliwordOp.from_list(["ZI", "IZ", "ZZ"]))
+    # more than 2N terms can never be independent
+    assert not check_independent(PauliwordOp.from_list(["XI", "YI", "ZI", "IX", "IZ"]))
+
+
+def test_check_jordan_independent():
+    # reference docstring example (operators/utils.py:533-541)
+    H = PauliwordOp.from_dictionary(
+        {"IIIZ": 1, "IIZI": 1, "ZIII": 1, "IXII": 1, "XIIX": 1}
+    )
+    assert check_jordan_independent(H)
+    # {XX, YY, ZZ} is dependent under the Jordan product check
+    assert not check_jordan_independent(PauliwordOp.from_list(["XX", "YY", "ZZ"]))
+
+
+def test_check_adjmat_noncontextual():
+    op = PauliwordOp.from_list(["XI", "IZ", "ZZ", "ZI"])
+    assert check_adjmat_noncontextual(op.adjacency_matrix)
+    op2 = PauliwordOp.from_list(["III", "IIZ", "ZII", "IXZ", "IYZ", "YYZ"])
+    assert not check_adjmat_noncontextual(op2.adjacency_matrix)
+
+
+def test_noncontextual_sweep():
+    np.random.seed(0)
+    op = PauliwordOp.random(4, 20).cleanup()
+    nc = perform_noncontextual_sweep(op)
+    assert nc.is_noncontextual
+    assert nc.n_terms <= op.n_terms
+
+
+def test_mul_symplectic():
+    s1 = string_to_symplectic("XY", 2)
+    s2 = string_to_symplectic("YX", 2)
+    out, coeff = mul_symplectic(s1, 1, s2, 1)
+    assert symplectic_to_string(out) == "ZZ"
+    assert coeff == 1
+
+
+def test_binary_array_to_int():
+    assert list(binary_array_to_int(np.array([[1, 0, 1], [0, 1, 1]]))) == [5, 3]
+    # wide rows stay exact via Python ints
+    wide = np.zeros((1, 70), dtype=int)
+    wide[0, 0] = 1
+    assert binary_array_to_int(wide)[0] == 2**69
+
+
+def test_unit_n_sphere():
+    angles = rng.uniform(0, np.pi, 4)
+    coords = unit_n_sphere_cartesian_coords(angles)
+    assert np.isclose(np.linalg.norm(coords), 1)

@@ -1,0 +1,110 @@
+"""Top-level utility tests (modeled on symmer tests/test_symmer_utils.py)."""
+import numpy as np
+import pytest
+
+from symmer_tpu import PauliwordOp, QuantumState
+from symmer_tpu.utils import (
+    exact_gs_energy,
+    exact_gs_energy_matrix_free,
+    get_entanglement_entropy,
+    gram_schmidt_from_quantum_state,
+    matrix_allclose,
+    product_list,
+    random_anitcomm_2n_1_PauliwordOp,
+    tensor_list,
+)
+
+from .conftest import dense_op
+
+rng = np.random.default_rng(9)
+
+# inline H3+ STO-3G Hamiltonian fixture would go here; we use random Hermitian
+# operators plus the molecular fixtures from conftest for energy oracles.
+
+
+def _random_hermitian(n, t):
+    op = PauliwordOp.random(n, t)
+    return (op + op.dagger).multiply_by_constant(0.5)
+
+
+def test_exact_gs_energy_matches_dense():
+    op = _random_hermitian(4, 10)
+    gs, psi = exact_gs_energy(op.to_sparse_matrix)
+    evals = np.linalg.eigvalsh(dense_op(op))
+    assert np.isclose(gs, evals[0])
+    assert np.isclose(op.expval(psi.normalize), gs)
+
+
+def test_exact_gs_energy_matrix_free():
+    op = _random_hermitian(6, 12)
+    gs_dense, _ = exact_gs_energy(op.to_sparse_matrix)
+    gs_free, psi = exact_gs_energy_matrix_free(op)
+    assert np.isclose(gs_free, gs_dense, atol=1e-8)
+
+
+def test_exact_gs_energy_particle_number(h2_fixture):
+    H = PauliwordOp.from_dictionary(h2_fixture["H_dict"])
+    # JW number operator on 4 qubits: sum (I - Z_i)/2
+    N_op = PauliwordOp.from_dictionary(
+        {"IIII": 2.0, "ZIII": -0.5, "IZII": -0.5, "IIZI": -0.5, "IIIZ": -0.5}
+    )
+    gs, psi = exact_gs_energy(
+        H.to_sparse_matrix, n_particles=2, number_operator=N_op, n_eigs=4
+    )
+    assert np.isclose(gs, h2_fixture["fci_energy"], atol=1e-8)
+
+
+def test_random_anticommuting_op():
+    for nq in [1, 2, 3, 4]:
+        op = random_anitcomm_2n_1_PauliwordOp(nq)
+        assert op.n_terms == 2 * nq + 1
+        adj = op.adjacency_matrix.copy()
+        np.fill_diagonal(adj, False)
+        assert not adj.any()
+
+
+def test_random_anticommuting_no_clifford_structured():
+    op = random_anitcomm_2n_1_PauliwordOp(3, apply_clifford=False)
+    assert op.n_terms == 7
+    adj = op.adjacency_matrix.copy()
+    np.fill_diagonal(adj, False)
+    assert not adj.any()
+
+
+def test_tensor_list():
+    ops = [PauliwordOp.random(2, 2) for _ in range(3)]
+    full = tensor_list(ops)
+    expect = np.kron(np.kron(dense_op(ops[0]), dense_op(ops[1])), dense_op(ops[2]))
+    assert np.allclose(dense_op(full), expect)
+
+
+def test_product_list():
+    ops = [PauliwordOp.random(3, 3) for _ in range(3)]
+    full = product_list(ops)
+    expect = dense_op(ops[0]) @ dense_op(ops[1]) @ dense_op(ops[2])
+    assert np.allclose(dense_op(full), expect)
+
+
+def test_gram_schmidt():
+    psi = QuantumState.haar_random(3)
+    M = gram_schmidt_from_quantum_state(psi)
+    assert np.allclose(M @ M.conj().T, np.eye(8), atol=1e-10)
+    assert np.allclose(M[:, 0], psi.to_sparse_matrix.toarray().reshape(-1))
+
+
+def test_entanglement_entropy():
+    # product state: zero entropy
+    prod = QuantumState(np.array([[0, 1, 0]]), [1])
+    assert abs(get_entanglement_entropy(prod, [0])) < 1e-12
+    # Bell state: log(2)
+    bell = QuantumState(np.array([[0, 0], [1, 1]]), [1 / np.sqrt(2)] * 2)
+    assert np.isclose(get_entanglement_entropy(bell, [0]), np.log(2))
+
+
+def test_matrix_allclose():
+    from scipy.sparse import csr_matrix
+
+    A = rng.normal(size=(4, 4))
+    assert matrix_allclose(csr_matrix(A), csr_matrix(A))
+    assert matrix_allclose(A, A + 1e-16)
+    assert not matrix_allclose(A, A + 1)
