@@ -38,8 +38,8 @@ UINT = jnp.uint32
 # probability ~ n^3 / 2^128 -- and collisions can only ever *split* a
 # coefficient group, never merge distinct Pauli terms, since group boundaries
 # compare full rows)
-_HASH_MULT = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
-_HASH_INIT = (0x811C9DC5, 0x01000193, 0xDEADBEEF, 0x1B873593)
+_HASH_MULT = (0x9E3779B1, 0x85EBCA77)
+_HASH_INIT = (0x811C9DC5, 0xDEADBEEF)
 
 
 def pc(a: jnp.ndarray) -> jnp.ndarray:
@@ -103,7 +103,9 @@ def mul_single(x, z, cr, ci, xr, zr):
 
 
 def row_hashes(x: jnp.ndarray, z: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
-    """Four independent 32-bit mixes of each packed row."""
+    """Two independent 32-bit mixes of each packed row (64 sort-key bits --
+    used only to bring equal rows adjacent; group boundaries always compare
+    the full rows, so a collision can only split a group, never merge)."""
     words = jnp.concatenate([x, z], axis=1)  # (T, 2W)
     T, WW = words.shape
     hs = []
@@ -149,8 +151,8 @@ def cleanup_sorted(
     T, W = x.shape
     valid = jnp.arange(T) < n_valid
     invalid_flag = (~valid).astype(UINT)
-    h1, h2, h3, h4 = row_hashes(x, z)
-    perm = jnp.lexsort((h4, h3, h2, h1, invalid_flag))
+    h1, h2 = row_hashes(x, z)
+    perm = jnp.lexsort((h2, h1, invalid_flag))
     xs, zs = x[perm], z[perm]
     crs, cis = cr[perm], ci[perm]
     vs = valid[perm]
@@ -166,28 +168,45 @@ def cleanup_sorted(
     seg_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # -1 for leading invalids
     seg_id = jnp.where(vs, seg_id, T - 1)
     n_unique = jnp.sum(boundary.astype(jnp.int32))
+    idx = jnp.arange(T)
 
-    cr_sum = jax.ops.segment_sum(crs, seg_id, num_segments=T)
-    ci_sum = jax.ops.segment_sum(cis, seg_id, num_segments=T)
-    # representative row per segment (first occurrence in sorted order)
-    x_u = jnp.zeros_like(xs).at[seg_id].set(jnp.where(vs[:, None], xs, 0))
-    z_u = jnp.zeros_like(zs).at[seg_id].set(jnp.where(vs[:, None], zs, 0))
-    in_range = jnp.arange(T) < n_unique
+    # exact segment sums via one stacked scatter-add (prefix-sum differences
+    # would cancel catastrophically for segments that sum to ~0, which is
+    # precisely the case the zero threshold must detect)
+    starts = jnp.full(T + 1, n_valid, dtype=jnp.int32).at[
+        jnp.where(boundary, seg_id, T)
+    ].min(idx.astype(jnp.int32))
+    c_pair = jnp.stack([crs, cis], axis=1)
+    c_sum = jax.ops.segment_sum(c_pair, seg_id, num_segments=T)
+    cr_sum, ci_sum = c_sum[:, 0], c_sum[:, 1]
+    in_range = idx < n_unique
     cr_sum = jnp.where(in_range, cr_sum, 0)
     ci_sum = jnp.where(in_range, ci_sum, 0)
 
     if zero_threshold is not None:
-        keep = in_range & (cr_sum * cr_sum + ci_sum * ci_sum > zero_threshold * zero_threshold)
-        order = jnp.lexsort(((~keep).astype(jnp.int32),))  # stable: kept first
-        x_u, z_u = x_u[order], z_u[order]
-        cr_sum, ci_sum = cr_sum[order], ci_sum[order]
+        keep = in_range & (
+            cr_sum * cr_sum + ci_sum * ci_sum > zero_threshold * zero_threshold
+        )
+        # stable compaction via prefix sums (no second sort)
+        dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        dest = jnp.where(keep, dest, T - 1)
         n_out = jnp.sum(keep.astype(jnp.int32))
-        final = jnp.arange(T) < n_out
-        x_u = jnp.where(final[:, None], x_u, 0)
-        z_u = jnp.where(final[:, None], z_u, 0)
-        cr_sum = jnp.where(final, cr_sum, 0)
-        ci_sum = jnp.where(final, ci_sum, 0)
-        return x_u, z_u, cr_sum, ci_sum, n_out
+        # gather representatives straight from the sorted rows: row k's
+        # representative lives at sorted position starts[k]
+        src = starts[:T]
+        x_o = jnp.zeros_like(xs).at[dest].set(jnp.where(keep[:, None], xs[src], 0))
+        z_o = jnp.zeros_like(zs).at[dest].set(jnp.where(keep[:, None], zs[src], 0))
+        cr_o = jnp.zeros_like(cr_sum).at[dest].set(jnp.where(keep, cr_sum, 0))
+        ci_o = jnp.zeros_like(ci_sum).at[dest].set(jnp.where(keep, ci_sum, 0))
+        final = idx < n_out
+        x_o = jnp.where(final[:, None], x_o, 0)
+        z_o = jnp.where(final[:, None], z_o, 0)
+        cr_o = jnp.where(final, cr_o, 0)
+        ci_o = jnp.where(final, ci_o, 0)
+        return x_o, z_o, cr_o, ci_o, n_out
+
+    x_u = jnp.zeros_like(xs).at[seg_id].set(jnp.where(vs[:, None], xs, 0))
+    z_u = jnp.zeros_like(zs).at[seg_id].set(jnp.where(vs[:, None], zs, 0))
     return x_u, z_u, cr_sum, ci_sum, n_unique
 
 

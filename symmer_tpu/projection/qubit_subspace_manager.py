@@ -73,12 +73,18 @@ class QubitSubspaceManager:
             self._Z2_symmetries = None
 
         if self.run_contextual_subspace:
-            self.CS = ContextualSubspace(
-                operator=self._hamiltonian,
-                reference_state=self._ref_state,
-                noncontextual_strategy="StabilizeFirst",
-                noncontextual_solver="brute_force",
-            )
+            try:
+                self.CS = ContextualSubspace(
+                    operator=self._hamiltonian,
+                    reference_state=self._ref_state,
+                    noncontextual_strategy="StabilizeFirst",
+                    noncontextual_solver="brute_force",
+                )
+            except ValueError as exc:
+                # e.g. the (tapered) Hamiltonian is itself noncontextual --
+                # there is no contextual subspace to project onto
+                warnings.warn(f"contextual subspace disabled: {exc}")
+                self.run_contextual_subspace = False
 
     def get_reduced_hamiltonian(
         self, n_qubits: int = None, aux_operator: PauliwordOp = None
