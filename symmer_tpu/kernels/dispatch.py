@@ -23,6 +23,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..config import config
+from ..profiling import kernel_stats
 from . import np_core, pack
 
 Planes = Tuple[np.ndarray, np.ndarray, np.ndarray]
@@ -107,7 +108,9 @@ def _planes_from_dev(x, z, cr, ci, n_out: int) -> Planes:
 def cleanup(x, z, c, zero_threshold: Optional[float]) -> Planes:
     T, W = x.shape
     if not config.use_device(T * W):
+        kernel_stats.record("cleanup", device=False)
         return np_core.cleanup(x, z, c, zero_threshold)
+    kernel_stats.record("cleanup", device=True)
     import jax.numpy as jnp
 
     Tp = _next_bucket(T)
@@ -126,8 +129,10 @@ def multiply_cleanup(x1, z1, c1, x2, z2, c2, zero_threshold: Optional[float]) ->
     M1, W = x1.shape
     M2 = x2.shape[0]
     if not config.use_device(M1 * M2 * W):
+        kernel_stats.record("multiply", device=False)
         out = np_core.multiply(x1, z1, c1, x2, z2, c2)
         return np_core.cleanup(*out, zero_threshold)
+    kernel_stats.record("multiply", device=True)
     import jax.numpy as jnp
 
     th = jnp.asarray(
@@ -146,7 +151,9 @@ def anticommutes(x1, z1, x2, z2) -> np.ndarray:
     M1, W = x1.shape
     M2 = x2.shape[0]
     if not config.use_device(M1 * M2 * W // 8):
+        kernel_stats.record("anticommutes", device=False)
         return np_core.anticommutes(x1, z1, x2, z2)
+    kernel_stats.record("anticommutes", device=True)
     out = _jitted()["anticommutes"](_to_dev(x1), _to_dev(z1), _to_dev(x2), _to_dev(z2))
     return np.asarray(out)
 
@@ -176,6 +183,7 @@ def perform_rotations(
     """
     T, W = x.shape
     use_dev = config.use_device(T * W * max(1, len(rotations)) // 4)
+    kernel_stats.record("perform_rotations", device=use_dev)
     if not use_dev:
         for xr, zr, angle in rotations:
             (x, z, c), needs = np_core.rotate_single(x, z, c, xr, zr, angle)

@@ -1,0 +1,34 @@
+"""Serialisation round-trip and observability tests."""
+import numpy as np
+
+from symmer_tpu import PauliwordOp, QuantumState
+from symmer_tpu.io import load_operator, load_state, save_operator, save_state
+from symmer_tpu.profiling import kernel_stats, timed
+
+
+def test_operator_roundtrip(tmp_path):
+    op = PauliwordOp.random(4, 7).cleanup()
+    path = str(tmp_path / "op.json")
+    save_operator(op, path)
+    assert load_operator(path) == op
+
+
+def test_state_roundtrip(tmp_path):
+    psi = QuantumState.random(4, 5)
+    path = str(tmp_path / "psi.json")
+    save_state(psi, path)
+    loaded = load_state(path)
+    assert loaded == psi
+    assert loaded.vec_type == psi.vec_type
+
+
+def test_kernel_stats_counts():
+    kernel_stats.reset()
+    a = PauliwordOp.random(3, 4)
+    b = PauliwordOp.random(3, 4)
+    _ = a * b
+    assert kernel_stats.host_calls["multiply"] >= 1
+    with timed("section"):
+        _ = a + b
+    assert kernel_stats.timings["section"] > 0
+    assert "multiply" in kernel_stats.summary()

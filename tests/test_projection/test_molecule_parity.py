@@ -1,0 +1,63 @@
+"""Cross-molecule energy-parity integration tests.
+
+Taper each molecular Hamiltonian (from the mounted reference test data) and
+check the reduced spectrum still contains the published FCI ground-state
+energy to 1e-8 -- the flagship exactness property of tapering, across
+chemistry instances of increasing size.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from symmer_tpu import PauliwordOp, QubitSubspaceManager, QubitTapering
+from symmer_tpu.utils import exact_gs_energy
+
+HAM_DIR = "/root/reference/tests/hamiltonian_data"
+
+MOLECULES = [
+    # (file, n_qubits, expected tapered qubits)
+    ("H3+_STO-3G_SINGLET_JW.json", 6, None),
+    ("LiH_STO-3G_SINGLET_JW.json", 12, None),
+    ("HF_STO-3G_SINGLET_JW.json", 12, None),
+    ("H2O_STO-3G_SINGLET_JW.json", 14, None),
+]
+
+
+def _load(name):
+    path = os.path.join(HAM_DIR, name)
+    if not os.path.exists(path):
+        pytest.skip(f"reference hamiltonian data not available: {name}")
+    with open(path) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("name,nq,_", MOLECULES)
+def test_tapering_preserves_fci(name, nq, _):
+    data = _load(name)
+    H = PauliwordOp.from_dictionary(data["hamiltonian"])
+    assert H.n_qubits == nq
+    fci = data["data"]["calculated_properties"]["FCI"]["energy"]
+    hf_array = data["data"]["hf_array"]
+
+    QT = QubitTapering(H)
+    H_taper = QT.taper_it(ref_state=np.asarray(hf_array))
+    assert H_taper.n_qubits < H.n_qubits
+    gs = exact_gs_energy(H_taper.to_sparse_matrix)[0]
+    assert abs(gs - fci) < 1e-8, f"{name}: {gs} vs {fci}"
+
+
+@pytest.mark.parametrize("name", ["LiH_STO-3G_SINGLET_JW.json"])
+def test_contextual_subspace_error_decay(name):
+    data = _load(name)
+    H = PauliwordOp.from_dictionary(data["hamiltonian"])
+    fci = data["data"]["calculated_properties"]["FCI"]["energy"]
+    QSM = QubitSubspaceManager(H, ref_state=np.asarray(data["data"]["hf_array"]))
+    full_taper = QSM._hamiltonian.n_qubits
+    errs = []
+    for n in [3, full_taper]:
+        H_red = QSM.get_reduced_hamiltonian(n)
+        errs.append(abs(exact_gs_energy(H_red.to_sparse_matrix)[0] - fci))
+    assert errs[-1] < 1e-8           # full tapering exact
+    assert errs[0] < 0.05            # 3-qubit CS close to FCI
