@@ -38,9 +38,11 @@ def _dense_gate(name, n, qubits, angle=None):
         "h": H2,
         "s": np.diag([1, 1j]),
         "sdg": np.diag([1, -1j]),
-        "sx": scipy.linalg.expm(1j * np.pi / 4 * np.array([[0, 1], [1, 0]])),
-        "sy": scipy.linalg.expm(1j * np.pi / 4 * np.array([[0, -1j], [1j, 0]])),
-        "sz": scipy.linalg.expm(1j * np.pi / 4 * np.diag([1, -1])),
+        # sqrt gates follow the qiskit convention (e.g. SX = e^{-i pi/4 X} up
+        # to global phase), matching the reference simulator's rotation signs
+        "sx": scipy.linalg.expm(-1j * np.pi / 4 * np.array([[0, 1], [1, 0]])),
+        "sy": scipy.linalg.expm(-1j * np.pi / 4 * np.array([[0, -1j], [1j, 0]])),
+        "sz": scipy.linalg.expm(-1j * np.pi / 4 * np.diag([1, -1])),
     }
     if name in mats:
         return emb(mats[name], qubits[0])
@@ -72,7 +74,7 @@ def _dense_gate(name, n, qubits, angle=None):
     return out
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", list(range(12)))
 def test_random_clifford_circuit_expectation(seed):
     """<0|U^dag O U|0> from the Heisenberg simulator vs dense evolution."""
     rng = np.random.default_rng(seed)
