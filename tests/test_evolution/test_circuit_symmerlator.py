@@ -47,8 +47,10 @@ def _dense_gate(name, n, qubits, angle=None):
     if name in mats:
         return emb(mats[name], qubits[0])
     if name in GATES_ROT:
+        # native rotation convention: R_P(t) = e^{+i t/2 P}; qiskit rotations
+        # negate the angle on import (reference from_qiskit angle_factor=-1)
         P = {"rx": "X", "ry": "Y", "rz": "Z"}[name]
-        m = scipy.linalg.expm(-1j * angle / 2 * dense_pauli(P))
+        m = scipy.linalg.expm(1j * angle / 2 * dense_pauli(P))
         return emb(m, qubits[0])
     c, t = qubits
     dim = 2**n
@@ -141,7 +143,7 @@ def test_qasm_to_pauliwordop_matches_gate_product():
         "h q[0];\ncx q[0],q[1];\nrz(0.5) q[1];\n"
     )
     decomp = qasm_to_PauliwordOp(qasm)
-    U = _dense_gate("rz", 2, [1], -0.5) @ _dense_gate("cx", 2, [0, 1]) @ _dense_gate("h", 2, [0])
+    U = _dense_gate("rz", 2, [1], 0.5) @ _dense_gate("cx", 2, [0, 1]) @ _dense_gate("h", 2, [0])
     D = dense_op(decomp)
     nz = np.argmax(np.abs(U))
     ph = D.flatten()[nz] / U.flatten()[nz]
