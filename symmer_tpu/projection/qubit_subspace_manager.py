@@ -54,8 +54,10 @@ class QubitSubspaceManager:
             else:
                 from ..approximate import find_groundstate_dmrg, get_MPO
 
-                mpo = get_MPO(self.hamiltonian, max_bond_dimension=10)
-                ref_state = find_groundstate_dmrg(mpo)
+                mpo = get_MPO(self.hamiltonian, max_bond_dimension=30)
+                ref_state = find_groundstate_dmrg(
+                    mpo, bond_dims=[8, 16, 32], max_sweeps_per_dim=2
+                )
             self._aux_operator = ref_state.state_op
 
         return ref_state.cleanup(zero_threshold=1e-4).normalize

@@ -61,3 +61,16 @@ def test_contextual_subspace_error_decay(name):
         errs.append(abs(exact_gs_energy(H_red.to_sparse_matrix)[0] - fci))
     assert errs[-1] < 1e-8           # full tapering exact
     assert errs[0] < 0.05            # 3-qubit CS close to FCI
+
+
+@pytest.mark.slow
+def test_h2o_dmrg_auto_reference():
+    """14-qubit H2O: auto-reference via the native DMRG (> 12-qubit path)."""
+    data = _load("H2O_STO-3G_SINGLET_JW.json")
+    H = PauliwordOp.from_dictionary(data["hamiltonian"])
+    fci = data["data"]["calculated_properties"]["FCI"]["energy"]
+    with pytest.warns(UserWarning):
+        QSM = QubitSubspaceManager(H)  # no reference given -> DMRG
+    H_red = QSM.get_reduced_hamiltonian(4)
+    err = abs(exact_gs_energy(H_red.to_sparse_matrix)[0] - fci)
+    assert err < 0.1
