@@ -234,3 +234,34 @@ def perform_rotations(
             x, z, c = _planes_from_dev(ox, oz, ocr, oci, int(n))
             i += 1
     return cleanup(x, z, c, zero_threshold)
+
+
+def expval(x, z, c, s_pack, amps) -> complex:
+    """<psi|O|psi> with host/device dispatch (device above the size threshold)."""
+    from . import state_core
+
+    T, W = x.shape
+    B = s_pack.shape[0]
+    if not config.use_device(T * B * W):
+        kernel_stats.record("expval", device=False)
+        return state_core.expval(x, z, c, s_pack, amps)
+    kernel_stats.record("expval", device=True)
+    import jax
+
+    from . import jx_state
+
+    cr, ci = _coeff_to_dev(c)
+    ar, ai = _coeff_to_dev(amps)
+    re, im = _jitted_expval()(
+        _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, B
+    )
+    return complex(float(re), float(im))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_expval():
+    import jax
+
+    from . import jx_state
+
+    return jax.jit(jx_state.expval)

@@ -496,9 +496,10 @@ class PauliwordOp:
         """<psi|self|psi> -- linear in state support via one-sparse application.
 
         (reference base.py:796-819 splits into parallel per-term projector
-        norms; the packed one-sparse action makes that unnecessary.)
+        norms; the packed one-sparse action makes that unnecessary.)  Large
+        operator x state products run on the device kernels.
         """
-        return state_core.expval(
+        return dispatch.expval(
             self.x_pack, self.z_pack, self.coeff_vec, psi._s_pack, psi._amps
         ).real
 

@@ -1,0 +1,73 @@
+"""Device state-kernel parity vs the host one-sparse implementation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from symmer_tpu import PauliwordOp, QuantumState
+from symmer_tpu.kernels import jx_state, pack, state_core
+
+rng = np.random.default_rng(2)
+
+
+def _planes(op):
+    return (
+        jnp.asarray(pack.to_u32(op.x_pack)), jnp.asarray(pack.to_u32(op.z_pack)),
+        jnp.asarray(op.coeff_vec.real), jnp.asarray(op.coeff_vec.imag),
+    )
+
+
+def _state(psi):
+    return (
+        jnp.asarray(pack.to_u32(psi._s_pack)),
+        jnp.asarray(psi._amps.real), jnp.asarray(psi._amps.imag),
+    )
+
+
+def test_apply_to_ket_parity():
+    np.random.seed(0)
+    op = PauliwordOp.random(40, 9).cleanup()
+    psi = QuantumState.random(40, 7)
+    bits_h, amps_h = state_core.apply_to_ket(
+        op.x_pack, op.z_pack, op.coeff_vec, psi._s_pack, psi._amps
+    )
+    bits_h, amps_h = state_core.cleanup_state(bits_h, amps_h)
+    x, z, cr, ci = _planes(op)
+    s, ar, ai = _state(psi)
+    bits_d, br, bi = jx_state.apply_to_ket(x, z, cr, ci, s, ar, ai)
+    bits_d, br, bi, n = jx_state.cleanup_state(bits_d, br, bi, bits_d.shape[0])
+    n = int(n)
+    d_dev = dict(
+        zip(
+            [r.tobytes() for r in pack.from_u32(np.asarray(bits_d)[:n])],
+            np.asarray(br)[:n] + 1j * np.asarray(bi)[:n],
+        )
+    )
+    d_host = dict(zip([r.tobytes() for r in bits_h], amps_h))
+    assert set(d_dev) == set(d_host)
+    assert all(abs(d_dev[k] - d_host[k]) < 1e-10 for k in d_host)
+
+
+def test_device_expval_matches_host():
+    np.random.seed(1)
+    op = PauliwordOp.random(30, 12).cleanup()
+    op = (op + op.dagger).multiply_by_constant(0.5)
+    psi = QuantumState.random(30, 9)
+    host = op.expval(psi)
+    x, z, cr, ci = _planes(op)
+    s, ar, ai = _state(psi)
+    re, im = jax.jit(jx_state.expval)(x, z, cr, ci, s, ar, ai, s.shape[0])
+    assert np.isclose(float(re), host, atol=1e-10)
+    assert abs(float(im)) < 1e-10
+
+
+def test_inner_product_sorted():
+    np.random.seed(2)
+    a = QuantumState.random(25, 8)
+    b = QuantumState.random(25, 8)
+    host = a.dagger * b
+    sa, aar, aai = _state(a)
+    sb, bar, bai = _state(b)
+    re, im = jax.jit(jx_state.inner_product_sorted)(
+        sa, aar, -aai, sa.shape[0], sb, bar, bai, sb.shape[0]
+    )
+    assert np.isclose(float(re) + 1j * float(im), host, atol=1e-12)
