@@ -34,11 +34,38 @@ class ProcessHandler:
         return [func(i, shared) for i in iterable]
 
     def _process_mp(self, func, iterable, shared):
-        from concurrent.futures import ProcessPoolExecutor
+        """Fork-based chunked pool with order restoration.
+
+        Fork (not spawn) so locally-defined decorated functions work without
+        pickling, exactly as the reference's mp backend
+        (symmer process_handler.py:64-91).
+        """
+        import multiprocessing as mp
 
         items = list(iterable)
-        with ProcessPoolExecutor(max_workers=self.n_logical_cores) as ex:
-            return list(ex.map(func, items, [shared] * len(items)))
+        if not items:
+            return []
+        ctx = mp.get_context("fork")
+        n_chunks = min(len(items), self.n_logical_cores)
+        chunk_size = -(-len(items) // n_chunks)
+        chunks = [
+            items[i : i + chunk_size] for i in range(0, len(items), chunk_size)
+        ]
+        queue = ctx.Queue(len(chunks))
+
+        def worker(chunk, order):
+            queue.put((order, [func(i, shared) for i in chunk]))
+
+        procs = []
+        for order, chunk in enumerate(chunks):
+            p = ctx.Process(target=worker, args=(chunk, order))
+            p.start()
+            procs.append(p)
+        data = [queue.get() for _ in range(len(chunks))]
+        for p in procs:
+            p.join()
+        _, data = zip(*sorted(data))
+        return [a for b in data for a in b]
 
     def parallelize(self, func: Callable):
         def wrapper(iterable: Iterable, shared):

@@ -131,3 +131,21 @@ def test_noncontextual_hf_energy(be_fixture):
     nc.solve(strategy="brute_force")
     hf = be_fixture["data"]["calculated_properties"]["HF"]["energy"]
     assert np.isclose(nc.energy, hf)
+
+
+def test_draw_graph_structure_smoke():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    np.random.seed(11)
+    nc = NoncontextualOp.random(3, n_cliques=2, n_commuting_terms=2)
+    nc.draw_graph_structure()
+
+
+def test_plot_state_smoke():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    psi = QuantumState.random(3, 4)
+    psi.normalize.plot_state()
+    psi.normalize.plot_state(logscale=True, binary_xlabels=True)

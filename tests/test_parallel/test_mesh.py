@@ -97,3 +97,19 @@ def test_process_parallelize_api():
     process.method = "single_thread"
     assert f(range(5), 2) == [0, 2, 4, 6, 8]
     process.method = "vectorised"
+
+
+def test_process_mp_backend():
+    """fork-based pool works with locally-defined decorated functions."""
+    offset = 7
+
+    @process.parallelize
+    def f(i, shared):
+        return i * shared + offset
+
+    process.method = "mp"
+    try:
+        out = f(range(23), 2)
+    finally:
+        process.method = "vectorised"
+    assert out == [i * 2 + 7 for i in range(23)]
