@@ -74,3 +74,14 @@ def test_h2o_dmrg_auto_reference():
     H_red = QSM.get_reduced_hamiltonian(4)
     err = abs(exact_gs_energy(H_red.to_sparse_matrix)[0] - fci)
     assert err < 0.1
+
+
+def test_tapering_bravyi_kitaev_encoding():
+    """Tapering is encoding-agnostic: Be under the BK mapping."""
+    data = _load("Be_STO-3G_SINGLET_BK.json")
+    H = PauliwordOp.from_dictionary(data["hamiltonian"])
+    fci = data["data"]["calculated_properties"]["FCI"]["energy"]
+    QT = QubitTapering(H)
+    H_taper = QT.taper_it(ref_state=np.asarray(data["data"]["hf_array"]))
+    gs = exact_gs_energy(H_taper.to_sparse_matrix)[0]
+    assert abs(gs - fci) < 1e-8
