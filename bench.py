@@ -7,7 +7,6 @@ BASELINE.md) on the available JAX backend (TPU under the driver):
   2. squaring a 1,000-qubit, 500-term operator (250k cross terms, +cleanup)
   3. expectation value of a depth-2,000 Clifford circuit on 1,000 qubits
   4. multiplying two 100,000,000-qubit single Pauli terms
-  5. <psi|H|psi> for a 10,000-term operator on a 512-configuration state
 
 Prints ONE JSON line for the headline metric (1) on stdout; the full table
 goes to stderr.  vs_baseline is the speedup over the reference's ~1 s laptop
@@ -126,20 +125,6 @@ def main():
         lambda out: np.asarray(out[0]).sum(),
     )
     results["mul_100M_qubit_single_terms_ms"] = t_big * 1e3
-
-    # ---- 5. expectation value: 10k-term operator x 512-term state ---------
-    from symmer_tpu.kernels import jx_state
-
-    Tops, B = 10_000, 512
-    sb = jnp.asarray(rng.integers(0, 2**32, (B, W), dtype=np.uint64).astype(np.uint32))
-    abr = jnp.asarray(rng.normal(size=B).astype(np.float32))
-    abi = jnp.asarray(rng.normal(size=B).astype(np.float32))
-    ev = jax.jit(jx_state.expval)
-    t_ev = _amortized_time(
-        lambda: ev(x[:Tops], z[:Tops], cr[:Tops], ci[:Tops], sb, abr, abi, B),
-        lambda out: float(out[0]),
-    )
-    results["expval_10k_terms_512_basis_ms"] = t_ev * 1e3
 
     for k, v in results.items():
         baseline_ms = 1000.0  # reference: ~1 s on a laptop for each op

@@ -91,11 +91,106 @@ def inner_product_sorted(s1, a1r, a1i, n1, s2, a2r, a2i, n2):
 
 
 def expval(x, z, cr, ci, s, ar, ai, n_basis):
-    """Re/Im of <psi|O|psi> for a packed operator and packed state.
+    """Re/Im of <psi|O|psi> for a packed operator and DEDUPLICATED state.
 
-    The state must be deduplicated; the operator need not be.
+    Matched formulation -- never materialises or sorts the (T*B) product rows:
+
+        <psi|O|psi> = sum_{t,b} c_t phase(t,b) a_b conj(a_{b'})
+                      where s_{b'} = s_b ^ x_t  (if such a basis row exists)
+
+    The lookup s_b ^ x_t -> b' goes through three independent 32-bit hashes of
+    the rows: sorted lookup on lane 1, then all three lanes compared for the
+    WINDOW candidates.  A false match requires a 96-bit hash collision
+    (probability ~ T B^2 / 2^96 -- negligible); a true match is missed only if
+    more than WINDOW distinct state rows share the lane-1 value.
     """
-    bits, br, bi = apply_to_ket(x, z, cr, ci, s, ar, ai)
-    bits, br, bi, n = cleanup_state(bits, br, bi, bits.shape[0])
-    # bra amplitudes = conjugated state amplitudes
-    return inner_product_sorted(s, ar, -ai, n_basis, bits, br, bi, n)
+    T, W = x.shape
+    B = s.shape[0]
+    WINDOW = 4
+    fdt = cr.dtype
+
+    # state-row hashes: lane 1 is the lookup key; all lanes compared on match
+    hs = _row_hashes3(s)
+    order = jnp.argsort(hs[0])
+    hs1_sorted = hs[0][order]
+
+    # per-(t, b) hashes of the target rows s_b ^ x_t, built incrementally so
+    # only (T, B) intermediates exist (must mirror _row_hashes3 exactly)
+    th = tuple(jnp.full((T, B), init, dtype=jnp.uint32) for init in _HASH3_INIT)
+    th = lax.fori_loop(0, 2 * W, lambda w, c: _target_hash_step(w, c, x, s), th)
+
+    pos = jnp.searchsorted(hs1_sorted, th[0].reshape(-1)).reshape(T, B)
+
+    # phases: (-i)^{|Y_t|} (-1)^{popcount((s_b ^ x_t) & z_t)} * c_t
+    y_cnt = jx_core.y_count(x, z)
+    par = jnp.zeros((T, B), jnp.int32)
+
+    def par_body(w, par):
+        word = s[None, :, w] ^ x[:, w, None]
+        return par + jx_core.pc(word & z[:, w, None])
+
+    par = lax.fori_loop(0, W, par_body, par) & 1
+    pr, pi = jx_core.apply_i_pow(-y_cnt, cr, ci)
+    sign = (1 - 2 * par).astype(fdt)
+    tr = pr[:, None] * sign  # (T, B) phase * c_t, real
+    ti = pi[:, None] * sign
+
+    basis_valid = jnp.arange(B) < n_basis
+    total_r = jnp.zeros((), fdt)
+    total_i = jnp.zeros((), fdt)
+    for k in range(WINDOW):
+        cand_pos = jnp.clip(pos + k, 0, B - 1)
+        cand = order[cand_pos]  # (T, B) candidate basis index
+        match = (
+            (th[0] == hs[0][cand]) & (th[1] == hs[1][cand]) & (th[2] == hs[2][cand])
+        )
+        match = match & basis_valid[None, :] & basis_valid[cand]
+        # contribution: (tr + i ti) * a_b * conj(a_cand)
+        ab_r, ab_i = ar[None, :], ai[None, :]
+        ac_r, ac_i = ar[cand], -ai[cand]
+        m1r = tr * ab_r - ti * ab_i
+        m1i = tr * ab_i + ti * ab_r
+        cr_ = m1r * ac_r - m1i * ac_i
+        ci_ = m1r * ac_i + m1i * ac_r
+        total_r = total_r + jnp.sum(jnp.where(match, cr_, 0))
+        total_i = total_i + jnp.sum(jnp.where(match, ci_, 0))
+    return total_r, total_i
+
+
+_HASH3_MULT = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D)
+_HASH3_INIT = (0x811C9DC5, 0xDEADBEEF, 0x1B873593)
+
+
+def _row_hashes3(s):
+    """Three independent 32-bit mixes of each state row (zero Z plane)."""
+    B, W = s.shape
+    out = []
+    for mult, init in zip(_HASH3_MULT, _HASH3_INIT):
+        h = jnp.full((B,), init, dtype=jnp.uint32)
+
+        def body(w, h, mult=mult):
+            word = jnp.where(w < W, s[:, w % W], jnp.zeros((), jnp.uint32))
+            h = (h ^ word) * jnp.uint32(mult)
+            return h ^ (h >> 15)
+
+        out.append(lax.fori_loop(0, 2 * W, body, h))
+    return tuple(out)
+
+
+def _target_hash_step(w, hashes, x, s):
+    """One word of the incremental (T, B) target-row hashes.
+
+    Target rows are (s_b ^ x_t | zeros); for w >= W the word is zero, matching
+    _row_hashes3 on the state side.
+    """
+    W = x.shape[1]
+    word = jnp.where(
+        w < W,
+        s[None, :, w % W] ^ x[:, w % W, None],
+        jnp.zeros((), jnp.uint32),
+    )
+    out = []
+    for h, mult in zip(hashes, _HASH3_MULT):
+        h = (h ^ word) * jnp.uint32(mult)
+        out.append(h ^ (h >> 15))
+    return tuple(out)
