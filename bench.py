@@ -13,6 +13,7 @@ goes to stderr.  vs_baseline is the speedup over the reference's ~1 s laptop
 claim for the same operation.
 """
 import json
+import os
 import sys
 import time
 
@@ -42,6 +43,13 @@ def _amortized_time(fn, fetch, K=10):
 
 def main():
     import jax
+
+    # persistent compilation cache: first run pays the (remote) compiles,
+    # subsequent bench invocations start from the cache
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from symmer_tpu.kernels import jx_core
