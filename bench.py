@@ -54,21 +54,27 @@ def main():
 
     from symmer_tpu.kernels import jx_core
 
-    rng = np.random.default_rng(0)
     dev = jax.devices()[0]
     print(f"# backend: {dev.platform} ({dev})", file=sys.stderr)
 
     results = {}
 
+    # all benchmark data is generated ON DEVICE (uploading ~100 MB of random
+    # planes through a PJRT relay would dominate the wall time)
+    def rand_bits(key, shape):
+        return jax.random.bits(key, shape, dtype=jnp.uint32)
+
+    keys = jax.random.split(jax.random.key(0), 12)
+
     # ---- 1. non-Clifford rotation: 1,000 qubits x 100,000 terms -----------
     n_qubits, n_terms = 1000, 100_000
     W = 2 * ((n_qubits + 63) // 64)  # u32 words
-    x = jnp.asarray(rng.integers(0, 2**32, (n_terms, W), dtype=np.uint64).astype(np.uint32))
-    z = jnp.asarray(rng.integers(0, 2**32, (n_terms, W), dtype=np.uint64).astype(np.uint32))
-    cr = jnp.asarray(rng.normal(size=n_terms).astype(np.float32))
-    ci = jnp.asarray(rng.normal(size=n_terms).astype(np.float32))
-    xr = jnp.asarray(rng.integers(0, 2**32, (W,), dtype=np.uint64).astype(np.uint32))
-    zr = jnp.asarray(rng.integers(0, 2**32, (W,), dtype=np.uint64).astype(np.uint32))
+    x = rand_bits(keys[0], (n_terms, W))
+    z = rand_bits(keys[1], (n_terms, W))
+    cr = jax.random.normal(keys[2], (n_terms,), jnp.float32)
+    ci = jax.random.normal(keys[3], (n_terms,), jnp.float32)
+    xr = rand_bits(keys[4], (W,))
+    zr = rand_bits(keys[5], (W,))
 
     @jax.jit
     def rotate_and_cleanup(x, z, cr, ci, xr, zr, angle):
@@ -101,9 +107,9 @@ def main():
     n_obs = 100  # observable terms carried through the circuit
     xo_, zo_ = x[:n_obs], z[:n_obs]
     cro_, cio_ = cr[:n_obs], ci[:n_obs]
-    rx = jnp.asarray(rng.integers(0, 2**32, (depth, W), dtype=np.uint64).astype(np.uint32))
-    rz = jnp.asarray(rng.integers(0, 2**32, (depth, W), dtype=np.uint64).astype(np.uint32))
-    rm = jnp.asarray(rng.integers(0, 4, depth, dtype=np.int64).astype(np.int32))
+    rx = rand_bits(keys[6], (depth, W))
+    rz = rand_bits(keys[7], (depth, W))
+    rm = jax.random.randint(keys[8], (depth,), 0, 4, jnp.int32)
 
     @jax.jit
     def clifford_expval(x, z, cr, ci, rx, rz, rm):
@@ -118,19 +124,28 @@ def main():
 
     # ---- 4. two 100,000,000-qubit single Pauli terms ----------------------
     Wbig = 2 * ((100_000_000 + 63) // 64)
-    xb1 = jnp.asarray(rng.integers(0, 2**32, (1, Wbig), dtype=np.uint64).astype(np.uint32))
-    zb1 = jnp.asarray(rng.integers(0, 2**32, (1, Wbig), dtype=np.uint64).astype(np.uint32))
-    xb2 = jnp.asarray(rng.integers(0, 2**32, (1, Wbig), dtype=np.uint64).astype(np.uint32))
-    zb2 = jnp.asarray(rng.integers(0, 2**32, (1, Wbig), dtype=np.uint64).astype(np.uint32))
+    xb1 = rand_bits(keys[9], (1, Wbig))
+    zb1 = rand_bits(keys[10], (1, Wbig))
+    xb2 = rand_bits(keys[11], (1, Wbig))
+    zb2 = rand_bits(keys[0], (1, Wbig))
     cb = jnp.ones(1, jnp.float32)
     cz = jnp.zeros(1, jnp.float32)
 
-    mul1 = jax.jit(
-        lambda *a: tuple(o[:1, :8] if o.ndim == 2 else o for o in jx_core.mul_pairs(*a))
-    )
+    def _mul_reduced(*a):
+        # reduce over the full output so XLA cannot dead-code-eliminate the
+        # 100M-qubit product (a sliced output would)
+        xo, zo, cro, cio = jx_core.mul_pairs(*a)
+        return (
+            jnp.sum(jax.lax.population_count(xo).astype(jnp.int32))
+            + jnp.sum(jax.lax.population_count(zo).astype(jnp.int32)),
+            cro[0],
+            cio[0],
+        )
+
+    mul1 = jax.jit(_mul_reduced)
     t_big = _amortized_time(
         lambda: mul1(xb1, zb1, cb, cz, xb2, zb2, cb, cz),
-        lambda out: np.asarray(out[0]).sum(),
+        lambda out: int(out[0]),
     )
     results["mul_100M_qubit_single_terms_ms"] = t_big * 1e3
 
