@@ -20,7 +20,6 @@ from ..kernels import gf2, np_core, pack
 def symplectic_to_string(symp_vec: np.ndarray) -> str:
     symp_vec = np.asarray(symp_vec).astype(bool)
     n_qubits = len(symp_vec) // 2
-    X_block, Z_block = symp_vec[:n_qubits], symp_vec[n_qubits:]
     x, z, _ = pack.symplectic_to_planes(symp_vec)
     return pack.planes_to_strings(x, z, n_qubits)[0]
 
