@@ -27,7 +27,22 @@ def rref_packed(M: np.ndarray, inplace: bool = False) -> np.ndarray:
     M = np.ascontiguousarray(M, dtype=np.uint64)
     if not inplace:
         M = M.copy()
-    R = M.shape[0]
+    R, W = M.shape
+    from ..config import config
+
+    if config.use_device(R * R * W // 4):
+        # device path: fori_loop of masked full-matrix XORs (HBM-bandwidth
+        # streaming for the giant-operator symmetry-search regime)
+        try:
+            import jax.numpy as jnp
+
+            from . import pack
+            from .jx_gf2 import rref_packed_device
+
+            out = rref_packed_device(jnp.asarray(pack.to_u32(M)))
+            return pack.from_u32(np.asarray(out))[:, : M.shape[1]]
+        except Exception:  # pragma: no cover
+            pass
     try:
         from ..native import gf2core
 

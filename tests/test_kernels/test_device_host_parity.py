@@ -160,3 +160,15 @@ def test_dispatch_device_path_end_to_end():
     assert dev_prod == host_prod
     assert np.array_equal(dev_adj, a.commutes_termwise(b))
     assert dev_rot == a.perform_rotations(rots)
+
+
+def test_device_rref_matches_host():
+    from symmer_tpu.kernels.gf2 import rref_packed
+    from symmer_tpu.kernels.jx_gf2 import rref_packed_device
+
+    for (R, bits) in [(12, 40), (30, 200), (64, 64)]:
+        m = rng.integers(0, 2, (R, bits)).astype(bool)
+        packed = pack.pack_bits(m, bits)
+        host = rref_packed(packed)
+        dev = pack.from_u32(np.asarray(rref_packed_device(jnp.asarray(pack.to_u32(packed)))))
+        assert np.array_equal(host, dev[:, : packed.shape[1]]), (R, bits)
