@@ -518,7 +518,10 @@ class NoncontextualOp(PauliwordOp):
                 Ps, rotations_SEQ, gamma_l, AC_normed = self.clique_operator.unitary_partitioning(
                     s_index=0, up_method="seq_rot"
                 )
-            Ps.coeff_vec[0] = -1
+            # enforce <c P_s> = -1, i.e. the bare Pauli P_s takes value -sign(c)
+            # (the reference hardcodes -1, wrong when the clique collapsed to a
+            # single negative-coefficient term, noncontextual_op.py:629)
+            Ps.coeff_vec[0] = -np.sign(Ps.coeff_vec[0].real)
             independent_stabilizers = self.symmetry_generators + IndependentOp.from_PauliwordOp(Ps)
         else:
             independent_stabilizers = self.symmetry_generators

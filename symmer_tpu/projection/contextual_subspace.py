@@ -180,10 +180,16 @@ class ContextualSubspace(S3Projection):
             self.noncontextual_operator.update_clique_representative_operator(
                 clique_index=int(np.where(mask_which_clique)[0][0])
             )
+            # the noncontextual ground state fixes <R A R^dag> = -1 where
+            # R A R^dag = c * P_s; the value of the bare Pauli P_s is therefore
+            # -c.  (c = -1 occurs when a clique collapses to a single term
+            # with negative coefficient; assuming c = +1 flips the entire
+            # sector -- a latent edge case in the reference, which hardcodes
+            # the value -1, contextual_subspace.py:283-285.)
+            rep = self.noncontextual_operator.mapped_clique_rep
+            rep_value = -int(np.sign(rep.coeff_vec[0].real))
             augmented_generators = (
-                IndependentOp(
-                    self.noncontextual_operator.mapped_clique_rep.symp_matrix, [-1]
-                )
+                IndependentOp(rep.symp_matrix, [rep_value])
                 + self.noncontextual_operator.symmetry_generators
             )
             update_eigenvalues(

@@ -22,6 +22,7 @@ MOLECULES = [
     ("LiH_STO-3G_SINGLET_JW.json", 12, None),
     ("HF_STO-3G_SINGLET_JW.json", 12, None),
     ("H2O_STO-3G_SINGLET_JW.json", 14, None),
+    ("BeH2_STO-3G_SINGLET_JW.json", 14, None),
 ]
 
 
@@ -85,3 +86,32 @@ def test_tapering_bravyi_kitaev_encoding():
     H_taper = QT.taper_it(ref_state=np.asarray(data["data"]["hf_array"]))
     gs = exact_gs_energy(H_taper.to_sparse_matrix)[0]
     assert abs(gs - fci) < 1e-8
+
+
+@pytest.mark.slow
+def test_n2_tapering_and_contextual_subspace():
+    """N2 STO-3G (20 qubits, 2,239 terms): BASELINE.md north-star config."""
+    data = _load("N2_STO-3G_SINGLET_JW.json")
+    H = PauliwordOp.from_dictionary(data["hamiltonian"])
+    fci = data["data"]["calculated_properties"]["FCI"]["energy"]
+    QT = QubitTapering(H)
+    H_taper = QT.taper_it(ref_state=np.asarray(data["data"]["hf_array"]))
+    gs = exact_gs_energy(H_taper.to_sparse_matrix)[0]
+    assert abs(gs - fci) < 1e-8
+    # contextual subspace on the tapered operator
+    from symmer_tpu import ContextualSubspace
+
+    CS = ContextualSubspace(
+        H_taper,
+        noncontextual_strategy="SingleSweep_magnitude",
+        reference_state=QT.tapered_ref_state.normalize,
+    )
+    CC = PauliwordOp.from_dictionary(
+        data["data"]["auxiliary_operators"]["UCCSD_operator"]
+    )
+    CC_taper = QT.taper_it(aux_operator=CC)
+    CS.update_stabilizers(8, aux_operator=CC_taper, strategy="aux_preserving")
+    H_cs = CS.project_onto_subspace()
+    assert H_cs.n_qubits == 8
+    err = abs(exact_gs_energy(H_cs.to_sparse_matrix)[0] - fci)
+    assert err < 0.05
