@@ -31,7 +31,8 @@ class CircuitSymmerlator:
             "sx": self.sqrtX, "sy": self.sqrtY, "sz": self.sqrtZ,
             "cx": self.CX, "cy": self.CY, "cz": self.CZ,
             "h": self.H, "s": self.S, "sdg": self.Sdag,
-            "": self.R, "t": self.T, "ccx": self.Toffoli, "swap": self.SWAP,
+            "": self.R, "t": self.T, "tdg": self.Tdag,
+            "ccx": self.Toffoli, "swap": self.SWAP,
         }
 
     def get_rotation_string(self, pauli: str, indices: List[int]) -> PauliwordOp:
@@ -112,11 +113,36 @@ class CircuitSymmerlator:
     def RZ(self, index, angle):
         self.R("Z", [index], angle)
 
-    def T(self, index, angle=None):
-        raise NotImplementedError()
+    def T(self, index):
+        """T gate (= e^{-i pi/8 Z} up to global phase) as a non-Clifford
+        rotation.  The reference raises NotImplementedError here
+        (circuit_symmerlator.py:140-146)."""
+        self.RZ(index, -np.pi / 4)
+
+    def Tdag(self, index):
+        self.RZ(index, np.pi / 4)
 
     def Toffoli(self, control_1, control_2, target):
-        raise NotImplementedError()
+        """Doubly-controlled X via the standard H/T/CX decomposition.
+
+        The reference raises NotImplementedError (circuit_symmerlator.py:143-146).
+        """
+        c1, c2, t = control_1, control_2, target
+        self.H(t)
+        self.CX(c2, t)
+        self.Tdag(t)
+        self.CX(c1, t)
+        self.T(t)
+        self.CX(c2, t)
+        self.Tdag(t)
+        self.CX(c1, t)
+        self.T(c2)
+        self.T(t)
+        self.CX(c1, c2)
+        self.H(t)
+        self.T(c1)
+        self.Tdag(c2)
+        self.CX(c1, c2)
 
     # --------------------------- execution --------------------------------
 

@@ -151,9 +151,49 @@ def test_qasm_to_pauliwordop_matches_gate_product():
     assert np.allclose(D, ph * U, atol=1e-10)
 
 
-def test_unsupported_gates_raise():
+def test_t_and_toffoli_supported():
+    # the reference raises NotImplementedError for these; we implement them
     sim = CircuitSymmerlator(3)
-    with pytest.raises(NotImplementedError):
-        sim.T(0)
-    with pytest.raises(NotImplementedError):
+    sim.T(0)
+    sim.Toffoli(0, 1, 2)
+    assert len(sim.sequence) > 0
+
+
+def test_t_gate_vs_dense():
+    """T/Tdag (non-Clifford) -- the reference raises NotImplementedError."""
+    Tm = np.diag([1, np.exp(1j * np.pi / 4)])
+    H2m = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+    for q in [0, 1]:
+        for seed in range(3):
+            rng2 = np.random.default_rng(seed)
+            sim = CircuitSymmerlator(2)
+            sim.H(q); sim.T(q); sim.H(q); sim.Tdag(q)
+            U = np.eye(4, dtype=complex)
+            for m in [H2m, Tm, H2m, Tm.conj().T]:
+                full = np.array([[1]], dtype=complex)
+                for k in range(2):
+                    full = np.kron(full, m if k == q else np.eye(2))
+                U = full @ U
+            obs = PauliwordOp.random(2, 6)
+            obs = (obs + obs.dagger).multiply_by_constant(0.5)
+            val = complex(sim.evaluate(obs)).real
+            v0 = np.zeros(4); v0[0] = 1
+            expect = (v0 @ U.conj().T @ dense_op(obs) @ U @ v0).real
+            assert np.isclose(val, expect, atol=1e-8), (q, seed)
+
+
+def test_toffoli_vs_dense():
+    ccx = np.eye(8); ccx[6, 6] = 0; ccx[7, 7] = 0; ccx[6, 7] = 1; ccx[7, 6] = 1
+    x0 = _dense_gate("x", 3, [0]); x1 = _dense_gate("x", 3, [1])
+    for prep, U0 in [((0,), x0), ((0, 1), x1 @ x0), ((), np.eye(8))]:
+        sim = CircuitSymmerlator(3)
+        for q in prep:
+            sim.X(q)
         sim.Toffoli(0, 1, 2)
+        U = ccx @ U0
+        obs = PauliwordOp.random(3, 8)
+        obs = (obs + obs.dagger).multiply_by_constant(0.5)
+        val = complex(sim.evaluate(obs)).real
+        v0 = np.zeros(8); v0[0] = 1
+        expect = (v0 @ U.conj().T @ dense_op(obs) @ U @ v0).real
+        assert np.isclose(val, expect, atol=1e-8), prep
