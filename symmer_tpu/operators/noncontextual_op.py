@@ -290,12 +290,13 @@ class NoncontextualOp(PauliwordOp):
         (reference :418-500)
         """
         Z2_general = IndependentOp.symmetry_generators(self, commuting_override=True)
-        if Z2_general.n_terms > 0:
-            _, Z2_mask = self.generator_reconstruction(Z2_general)
-            Z2_symmetries = self[Z2_mask].generators
-        else:
-            Z2_symmetries = Z2_general
-            Z2_mask = np.zeros(self.n_terms, dtype=bool)
+        # NB: reconstruction over an EMPTY generating set still succeeds for
+        # all-identity terms (their rows reduce to zero), which must land in
+        # the symmetry component rather than the clique decomposition
+        _, Z2_mask = self.generator_reconstruction(
+            Z2_general, override_independence_check=True
+        )
+        Z2_symmetries = self[Z2_mask].generators
 
         if Z2_symmetries.n_terms > 0 and not np.all(
             Z2_symmetries.commutes_termwise(Z2_symmetries)
@@ -317,10 +318,10 @@ class NoncontextualOp(PauliwordOp):
             )
             Z2_symmetries = (sym_from_cliques + Z2_incomplete).generators
             _, z2_mask = self.generator_reconstruction(Z2_symmetries)
-        elif Z2_symmetries.n_terms > 0:
-            _, z2_mask = self.generator_reconstruction(Z2_symmetries)
         else:
-            z2_mask = np.zeros(self.n_terms, dtype=bool)
+            _, z2_mask = self.generator_reconstruction(
+                Z2_symmetries, override_independence_check=True
+            )
 
         remaining = self[~z2_mask]
 
@@ -356,12 +357,10 @@ class NoncontextualOp(PauliwordOp):
             self.decomposed = dict()
             self.n_cliques = 0
 
-        if Z2_symmetries.n_terms > 0:
-            self.symmetry_generators = IndependentOp.from_PauliwordOp(Z2_symmetries)
-            _, Z2_mask = self.generator_reconstruction(Z2_symmetries)
-        else:
-            self.symmetry_generators = Z2_symmetries  # empty IndependentOp
-            Z2_mask = np.zeros(self.n_terms, dtype=bool)
+        self.symmetry_generators = IndependentOp.from_PauliwordOp(Z2_symmetries)
+        _, Z2_mask = self.generator_reconstruction(
+            Z2_symmetries, override_independence_check=True
+        )
         self.decomposed["symmetry"] = self[Z2_mask]
 
     def noncontextual_reconstruction(self) -> None:

@@ -115,3 +115,46 @@ def test_adapt_tetris(be_fixture):
     adapt.derivative_eval = "commutators"
     out = adapt.optimize(max_cycles=2)
     assert out["result"]["fun"] is not None
+
+
+def test_adapt_vqe_on_contextual_subspace_lih():
+    """End-to-end production flow: LiH -> taper -> 3-qubit contextual subspace
+    -> ADAPT-VQE to the subspace ground state."""
+    import json
+    import os
+
+    path = "/root/reference/tests/hamiltonian_data/LiH_STO-3G_SINGLET_JW.json"
+    if not os.path.exists(path):
+        pytest.skip("reference hamiltonian data not available")
+    with open(path) as f:
+        data = json.load(f)
+    from symmer_tpu import ContextualSubspace, QubitTapering
+
+    H = PauliwordOp.from_dictionary(data["hamiltonian"])
+    fci = data["data"]["calculated_properties"]["FCI"]["energy"]
+    QT = QubitTapering(H)
+    H_taper = QT.taper_it(ref_state=np.asarray(data["data"]["hf_array"]))
+    CC = PauliwordOp.from_dictionary(
+        data["data"]["auxiliary_operators"]["UCCSD_operator"]
+    )
+    CC_taper = QT.taper_it(aux_operator=CC)
+    CS = ContextualSubspace(
+        H_taper,
+        noncontextual_strategy="SingleSweep_magnitude",
+        reference_state=QT.tapered_ref_state.normalize,
+    )
+    CS.update_stabilizers(3, aux_operator=CC_taper, strategy="aux_preserving")
+    H_cs = CS.project_onto_subspace()
+    psi_cs = CS.project_state(QT.tapered_ref_state.normalize).normalize
+    gs_cs = exact_gs_energy(H_cs.to_sparse_matrix)[0]
+    assert abs(gs_cs - fci) < 0.02  # subspace error
+
+    # ADAPT over a pool of single/double-Y excitations in the subspace
+    pool = PauliwordOp.from_list(
+        ["YII", "IYI", "IIY", "YXI", "XYI", "IYX", "IXY", "YXX", "XYX", "XXY"]
+    )
+    adapt = ADAPT_VQE(H_cs, excitation_pool=pool, ref_state=psi_cs)
+    adapt.verbose = False
+    adapt.derivative_eval = "commutators"
+    out = adapt.optimize(max_cycles=8, gtol=1e-5)
+    assert abs(out["result"]["fun"] - gs_cs) < 1e-4  # ADAPT reaches subspace gs
