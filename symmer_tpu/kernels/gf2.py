@@ -17,6 +17,15 @@ import numpy as np
 from .pack import pack_bits, unpack_bits
 
 
+def _accelerator_available() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def rref_packed(M: np.ndarray, inplace: bool = False) -> np.ndarray:
     """Row-reduced echelon form over GF(2) on packed rows, no row reordering.
 
@@ -30,9 +39,10 @@ def rref_packed(M: np.ndarray, inplace: bool = False) -> np.ndarray:
     R, W = M.shape
     from ..config import config
 
-    if config.use_device(R * R * W // 4):
+    if config.use_device(R * R * W // 4) and _accelerator_available():
         # device path: fori_loop of masked full-matrix XORs (HBM-bandwidth
-        # streaming for the giant-operator symmetry-search regime)
+        # streaming for the giant-operator symmetry-search regime); on the
+        # CPU backend the C++ path below is faster than a jitted loop
         try:
             import jax.numpy as jnp
 

@@ -50,7 +50,9 @@ def pack_bits(bits: np.ndarray, n_qubits: int = None) -> np.ndarray:
     W = n_words_for(n_qubits)
     if nq == 0:
         return np.zeros((n_terms, W), dtype=np.uint64)
-    packed8 = np.packbits(bits.astype(bool), axis=1, bitorder="little")
+    if bits.dtype != np.bool_ or not bits.flags["C_CONTIGUOUS"]:
+        bits = np.ascontiguousarray(bits, dtype=np.bool_)
+    packed8 = np.packbits(bits, axis=1, bitorder="little")
     pad = W * 8 - packed8.shape[1]
     if pad:
         packed8 = np.pad(packed8, [(0, 0), (0, pad)])
@@ -63,7 +65,8 @@ def unpack_bits(pack: np.ndarray, n_qubits: int) -> np.ndarray:
     if n_qubits == 0:
         return np.zeros((pack.shape[0], 0), dtype=bool)
     bits8 = np.unpackbits(pack.view(np.uint8), axis=1, bitorder="little")
-    return bits8[:, :n_qubits].astype(bool)
+    # 0/1 uint8 views directly as bool -- avoids a full elementwise copy
+    return bits8[:, :n_qubits].view(np.bool_)
 
 
 def strings_to_planes(pauli_strings: Sequence[str]) -> Tuple[np.ndarray, np.ndarray, int]:

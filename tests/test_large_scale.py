@@ -91,3 +91,20 @@ def test_wide_operator_algebra():
     identity = (prod * prod.dagger).cleanup()
     assert pytest.approx(abs(identity.coeff_vec[0])) == abs(1.5 * 0.5) ** 2
     assert not np.any(identity.symp_matrix)
+
+
+@pytest.mark.slow
+def test_symmetry_discovery_100k_terms():
+    """Symmetry search at the headline scale: 1,000 qubits x 100,000 terms."""
+    from symmer_tpu.kernels import pack
+
+    rng = np.random.default_rng(0)
+    n_qubits, n_terms = 1000, 100_000
+    W = pack.n_words_for(n_qubits)
+    z = rng.integers(0, 2**64, (n_terms, W), dtype=np.uint64) & pack.qubit_mask(n_qubits)
+    H = PauliwordOp.from_planes(
+        np.zeros_like(z), z, rng.normal(size=n_terms), n_qubits
+    ).cleanup()
+    S = IndependentOp.symmetry_generators(H, commuting_override=True)
+    assert S.n_terms == n_qubits  # diagonal operator: full Z2 symmetry group
+    assert np.all(S.commutes_termwise(H[:1000]))
