@@ -147,6 +147,35 @@ def matmul_gf2_packed(
     return out
 
 
+def packed_identity(n_bits: int) -> np.ndarray:
+    """Packed identity bit matrix: row i has only bit i set."""
+    W = max(1, (n_bits + 63) // 64)
+    out = np.zeros((n_bits, W), dtype=np.uint64)
+    idx = np.arange(n_bits)
+    out[idx, idx // 64] = np.uint64(1) << (idx % 64).astype(np.uint64)
+    return out
+
+
+def extract_bit_range(M: np.ndarray, start: int, length: int) -> np.ndarray:
+    """Slice bits [start, start+length) out of each packed row."""
+    W_out = max(1, (length + 63) // 64)
+    w0, b = start // 64, start % 64
+    need = W_out + (1 if b else 0)
+    src = M[:, w0 : w0 + need]
+    if src.shape[1] < need:
+        src = np.pad(src, [(0, 0), (0, need - src.shape[1])])
+    if b == 0:
+        out = src[:, :W_out].copy()
+    else:
+        out = (src[:, :W_out] >> np.uint64(b)) | (
+            src[:, 1 : W_out + 1] << np.uint64(64 - b)
+        )
+    rem = length % 64
+    if rem:
+        out[:, -1] &= (np.uint64(1) << np.uint64(rem)) - np.uint64(1)
+    return np.ascontiguousarray(out)
+
+
 def kernel_basis_packed(M: np.ndarray, n_bits: int) -> np.ndarray:
     """Basis of the null space {v : M v = 0 (mod 2)} of the packed bit matrix.
 
@@ -154,13 +183,38 @@ def kernel_basis_packed(M: np.ndarray, n_bits: int) -> np.ndarray:
     the columns of the identity block under zero columns of the reduced M
     (cf. symmer ``IndependentOp.symmetry_generators`` ``independent_op.py:90-144``).
 
+    With the native module the whole computation stays bit-packed: a C++
+    64x64-block transpose + packed RREF, then the kernel vectors are read
+    straight out of the identity-block bit range of the qualifying rows.
+
     Args:
         M: packed rows, each row a vector of ``n_bits`` bits.
     Returns:
         packed rows spanning the kernel (possibly zero rows -> empty).
     """
+    R = M.shape[0]
+    try:
+        from ..native import gf2core
+    except Exception:  # pragma: no cover
+        gf2core = None
+    if gf2core is not None:
+        W = max(1, (n_bits + 63) // 64)
+        Mn = np.zeros((R, W), dtype=np.uint64)
+        Mn[:, : M.shape[1]] = M
+        stacked = np.vstack([Mn, packed_identity(n_bits)])
+        St = gf2core.transpose_bits(stacked, n_bits)   # (n_bits, ceil((R+n)/64))
+        red = rref_packed(St, inplace=True)
+        # rows whose first R bits vanish correspond to zero columns of the
+        # reduced M block; their identity-block bits are the kernel vectors
+        prefix = np.zeros(St.shape[1], dtype=np.uint64)
+        full, rem = R // 64, R % 64
+        prefix[:full] = ~np.uint64(0)
+        if rem:
+            prefix[full] = (np.uint64(1) << np.uint64(rem)) - np.uint64(1)
+        zero_prefix = ~np.any(red & prefix[None, :], axis=1)
+        return extract_bit_range(red[zero_prefix], R, n_bits)
+
     Mb = unpack_bits(M, n_bits)
-    R = Mb.shape[0]
     stacked = np.vstack([Mb, np.eye(n_bits, dtype=bool)])
     reduced = cref_bool(stacked, reorder=False)
     zero_cols = ~np.any(reduced[:R], axis=0)

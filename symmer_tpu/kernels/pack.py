@@ -137,6 +137,29 @@ def from_u32(pack32: np.ndarray) -> np.ndarray:
     return pack32.view(np.uint64)
 
 
+def concat_bit_planes(a_pack: np.ndarray, n_a: int, b_pack: np.ndarray, n_b: int) -> np.ndarray:
+    """Concatenate two packed bit planes at the BIT level: rows of n_a + n_b bits.
+
+    (hstacking packed words would leave padding gaps when n_a % 64 != 0)
+    """
+    T = a_pack.shape[0]
+    W_out = n_words_for(n_a + n_b)
+    out = np.zeros((T, W_out), dtype=np.uint64)
+    Wa = n_words_for(n_a)
+    out[:, :Wa] = a_pack[:, :Wa] & qubit_mask(n_a)[None, :]
+    w0, b = n_a // 64, n_a % 64
+    Wb = n_words_for(n_b)
+    bp = b_pack[:, :Wb] & qubit_mask(n_b)[None, :]
+    if b == 0:
+        out[:, w0 : w0 + Wb] |= bp
+    else:
+        hi = min(w0 + Wb, W_out)
+        out[:, w0:hi] |= bp[:, : hi - w0] << np.uint64(b)
+        hi2 = min(w0 + 1 + Wb, W_out)
+        out[:, w0 + 1 : hi2] |= bp[:, : hi2 - w0 - 1] >> np.uint64(64 - b)
+    return out
+
+
 def rows_to_bytes(x_pack: np.ndarray, z_pack: np.ndarray) -> List[bytes]:
     """Hashable canonical key per term (used in host dictionaries)."""
     joint = np.hstack([x_pack, z_pack])

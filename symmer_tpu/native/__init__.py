@@ -49,6 +49,11 @@ class _GF2Core:
             u64p, ctypes.c_int64, u64p, ctypes.c_int64, ctypes.c_int64, u8p,
         ]
         lib.matmul_gf2.restype = None
+        lib.transpose_bits.argtypes = [
+            u64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u64p, ctypes.c_int64,
+        ]
+        lib.transpose_bits.restype = None
 
     def rref_inplace(self, M: np.ndarray) -> None:
         assert M.dtype == np.uint64 and M.flags["C_CONTIGUOUS"]
@@ -63,6 +68,15 @@ class _GF2Core:
         inverse = np.empty(max(n, 1), dtype=np.int64)
         n_unique = self._lib.unique_rows(rows, n, words, first_idx, inverse)
         return first_idx[:n_unique], inverse[:n]
+
+    def transpose_bits(self, M: np.ndarray, n_cols: int) -> np.ndarray:
+        """Transpose a packed bit matrix: (rows, words) -> (n_cols, ceil(rows/64))."""
+        M = np.ascontiguousarray(M, dtype=np.uint64)
+        rows, in_words = M.shape
+        out_words = max(1, (rows + 63) // 64)
+        out = np.zeros((n_cols, out_words), dtype=np.uint64)
+        self._lib.transpose_bits(M, rows, in_words, n_cols, out, out_words)
+        return out
 
     def matmul_gf2(self, A: np.ndarray, B_rows: np.ndarray) -> np.ndarray:
         """parity(popcount(A_i & B_j)) -> bool[m, p]."""

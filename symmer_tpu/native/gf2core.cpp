@@ -113,3 +113,48 @@ void matmul_gf2(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// 64x64 bit-block transpose via recursive delta swaps, LSB-first indexing:
+// bit j of a[i] <-> bit i of a[j].
+static void transpose64(uint64_t a[64]) {
+    uint64_t m = 0x00000000FFFFFFFFULL;
+    for (int j = 32; j != 0; j >>= 1, m ^= m << j) {
+        for (int k = 0; k < 64; k = ((k | j) + 1) & ~j) {
+            uint64_t t = ((a[k] >> j) ^ a[k | j]) & m;
+            a[k | j] ^= t;
+            a[k] ^= t << j;
+        }
+    }
+}
+
+// Transpose a bit matrix given as packed LSB-first uint64 rows.
+//   in : rows x in_words   (bit c of row r = (in[r*in_words + c/64] >> (c%64)) & 1)
+//   out: cols x out_words  (pre-zeroed by caller; out_words >= ceil(rows/64))
+// Semantically out[c, r] = in[r, c] for r < rows, c < cols.
+void transpose_bits(
+    const uint64_t* in, int64_t rows, int64_t in_words, int64_t cols,
+    uint64_t* out, int64_t out_words
+) {
+    uint64_t block[64];
+    for (int64_t rb = 0; rb < rows; rb += 64) {
+        const int64_t rn = (rows - rb < 64) ? (rows - rb) : 64;
+        for (int64_t cb = 0; cb < cols; cb += 64) {
+            for (int64_t i = 0; i < 64; ++i) {
+                block[i] = (i < rn) ? in[(rb + i) * in_words + cb / 64] : 0ULL;
+            }
+            // note the LSB-first convention: bit j of block[i] is column cb+j
+            // of row rb+i; transpose64 operates MSB-agnostically on the
+            // 64x64 bit square, so the result has bit i of word j = original
+            // bit j of word i -- exactly the LSB-first transpose.
+            transpose64(block);
+            const int64_t cn = (cols - cb < 64) ? (cols - cb) : 64;
+            for (int64_t j = 0; j < cn; ++j) {
+                out[(cb + j) * out_words + rb / 64] = block[j];
+            }
+        }
+    }
+}
+
+}  // extern "C"

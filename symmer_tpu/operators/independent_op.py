@@ -72,17 +72,16 @@ class IndependentOp(PauliwordOp):
         via the packed GF(2) kernel-basis routine.
         """
         # rows are [Z|X]-swapped planes; kernel vectors v satisfy M.v = 0 mod 2,
-        # i.e. v commutes with every term.
-        n_bits_z = PwordOp.n_qubits
-        # unpack/repack to strip inter-word padding between the Z and X halves
-        Mb = np.hstack([
-            pack.unpack_bits(PwordOp.z_pack, n_bits_z),
-            pack.unpack_bits(PwordOp.x_pack, n_bits_z),
-        ])
-        kernel = gf2.kernel_basis_packed(pack.pack_bits(Mb, 2 * n_bits_z), 2 * n_bits_z)
-        kb = pack.unpack_bits(kernel, 2 * n_bits_z)
-        S_symp = np.hstack([kb[:, :n_bits_z], kb[:, n_bits_z:]])  # [X|Z] ordering
-        if S_symp.shape[0] == 0:
+        # i.e. v commutes with every term (fully bit-packed pipeline)
+        nq = PwordOp.n_qubits
+        M = pack.concat_bit_planes(PwordOp.z_pack, nq, PwordOp.x_pack, nq)
+        kernel = gf2.kernel_basis_packed(M, 2 * nq)
+        S_x = gf2.extract_bit_range(kernel, 0, nq)
+        S_z = gf2.extract_bit_range(kernel, nq, nq)
+        W = pack.n_words_for(nq)
+        S_x = np.ascontiguousarray(S_x[:, :W]) if S_x.shape[1] >= W else np.pad(S_x, [(0, 0), (0, W - S_x.shape[1])])
+        S_z = np.ascontiguousarray(S_z[:, :W]) if S_z.shape[1] >= W else np.pad(S_z, [(0, 0), (0, W - S_z.shape[1])])
+        if kernel.shape[0] == 0:
             warnings.warn("The input PauliwordOp has no Z2 symmetries.")
             empty = cls.__new__(cls)
             empty._init_from_planes(
@@ -96,7 +95,7 @@ class IndependentOp(PauliwordOp):
             empty.used_indices = None
             empty.coeff_vec = empty.coeff_vec.real.astype(int)
             return empty
-        S = cls(S_symp, np.ones(S_symp.shape[0]))
+        S = cls.from_planes(S_x, S_z, np.ones(kernel.shape[0]), nq)
         if np.all(S.adjacency_matrix) or commuting_override:
             return S
         # non-commuting symmetries: take the largest commuting subset
