@@ -220,3 +220,45 @@ def kernel_basis_packed(M: np.ndarray, n_bits: int) -> np.ndarray:
     zero_cols = ~np.any(reduced[:R], axis=0)
     basis = reduced[R:, zero_cols].T  # rows = kernel vectors
     return pack_bits(basis, n_bits)
+
+
+def generator_reconstruction_packed(
+    B_joint: np.ndarray, M_joint: np.ndarray, n_bits: int
+):
+    """Packed [B; M] column reduction -> (reconstruction bool[T, dim], mask).
+
+    Fully packed equivalent of the reference readout
+    ``[B; M] -> [I 0; R F]`` (symmer base.py:523-560): column-reduce the
+    stack, mask rows of F with any nonzero entry, return R.  Requires the
+    native transpose; callers fall back to the boolean path otherwise.
+
+    Args:
+        B_joint: packed generator rows over n_bits bits (dim rows).
+        M_joint: packed operator rows over n_bits bits (T rows).
+    """
+    from ..native import gf2core
+
+    if gf2core is None:
+        raise RuntimeError("native module unavailable")
+    dim = B_joint.shape[0]
+    T = M_joint.shape[0]
+    W = max(1, (n_bits + 63) // 64)
+
+    def _fit(A):
+        out = np.zeros((A.shape[0], W), dtype=np.uint64)
+        out[:, : min(W, A.shape[1])] = A[:, : min(W, A.shape[1])]
+        return out
+
+    stacked = np.vstack([_fit(B_joint), _fit(M_joint)])
+    St = gf2core.transpose_bits(stacked, n_bits)      # (n_bits, ceil((dim+T)/64))
+    red = rref_packed_reordered(St)
+    # F block: bits [dim, dim+T) of red rows with index >= dim must vanish
+    # for a term to be reconstructable; occupied columns = OR of those rows
+    occupied = np.bitwise_or.reduce(red[dim:], axis=0) if red.shape[0] > dim else np.zeros(St.shape[1], np.uint64)
+    occ_bits = extract_bit_range(occupied[None, :], dim, T)
+    mask = ~unpack_bits(occ_bits, T)[0]
+    # R block: bits [dim, dim+T) of the first dim rows, transposed to (T, dim)
+    R_cols = extract_bit_range(red[:dim], dim, T)     # (dim, ceil(T/64))
+    R_t = gf2core.transpose_bits(R_cols, T)           # (T, ceil(dim/64))
+    recon = unpack_bits(R_t, dim)
+    return recon, mask

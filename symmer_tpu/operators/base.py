@@ -763,11 +763,23 @@ class PauliwordOp:
         if not override_independence_check:
             assert check_independent(generators), "Supplied generators are algebraically dependent"
         dim = generators.n_terms
-        basis_symp = np.vstack([generators.symp_matrix, self.symp_matrix])
-        reduced = cref_binary(basis_symp)
-        mask_successfully_reconstructed = np.all(~reduced[dim:, dim:], axis=1)
-        op_reconstruction = reduced[dim:, :dim]
-        return op_reconstruction.astype(int), mask_successfully_reconstructed
+        try:
+            from ..kernels.gf2 import generator_reconstruction_packed
+
+            B = pack.concat_bit_planes(
+                generators.x_pack, self.n_qubits, generators.z_pack, self.n_qubits
+            )
+            M = pack.concat_bit_planes(
+                self.x_pack, self.n_qubits, self.z_pack, self.n_qubits
+            )
+            recon, mask = generator_reconstruction_packed(B, M, 2 * self.n_qubits)
+            return recon.astype(int), mask
+        except RuntimeError:  # native module unavailable: boolean fallback
+            basis_symp = np.vstack([generators.symp_matrix, self.symp_matrix])
+            reduced = cref_binary(basis_symp)
+            mask_successfully_reconstructed = np.all(~reduced[dim:, dim:], axis=1)
+            op_reconstruction = reduced[dim:, :dim]
+            return op_reconstruction.astype(int), mask_successfully_reconstructed
 
     def jordan_generator_reconstruction(self, generators: "PauliwordOp"):
         """Reconstruction under the Jordan product (reference base.py:562-602)."""
