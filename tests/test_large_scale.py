@@ -108,3 +108,30 @@ def test_symmetry_discovery_100k_terms():
     S = IndependentOp.symmetry_generators(H, commuting_override=True)
     assert S.n_terms == n_qubits  # diagonal operator: full Z2 symmetry group
     assert np.all(S.commutes_termwise(H[:1000]))
+
+
+@pytest.mark.slow
+def test_full_taper_flow_256q_20k_terms():
+    """End-to-end taper at scale: 256 qubits, 20k terms, partial symmetry."""
+    from symmer_tpu import QubitTapering
+    from symmer_tpu.kernels import pack
+
+    rng = np.random.default_rng(0)
+    n_qubits, n_terms = 256, 20_000
+    W = pack.n_words_for(n_qubits)
+    z = rng.integers(0, 2**64, (n_terms, W), dtype=np.uint64) & pack.qubit_mask(n_qubits)
+    H = PauliwordOp.from_planes(np.zeros_like(z), z, rng.normal(size=n_terms), n_qubits)
+    # off-diagonal terms supported on the first 128 qubits only: the single-Z
+    # operators on the last 128 qubits remain symmetries
+    x_half = rng.integers(0, 2**64, (100, W), dtype=np.uint64) & pack.qubit_mask(128)
+    z_half = rng.integers(0, 2**64, (100, W), dtype=np.uint64) & pack.qubit_mask(n_qubits)
+    H = (
+        H + PauliwordOp.from_planes(x_half, z_half, rng.normal(size=100), n_qubits)
+    ).cleanup()
+
+    QT = QubitTapering(H)
+    assert QT.n_taper >= 128
+    H_taper = QT.taper_it(sector=np.ones(QT.n_taper, dtype=int))
+    assert H_taper.n_qubits == n_qubits - QT.n_taper
+    assert H_taper.n_terms <= H.n_terms
+    assert np.allclose(H_taper.coeff_vec.imag, 0, atol=1e-10)
