@@ -123,7 +123,9 @@ def test_full_taper_flow_256q_20k_terms():
     H = PauliwordOp.from_planes(np.zeros_like(z), z, rng.normal(size=n_terms), n_qubits)
     # off-diagonal terms supported on the first 128 qubits only: the single-Z
     # operators on the last 128 qubits remain symmetries
-    x_half = rng.integers(0, 2**64, (100, W), dtype=np.uint64) & pack.qubit_mask(128)
+    half_mask = np.zeros(W, dtype=np.uint64)
+    half_mask[:2] = ~np.uint64(0)  # qubits 0..127
+    x_half = rng.integers(0, 2**64, (100, W), dtype=np.uint64) & half_mask
     z_half = rng.integers(0, 2**64, (100, W), dtype=np.uint64) & pack.qubit_mask(n_qubits)
     H = (
         H + PauliwordOp.from_planes(x_half, z_half, rng.normal(size=100), n_qubits)
