@@ -74,13 +74,29 @@ def cleanup(
     x: np.ndarray, z: np.ndarray, c: np.ndarray,
     zero_threshold: Optional[float] = None,
 ) -> Planes:
-    """Deduplicate rows, accumulating coefficients; drop |coeff|<=threshold."""
+    """Deduplicate rows, accumulating coefficients; drop |coeff|<=threshold.
+
+    Uses the C++ hash dedup when available (first-occurrence order, matching
+    the reference's Rust ``unordered_unique``); falls back to a sort-based
+    ``np.unique``.
+    """
     if x.shape[0] == 0:
         return x, z, c
-    joint = np.hstack([x, z])
-    uniq, inverse = np.unique(joint, axis=0, return_inverse=True)
+    from .pack import hstack_words
+
+    joint = hstack_words(x, z)
+    try:
+        from ..native import gf2core
+    except Exception:  # pragma: no cover
+        gf2core = None
+    if gf2core is not None:
+        first_idx, inverse = gf2core.unique_rows(joint)
+        uniq = joint[first_idx]
+    else:
+        uniq, inverse = np.unique(joint, axis=0, return_inverse=True)
+        inverse = inverse.reshape(-1)
     c_out = np.zeros(uniq.shape[0], dtype=np.result_type(c.dtype, np.complex64))
-    np.add.at(c_out, inverse.reshape(-1), c)
+    np.add.at(c_out, inverse, c)
     W = x.shape[1]
     xo, zo = uniq[:, :W], uniq[:, W:]
     if zero_threshold is not None:

@@ -137,6 +137,22 @@ def from_u32(pack32: np.ndarray) -> np.ndarray:
     return pack32.view(np.uint64)
 
 
+def hstack_words(*arrays: np.ndarray) -> np.ndarray:
+    """Fast word-wise horizontal concat of packed planes.
+
+    numpy's axis-1 concatenate on uint64 hits a pathological slow path
+    (~250x slower than preallocate+assign at 250k rows on numpy 2.0).
+    """
+    rows = arrays[0].shape[0]
+    widths = [a.shape[1] for a in arrays]
+    out = np.empty((rows, sum(widths)), dtype=np.uint64)
+    ofs = 0
+    for a, w in zip(arrays, widths):
+        out[:, ofs : ofs + w] = a
+        ofs += w
+    return out
+
+
 def concat_bit_planes(a_pack: np.ndarray, n_a: int, b_pack: np.ndarray, n_b: int) -> np.ndarray:
     """Concatenate two packed bit planes at the BIT level: rows of n_a + n_b bits.
 
@@ -162,5 +178,5 @@ def concat_bit_planes(a_pack: np.ndarray, n_a: int, b_pack: np.ndarray, n_b: int
 
 def rows_to_bytes(x_pack: np.ndarray, z_pack: np.ndarray) -> List[bytes]:
     """Hashable canonical key per term (used in host dictionaries)."""
-    joint = np.hstack([x_pack, z_pack])
+    joint = hstack_words(x_pack, z_pack)
     return [row.tobytes() for row in joint]

@@ -422,10 +422,11 @@ class PauliwordOp:
 
     def __hash__(self) -> int:
         op = self.cleanup()
-        order = np.lexsort(np.hstack([op.x_pack, op.z_pack]).T)
+        joint = pack.hstack_words(op.x_pack, op.z_pack)
+        order = np.lexsort(joint.T)
         key = (
             op.n_qubits,
-            np.hstack([op.x_pack, op.z_pack])[order].tobytes(),
+            joint[order].tobytes(),
             np.round(op.coeff_vec[order], 10).tobytes(),
         )
         return hash(key)
@@ -719,7 +720,7 @@ class PauliwordOp:
     @cached_property
     def generators(self) -> "PauliwordOp":
         """Independent generating set via packed GF(2) row reduction."""
-        joint = np.hstack([self.x_pack, self.z_pack])
+        joint = pack.hstack_words(self.x_pack, self.z_pack)
         red = gf2.rref_packed(joint)
         nonzero = np.any(red, axis=1)
         red = red[nonzero]

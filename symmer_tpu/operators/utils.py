@@ -80,7 +80,7 @@ def check_independent(operators) -> bool:
     """True iff the terms are algebraically independent under multiplication."""
     if operators.n_terms > 2 * operators.n_qubits:
         return False
-    joint = np.hstack([operators.x_pack, operators.z_pack])
+    joint = pack.hstack_words(operators.x_pack, operators.z_pack)
     red = gf2.rref_packed(joint)
     return not bool(np.any(~np.any(red, axis=1)))
 
@@ -94,7 +94,7 @@ def check_jordan_independent(operators) -> bool:
         return False
     # row-reduce with Y treated as independent letter: [X^Y | Z^Y | Y]
     y = operators.x_pack & operators.z_pack
-    xzy = np.hstack([operators.x_pack ^ y, operators.z_pack ^ y, y])
+    xzy = pack.hstack_words(operators.x_pack ^ y, operators.z_pack ^ y, y)
     red = gf2.rref_packed(xzy)
     return not bool(np.any(~np.any(red, axis=1)))
 
