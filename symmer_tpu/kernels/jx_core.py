@@ -110,7 +110,9 @@ def row_hashes(x: jnp.ndarray, z: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
     T, WW = words.shape
     hs = []
     for mult, init in zip(_HASH_MULT, _HASH_INIT):
-        h = jnp.full((T,), init, dtype=UINT)
+        # (words[:,0] & 0) makes the carry inherit the operands' varying
+        # manual axes, so the fori_loop is well-typed under shard_map
+        h = jnp.full((T,), init, dtype=UINT) | (words[:, 0] & UINT(0))
 
         def body(i, h):
             w = words[:, i]

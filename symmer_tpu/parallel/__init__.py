@@ -21,6 +21,7 @@ import os
 from typing import Callable, Iterable
 
 from .mesh import get_mesh, mesh_context, shard_terms  # noqa: F401
+from .distributed import distributed_cleanup  # noqa: F401
 
 
 class ProcessHandler:
