@@ -65,6 +65,24 @@ def test_contextual_subspace_error_decay(name):
 
 
 @pytest.mark.slow
+def test_beh2_contextual_subspace_error_decay():
+    """BeH2 STO-3G (14 qubits): CS-VQE energy-vs-qubits sweep
+    (BASELINE.md lists H2/LiH/BeH2/N2 as the reference CS-VQE configs)."""
+    data = _load("BeH2_STO-3G_SINGLET_JW.json")
+    H = PauliwordOp.from_dictionary(data["hamiltonian"])
+    fci = data["data"]["calculated_properties"]["FCI"]["energy"]
+    QSM = QubitSubspaceManager(H, ref_state=np.asarray(data["data"]["hf_array"]))
+    full = QSM._hamiltonian.n_qubits
+    errs = []
+    for n in [3, 5, full]:
+        H_red = QSM.get_reduced_hamiltonian(n)
+        errs.append(abs(exact_gs_energy(H_red.to_sparse_matrix)[0] - fci))
+    assert errs[-1] < 1e-8           # full tapering exact
+    assert errs[0] < 0.1             # small CS close
+    assert errs[1] <= errs[0] + 1e-6  # monotone improvement with more qubits
+
+
+@pytest.mark.slow
 def test_h2o_dmrg_auto_reference():
     """14-qubit H2O: auto-reference via the native DMRG (> 12-qubit path)."""
     data = _load("H2O_STO-3G_SINGLET_JW.json")
