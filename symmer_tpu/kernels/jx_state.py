@@ -103,6 +103,16 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
     WINDOW candidates.  A false match requires a 96-bit hash collision
     (probability ~ T B^2 / 2^96 -- negligible); a true match is missed only if
     more than WINDOW distinct state rows share the lane-1 value.
+
+    The candidate fetch is an MXU one-hot contraction, not a gather: on this
+    TPU path a (T, B) gather from a B-sized table costs ~40 ms at 10k x 512
+    while the equivalent one-hot matmul costs ~3 ms.  The WINDOW candidates
+    share one one-hot matrix by pre-rolling the lookup table: candidate k of
+    position p is row (p + k) mod B, so fetching from roll(table, -k) at
+    position p.  The modular wrap (instead of a clip) also guarantees the
+    WINDOW candidate positions are distinct, so a true match can never be
+    double-counted (a clip aliases pos+k >= B onto row B-1 for several k).
+    Hash words are compared as two exact 16-bit halves in the float domain.
     """
     T, W = x.shape
     B = s.shape[0]
@@ -119,8 +129,6 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
     th = tuple(jnp.full((T, B), init, dtype=jnp.uint32) for init in _HASH3_INIT)
     th = lax.fori_loop(0, 2 * W, lambda w, c: _target_hash_step(w, c, x, s), th)
 
-    pos = jnp.searchsorted(hs1_sorted, th[0].reshape(-1)).reshape(T, B)
-
     # phases: (-i)^{|Y_t|} (-1)^{popcount((s_b ^ x_t) & z_t)} * c_t
     y_cnt = jx_core.y_count(x, z)
     par = jnp.zeros((T, B), jnp.int32)
@@ -136,24 +144,83 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
     ti = pi[:, None] * sign
 
     basis_valid = jnp.arange(B) < n_basis
-    total_r = jnp.zeros((), fdt)
-    total_i = jnp.zeros((), fdt)
-    for k in range(WINDOW):
-        cand_pos = jnp.clip(pos + k, 0, B - 1)
-        cand = order[cand_pos]  # (T, B) candidate basis index
-        match = (
-            (th[0] == hs[0][cand]) & (th[1] == hs[1][cand]) & (th[2] == hs[2][cand])
-        )
-        match = match & basis_valid[None, :] & basis_valid[cand]
-        # contribution: (tr + i ti) * a_b * conj(a_cand)
-        ab_r, ab_i = ar[None, :], ai[None, :]
-        ac_r, ac_i = ar[cand], -ai[cand]
-        m1r = tr * ab_r - ti * ab_i
-        m1i = tr * ab_i + ti * ab_r
-        cr_ = m1r * ac_r - m1i * ac_i
-        ci_ = m1r * ac_i + m1i * ac_r
-        total_r = total_r + jnp.sum(jnp.where(match, cr_, 0))
-        total_i = total_i + jnp.sum(jnp.where(match, ci_, 0))
+
+    # lookup table in sorted order, all lanes as exact float 16-bit halves
+    # (<= 65535 is exact in f32; invalid rows get the sentinel half 65536,
+    # which no real half can equal, and zeroed amplitudes)
+    valid_sorted = basis_valid[order]
+    sentinel = jnp.asarray(65536.0, fdt)
+
+    def halves(h):
+        return (h & jnp.uint32(0xFFFF)).astype(fdt), (h >> jnp.uint32(16)).astype(fdt)
+
+    cols = []
+    for lane in range(3):
+        lo, hi = halves(hs[lane][order])
+        cols.append(jnp.where(valid_sorted, lo, sentinel))
+        cols.append(jnp.where(valid_sorted, hi, sentinel))
+    cols.append(jnp.where(valid_sorted, ar[order], 0))
+    cols.append(jnp.where(valid_sorted, ai[order], 0))
+    table = jnp.stack(cols, axis=1)  # (B, 8)
+    # candidate k = row (pos + k) mod B: pre-roll the table per window slot
+    table_wide = jnp.concatenate(
+        [jnp.roll(table, -k, axis=0) for k in range(WINDOW)], axis=1
+    )  # (B, 8 * WINDOW)
+
+    th_halves = []
+    for lane in range(3):
+        lo, hi = halves(th[lane])
+        th_halves.append((lo, hi))
+
+    ab_r, ab_i = ar[None, :], ai[None, :]
+    bvalid = basis_valid[None, :]
+    # one-hot fetch + match + contribution, blocked over the term axis so the
+    # (Tb, B, B) one-hot stays bounded.  The one-hot itself is built from a
+    # monotone compare against the sorted keys (first c with key[c] >= target)
+    # rather than jnp.searchsorted -- the binary search's serial gathers cost
+    # ~420 ms alone at 10k x 512 on this TPU path, the compare is pure VPU.
+    Tb = min(T, 128)
+    n_blocks = -(-T // Tb)
+    pad = n_blocks * Tb - T
+
+    def pad_t(a, fill=0):
+        return jnp.pad(a, ((0, pad), (0, 0)), constant_values=fill) if pad else a
+
+    th0_p = pad_t(th[0])
+    th_p = [(pad_t(lo), pad_t(hi)) for lo, hi in th_halves]
+    tr_p, ti_p = pad_t(tr), pad_t(ti)
+
+    def block(carry, i):
+        total_r, total_i = carry
+        sl = lambda a: lax.dynamic_slice(a, (i * Tb, 0), (Tb, B))
+        ge = hs1_sorted[None, None, :] >= sl(th0_p)[:, :, None]  # (Tb, B, B)
+        # keys sorted => ge monotone in c; the first True is the candidate
+        oh = (ge & ~jnp.pad(ge[:, :, :-1], ((0, 0), (0, 0), (1, 0)))).astype(fdt)
+        vals = jnp.einsum(
+            "abc,cf->abf", oh, table_wide,
+            preferred_element_type=fdt,
+        )  # (Tb, B, 8 * WINDOW)
+        trb, tib = sl(tr_p), sl(ti_p)
+        for k in range(WINDOW):
+            v = vals[:, :, 8 * k : 8 * (k + 1)]
+            match = bvalid
+            for lane in range(3):
+                lo, hi = th_p[lane]
+                match = match & (sl(lo) == v[:, :, 2 * lane]) & (
+                    sl(hi) == v[:, :, 2 * lane + 1]
+                )
+            ac_r, ac_i = v[:, :, 6], -v[:, :, 7]
+            m1r = trb * ab_r - tib * ab_i
+            m1i = trb * ab_i + tib * ab_r
+            cr_ = m1r * ac_r - m1i * ac_i
+            ci_ = m1r * ac_i + m1i * ac_r
+            total_r = total_r + jnp.sum(jnp.where(match, cr_, 0))
+            total_i = total_i + jnp.sum(jnp.where(match, ci_, 0))
+        return (total_r, total_i), 0
+
+    (total_r, total_i), _ = lax.scan(
+        block, (jnp.zeros((), fdt), jnp.zeros((), fdt)), jnp.arange(n_blocks)
+    )
     return total_r, total_i
 
 
