@@ -116,7 +116,7 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
     """
     T, W = x.shape
     B = s.shape[0]
-    WINDOW = 4
+    WINDOW = min(4, B)  # > B would wrap the roll fully around and re-visit rows
     fdt = cr.dtype
 
     # state-row hashes: lane 1 is the lookup key; all lanes compared on match

@@ -1,5 +1,6 @@
 """Device state-kernel parity vs the host one-sparse implementation."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -58,6 +59,22 @@ def test_device_expval_matches_host():
     re, im = jax.jit(jx_state.expval)(x, z, cr, ci, s, ar, ai, s.shape[0])
     assert np.isclose(float(re), host, atol=1e-10)
     assert abs(float(im)) < 1e-10
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_device_expval_fuzz_small_basis(seed):
+    """Many tiny-basis cases: with B ~ 4 the lookup window spans most of the
+    table, the regime where a clip-based window double-counted matches at the
+    last sorted position (regression for the one-hot roll fix)."""
+    rng = np.random.default_rng(seed)
+    nq = int(rng.integers(2, 6))
+    op = PauliwordOp.random(nq, int(rng.integers(2, 9)), density=0.8).cleanup()
+    psi = QuantumState.random(nq, int(rng.integers(1, 5)))
+    host = complex(psi.dagger * (op * psi))
+    x, z, cr, ci = _planes(op)
+    s, ar, ai = _state(psi)
+    re, im = jax.jit(jx_state.expval)(x, z, cr, ci, s, ar, ai, s.shape[0])
+    assert abs(complex(float(re), float(im)) - host) < 1e-10
 
 
 def test_inner_product_sorted():
