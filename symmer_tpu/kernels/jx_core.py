@@ -34,12 +34,14 @@ from jax import lax
 
 UINT = jnp.uint32
 
-# multiply-xor mixing constants for the 4x32-bit row hash (collision
-# probability ~ n^3 / 2^128 -- and collisions can only ever *split* a
-# coefficient group, never merge distinct Pauli terms, since group boundaries
-# compare full rows)
-_HASH_MULT = (0x9E3779B1, 0x85EBCA77)
-_HASH_INIT = (0x811C9DC5, 0xDEADBEEF)
+# multiply-xor mixing constants for the 32-bit row-hash lanes.  The default
+# cleanup groups rows by the full 4-lane (128-bit) signature: the probability
+# that any two of n distinct rows collide is ~ n^2 / 2^129 (~1e-29 at n=2^18,
+# far below f32 coefficient noise); cleanup_sorted(exact=True) instead
+# compares full rows at group boundaries, where a 2-lane sort-key collision
+# can only ever split a group, never merge distinct Pauli terms.
+_HASH_MULT = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F)
+_HASH_INIT = (0x811C9DC5, 0xDEADBEEF, 0x1B873593, 0x165667B1)
 
 
 def pc(a: jnp.ndarray) -> jnp.ndarray:
@@ -102,14 +104,16 @@ def mul_single(x, z, cr, ci, xr, zr):
     return xo, zo, pr, pi
 
 
-def row_hashes(x: jnp.ndarray, z: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
-    """Two independent 32-bit mixes of each packed row (64 sort-key bits --
-    used only to bring equal rows adjacent; group boundaries always compare
-    the full rows, so a collision can only split a group, never merge)."""
+def row_hashes(x: jnp.ndarray, z: jnp.ndarray, lanes: int = 2) -> Tuple[jnp.ndarray, ...]:
+    """``lanes`` independent 32-bit mixes of each packed row.
+
+    Two lanes (64 bits) serve as sort keys where group boundaries compare the
+    full rows (a collision can only split a group, never merge); four lanes
+    (128 bits) serve as the grouping signature of the default cleanup."""
     words = jnp.concatenate([x, z], axis=1)  # (T, 2W)
     T, WW = words.shape
     hs = []
-    for mult, init in zip(_HASH_MULT, _HASH_INIT):
+    for mult, init in zip(_HASH_MULT[:lanes], _HASH_INIT[:lanes]):
         # (words[:,0] & 0) makes the carry inherit the operands' varying
         # manual axes, so the fori_loop is well-typed under shard_map
         h = jnp.full((T,), init, dtype=UINT) | (words[:, 0] & UINT(0))
@@ -136,6 +140,7 @@ def cleanup_sorted(
     ci: jnp.ndarray,
     n_valid: jnp.ndarray,
     zero_threshold: Optional[jnp.ndarray] = None,
+    exact: bool = False,
 ):
     """Deduplicate terms: sort by hashed keys, segment-sum coefficients.
 
@@ -145,6 +150,12 @@ def cleanup_sorted(
         n_valid: scalar count of valid rows.
         zero_threshold: optional scalar; terms with |coeff| <= threshold are
             dropped (matching symmer cleanup semantics).
+        exact: group boundaries compare full rows (slower: the sorted row
+            planes must be materialised).  The default groups by the sorted
+            128-bit hash signature instead, so the only full-row traffic is
+            one gather of the surviving representatives -- at 2^18 rows the
+            chance of any signature collision is ~1e-29, far below float
+            coefficient noise.
 
     Returns:
         (x_out, z_out, cr_out, ci_out, n_out): compacted arrays of static
@@ -153,24 +164,39 @@ def cleanup_sorted(
     T, W = x.shape
     valid = jnp.arange(T) < n_valid
     invalid_flag = (~valid).astype(UINT)
-    h1, h2 = row_hashes(x, z)
-    perm = jnp.lexsort((h2, h1, invalid_flag))
-    xs, zs = x[perm], z[perm]
-    crs, cis = cr[perm], ci[perm]
-    vs = valid[perm]
-    crs = jnp.where(vs, crs, 0)
-    cis = jnp.where(vs, cis, 0)
+    idx = jnp.arange(T)
 
-    joint = jnp.concatenate([xs, zs], axis=1)
-    same_as_prev = jnp.concatenate([
-        jnp.array([False]),
-        _rows_equal(joint[1:], joint[:-1]) & vs[1:] & vs[:-1],
-    ])
+    if exact:
+        h1, h2 = row_hashes(x, z)
+        perm = jnp.lexsort((h2, h1, invalid_flag))
+        xs, zs = x[perm], z[perm]
+        vs = valid[perm]
+        joint = jnp.concatenate([xs, zs], axis=1)
+        same_as_prev = jnp.concatenate([
+            jnp.array([False]),
+            _rows_equal(joint[1:], joint[:-1]) & vs[1:] & vs[:-1],
+        ])
+    else:
+        h1, h2, h3, h4 = row_hashes(x, z, lanes=4)
+        invs, h1s, h2s, h3s, h4s, perm = lax.sort(
+            (invalid_flag, h1, h2, h3, h4, idx.astype(UINT)), num_keys=5
+        )
+        perm = perm.astype(jnp.int32)
+        vs = invs == 0
+        same_as_prev = jnp.concatenate([
+            jnp.array([False]),
+            (h1s[1:] == h1s[:-1]) & (h2s[1:] == h2s[:-1])
+            & (h3s[1:] == h3s[:-1]) & (h4s[1:] == h4s[:-1])
+            & vs[1:] & vs[:-1],
+        ])
+
+    crs = jnp.where(vs, cr[perm], 0)
+    cis = jnp.where(vs, ci[perm], 0)
+
     boundary = (~same_as_prev) & vs
     seg_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # -1 for leading invalids
     seg_id = jnp.where(vs, seg_id, T - 1)
     n_unique = jnp.sum(boundary.astype(jnp.int32))
-    idx = jnp.arange(T)
 
     # exact segment sums via one stacked scatter-add (prefix-sum differences
     # would cancel catastrophically for segments that sum to ~0, which is
@@ -190,25 +216,25 @@ def cleanup_sorted(
             cr_sum * cr_sum + ci_sum * ci_sum > zero_threshold * zero_threshold
         )
         # stable compaction via prefix sums (no second sort)
-        dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        dest = jnp.where(keep, dest, T - 1)
+        dest = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, T)
         n_out = jnp.sum(keep.astype(jnp.int32))
-        # gather representatives straight from the sorted rows: row k's
-        # representative lives at sorted position starts[k]
-        src = starts[:T]
-        x_o = jnp.zeros_like(xs).at[dest].set(jnp.where(keep[:, None], xs[src], 0))
-        z_o = jnp.zeros_like(zs).at[dest].set(jnp.where(keep[:, None], zs[src], 0))
-        cr_o = jnp.zeros_like(cr_sum).at[dest].set(jnp.where(keep, cr_sum, 0))
-        ci_o = jnp.zeros_like(ci_sum).at[dest].set(jnp.where(keep, ci_sum, 0))
         final = idx < n_out
-        x_o = jnp.where(final[:, None], x_o, 0)
-        z_o = jnp.where(final[:, None], z_o, 0)
-        cr_o = jnp.where(final, cr_o, 0)
-        ci_o = jnp.where(final, ci_o, 0)
+        # output position j's segment index (scatter of a small int vector;
+        # out-of-range dest rows are dropped)
+        kseg = jnp.zeros(T, jnp.int32).at[dest].set(jnp.where(keep, idx, 0))
+        kseg = jnp.where(final, kseg, 0)
+        # representative of segment k lives at sorted position starts[k];
+        # compose through perm so the full rows are gathered exactly once
+        orig = perm[jnp.clip(starts[kseg], 0, T - 1)]
+        x_o = jnp.where(final[:, None], x[orig], 0)
+        z_o = jnp.where(final[:, None], z[orig], 0)
+        cr_o = jnp.where(final, cr_sum[kseg], 0)
+        ci_o = jnp.where(final, ci_sum[kseg], 0)
         return x_o, z_o, cr_o, ci_o, n_out
 
-    x_u = jnp.zeros_like(xs).at[seg_id].set(jnp.where(vs[:, None], xs, 0))
-    z_u = jnp.zeros_like(zs).at[seg_id].set(jnp.where(vs[:, None], zs, 0))
+    orig = perm[jnp.clip(starts[:T], 0, T - 1)]
+    x_u = jnp.where(in_range[:, None], x[orig], 0)
+    z_u = jnp.where(in_range[:, None], z[orig], 0)
     return x_u, z_u, cr_sum, ci_sum, n_unique
 
 
