@@ -131,10 +131,19 @@ def main():
     cb = jnp.ones(1, jnp.float32)
     cz = jnp.zeros(1, jnp.float32)
 
-    def _mul_reduced(*a):
-        # reduce over the full output so XLA cannot dead-code-eliminate the
-        # 100M-qubit product (a sliced output would)
-        xo, zo, cro, cio = jx_core.mul_pairs(*a)
+    # One mul at this size is ~0.3 ms -- at dispatch-noise level for the
+    # amortised estimator.  Chain R muls inside one jit with a data
+    # dependency (each iteration consumes the previous product, rolled one
+    # word so the chain cannot collapse to an alternation), reduce at the
+    # end so nothing dead-code-eliminates, and report total / R.
+    R_CHAIN = 32
+
+    def _mul_chained(x1, z1, c1r, c1i, x2, z2, c2r, c2i):
+        def body(_, carry):
+            xc, zc, crc, cic = carry
+            xo, zo, cro, cio = jx_core.mul_pairs(xc, zc, crc, cic, x2, z2, c2r, c2i)
+            return jnp.roll(xo, 1, axis=1), jnp.roll(zo, 1, axis=1), cro, cio
+        xo, zo, cro, cio = jax.lax.fori_loop(0, R_CHAIN, body, (x1, z1, c1r, c1i))
         return (
             jnp.sum(jax.lax.population_count(xo).astype(jnp.int32))
             + jnp.sum(jax.lax.population_count(zo).astype(jnp.int32)),
@@ -142,12 +151,13 @@ def main():
             cio[0],
         )
 
-    mul1 = jax.jit(_mul_reduced)
+    mul1 = jax.jit(_mul_chained)
     t_big = _amortized_time(
         lambda: mul1(xb1, zb1, cb, cz, xb2, zb2, cb, cz),
         lambda out: int(out[0]),
+        K=4,
     )
-    results["mul_100M_qubit_single_terms_ms"] = t_big * 1e3
+    results["mul_100M_qubit_single_terms_ms"] = t_big / R_CHAIN * 1e3
 
     for k, v in results.items():
         baseline_ms = 1000.0  # reference: ~1 s on a laptop for each op

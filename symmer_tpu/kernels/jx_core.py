@@ -176,66 +176,105 @@ def cleanup_sorted(
             jnp.array([False]),
             _rows_equal(joint[1:], joint[:-1]) & vs[1:] & vs[:-1],
         ])
-    else:
-        h1, h2, h3, h4 = row_hashes(x, z, lanes=4)
-        invs, h1s, h2s, h3s, h4s, perm = lax.sort(
-            (invalid_flag, h1, h2, h3, h4, idx.astype(UINT)), num_keys=5
-        )
-        perm = perm.astype(jnp.int32)
-        vs = invs == 0
-        same_as_prev = jnp.concatenate([
-            jnp.array([False]),
-            (h1s[1:] == h1s[:-1]) & (h2s[1:] == h2s[:-1])
-            & (h3s[1:] == h3s[:-1]) & (h4s[1:] == h4s[:-1])
-            & vs[1:] & vs[:-1],
-        ])
+        crs = jnp.where(vs, cr[perm], 0)
+        cis = jnp.where(vs, ci[perm], 0)
 
-    crs = jnp.where(vs, cr[perm], 0)
-    cis = jnp.where(vs, ci[perm], 0)
+        boundary = (~same_as_prev) & vs
+        seg_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+        seg_id = jnp.where(vs, seg_id, T - 1)
+        n_unique = jnp.sum(boundary.astype(jnp.int32))
 
+        # exact segment sums via one stacked scatter-add (prefix-sum
+        # differences would cancel catastrophically for segments that sum to
+        # ~0, precisely the case the zero threshold must detect)
+        starts = jnp.full(T + 1, n_valid, dtype=jnp.int32).at[
+            jnp.where(boundary, seg_id, T)
+        ].min(idx.astype(jnp.int32))
+        c_pair = jnp.stack([crs, cis], axis=1)
+        c_sum = jax.ops.segment_sum(c_pair, seg_id, num_segments=T)
+        cr_sum, ci_sum = c_sum[:, 0], c_sum[:, 1]
+        in_range = idx < n_unique
+        cr_sum = jnp.where(in_range, cr_sum, 0)
+        ci_sum = jnp.where(in_range, ci_sum, 0)
+
+        if zero_threshold is not None:
+            keep = in_range & (
+                cr_sum * cr_sum + ci_sum * ci_sum
+                > zero_threshold * zero_threshold
+            )
+            dest = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, T)
+            n_out = jnp.sum(keep.astype(jnp.int32))
+            final = idx < n_out
+            kseg = jnp.zeros(T, jnp.int32).at[dest].set(jnp.where(keep, idx, 0))
+            kseg = jnp.where(final, kseg, 0)
+            orig = perm[jnp.clip(starts[kseg], 0, T - 1)]
+            x_o = jnp.where(final[:, None], x[orig], 0)
+            z_o = jnp.where(final[:, None], z[orig], 0)
+            cr_o = jnp.where(final, cr_sum[kseg], 0)
+            ci_o = jnp.where(final, ci_sum[kseg], 0)
+            return x_o, z_o, cr_o, ci_o, n_out
+
+        orig = perm[jnp.clip(starts[:T], 0, T - 1)]
+        x_u = jnp.where(in_range[:, None], x[orig], 0)
+        z_u = jnp.where(in_range[:, None], z[orig], 0)
+        return x_u, z_u, cr_sum, ci_sum, n_unique
+
+    # ---- fast path: group by the sorted 128-bit signature ------------------
+    # Everything is laid out per *sorted row*; segment machinery (seg ids,
+    # start tables, per-segment gathers) is replaced by one cummax and
+    # scatters indexed by the run start, which costs ~3 scatters + 1 gather
+    # total on the TPU (each 1-D scatter/gather at 200k rows costs 1-3 ms, so
+    # every removed table lookup matters).
+    h1, h2, h3, h4 = row_hashes(x, z, lanes=4)
+    ubits = jnp.uint64 if cr.dtype.itemsize == 8 else UINT
+    fbits = lambda f: lax.bitcast_convert_type(f, ubits)
+    funbits = lambda u: lax.bitcast_convert_type(u, cr.dtype)
+    invs, h1s, h2s, h3s, h4s, perm_u, crb, cib = lax.sort(
+        (
+            invalid_flag, h1, h2, h3, h4,
+            idx.astype(UINT), fbits(cr), fbits(ci),
+        ),
+        num_keys=5,
+    )
+    perm = perm_u.astype(jnp.int32)
+    vs = invs == 0
+    crs = jnp.where(vs, funbits(crb), 0)
+    cis = jnp.where(vs, funbits(cib), 0)
+    same_as_prev = jnp.concatenate([
+        jnp.array([False]),
+        (h1s[1:] == h1s[:-1]) & (h2s[1:] == h2s[:-1])
+        & (h3s[1:] == h3s[:-1]) & (h4s[1:] == h4s[:-1])
+        & vs[1:] & vs[:-1],
+    ])
     boundary = (~same_as_prev) & vs
-    seg_id = jnp.cumsum(boundary.astype(jnp.int32)) - 1  # -1 for leading invalids
-    seg_id = jnp.where(vs, seg_id, T - 1)
-    n_unique = jnp.sum(boundary.astype(jnp.int32))
-
-    # exact segment sums via one stacked scatter-add (prefix-sum differences
-    # would cancel catastrophically for segments that sum to ~0, which is
-    # precisely the case the zero threshold must detect)
-    starts = jnp.full(T + 1, n_valid, dtype=jnp.int32).at[
-        jnp.where(boundary, seg_id, T)
-    ].min(idx.astype(jnp.int32))
+    # run_start[i] = sorted position of row i's segment boundary
+    run_start = lax.cummax(jnp.where(boundary, idx, -1))
+    run_start = jnp.maximum(run_start, 0)
+    # exact segment sums landing AT the boundary rows (single stacked
+    # scatter-add; prefix-sum differences would cancel catastrophically)
     c_pair = jnp.stack([crs, cis], axis=1)
-    c_sum = jax.ops.segment_sum(c_pair, seg_id, num_segments=T)
-    cr_sum, ci_sum = c_sum[:, 0], c_sum[:, 1]
-    in_range = idx < n_unique
-    cr_sum = jnp.where(in_range, cr_sum, 0)
-    ci_sum = jnp.where(in_range, ci_sum, 0)
+    c_at_start = jnp.zeros((T, 2), cr.dtype).at[run_start].add(c_pair)
+    cr_sum = jnp.where(boundary, c_at_start[:, 0], 0)
+    ci_sum = jnp.where(boundary, c_at_start[:, 1], 0)
 
     if zero_threshold is not None:
-        keep = in_range & (
+        is_out = boundary & (
             cr_sum * cr_sum + ci_sum * ci_sum > zero_threshold * zero_threshold
         )
-        # stable compaction via prefix sums (no second sort)
-        dest = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, T)
-        n_out = jnp.sum(keep.astype(jnp.int32))
-        final = idx < n_out
-        # output position j's segment index (scatter of a small int vector;
-        # out-of-range dest rows are dropped)
-        kseg = jnp.zeros(T, jnp.int32).at[dest].set(jnp.where(keep, idx, 0))
-        kseg = jnp.where(final, kseg, 0)
-        # representative of segment k lives at sorted position starts[k];
-        # compose through perm so the full rows are gathered exactly once
-        orig = perm[jnp.clip(starts[kseg], 0, T - 1)]
-        x_o = jnp.where(final[:, None], x[orig], 0)
-        z_o = jnp.where(final[:, None], z[orig], 0)
-        cr_o = jnp.where(final, cr_sum[kseg], 0)
-        ci_o = jnp.where(final, ci_sum[kseg], 0)
-        return x_o, z_o, cr_o, ci_o, n_out
-
-    orig = perm[jnp.clip(starts[:T], 0, T - 1)]
-    x_u = jnp.where(in_range[:, None], x[orig], 0)
-    z_u = jnp.where(in_range[:, None], z[orig], 0)
-    return x_u, z_u, cr_sum, ci_sum, n_unique
+    else:
+        is_out = boundary
+    dest = jnp.where(is_out, jnp.cumsum(is_out.astype(jnp.int32)) - 1, T)
+    n_out = jnp.sum(is_out.astype(jnp.int32))
+    final = idx < n_out
+    out_orig = jnp.zeros(T, jnp.int32).at[dest].set(jnp.where(is_out, perm, 0))
+    out_c = jnp.zeros((T, 2), cr.dtype).at[dest].set(
+        jnp.where(is_out[:, None], c_at_start, 0)
+    )
+    x_o = jnp.where(final[:, None], x[out_orig], 0)
+    z_o = jnp.where(final[:, None], z[out_orig], 0)
+    cr_o = jnp.where(final, out_c[:, 0], 0)
+    ci_o = jnp.where(final, out_c[:, 1], 0)
+    return x_o, z_o, cr_o, ci_o, n_out
 
 
 def anticommutes(x1, z1, x2, z2) -> jnp.ndarray:
