@@ -12,6 +12,11 @@ import numpy as np
 
 from ..kernels import gf2, np_core, pack
 
+try:
+    from ..native import gf2core
+except Exception:  # pragma: no cover
+    gf2core = None
+
 
 # ---------------------------------------------------------------------------
 # string <-> symplectic (reference operators/utils.py:80-163)
@@ -104,10 +109,23 @@ def check_adjmat_noncontextual(adjmat: np.ndarray) -> bool:
 
     (reference operators/utils.py:567-589, after arXiv:1904.02260)
     """
-    mask_non_universal = np.where(~np.all(adjmat, axis=1))[0]
-    unique_commutation_character = np.unique(
-        adjmat[mask_non_universal, :][:, mask_non_universal], axis=0
-    )
+    non_universal = ~np.all(adjmat, axis=1)
+    if gf2core is not None and adjmat.shape[0] > 64:
+        # The reference's np.unique(axis=0) on the doubly-masked M x M bool
+        # matrix costs seconds at M ~ 10^4 (the column gather alone is ~4 s).
+        # Universal columns are constant True on every row (the matrix is a
+        # symmetric commutation adjacency), so dropping them cannot change
+        # row uniqueness: dedup the *full* non-universal rows packed, and
+        # apply the column mask only to the final per-column count.
+        rows = np.ascontiguousarray(adjmat[non_universal])
+        if rows.shape[0] == 0:
+            return True
+        packed = pack.pack_bits(rows)
+        first_idx, _ = gf2core.unique_rows(packed)
+        counts = rows[np.sort(first_idx)].sum(axis=0)
+        return bool(np.all(counts[non_universal] == 1))
+    sub = adjmat[non_universal][:, non_universal]
+    unique_commutation_character = np.unique(sub, axis=0)
     return bool(np.all(np.count_nonzero(unique_commutation_character, axis=0) == 1))
 
 

@@ -124,3 +124,28 @@ def test_unit_n_sphere():
     angles = rng.uniform(0, np.pi, 4)
     coords = unit_n_sphere_cartesian_coords(angles)
     assert np.isclose(np.linalg.norm(coords), 1)
+
+
+def test_check_adjmat_noncontextual_large_matches_reference_formula():
+    """The packed hash-dedup path (> 64 rows) must agree with the reference
+    np.unique formulation on both random and clique-structured matrices."""
+    import numpy as np
+
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        m = int(rng.integers(65, 220))
+        if seed % 2:
+            A = rng.integers(0, 2, (m, m)).astype(bool)
+            A |= A.T
+            np.fill_diagonal(A, True)
+        else:
+            k = int(rng.integers(2, 6))
+            labels = rng.integers(0, k, m)
+            A = labels[:, None] == labels[None, :]
+            A[labels == 0] = True
+            A[:, labels == 0] = True
+        nm = ~np.all(A, axis=1)
+        sub = A[nm][:, nm]
+        u = np.unique(sub, axis=0)
+        want = bool(np.all(np.count_nonzero(u, axis=0) == 1))
+        assert check_adjmat_noncontextual(A) == want, seed
