@@ -265,3 +265,45 @@ def _jitted_expval():
     from . import jx_state
 
     return jax.jit(jx_state.expval)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_apply_state():
+    import jax
+
+    from . import jx_state
+
+    def _apply(x, z, cr, ci, s, ar, ai, th):
+        bits, br, bi = jx_state.apply_to_ket(x, z, cr, ci, s, ar, ai)
+        return jx_state.cleanup_state(bits, br, bi, bits.shape[0], th)
+
+    return jax.jit(_apply)
+
+
+def apply_state(x, z, c, s_pack, amps, zero_threshold):
+    """O|psi> (packed planes in, deduplicated packed state out) with
+    host/device dispatch -- the device path never materialises the (T*B)
+    product rows on the host (reference base.py:832-876 new_basis_action)."""
+    from . import state_core
+
+    T, W = x.shape
+    B = s_pack.shape[0]
+    if not config.use_device(T * B * W):
+        kernel_stats.record("apply_state", device=False)
+        bits, out = state_core.apply_to_ket(x, z, c, s_pack, amps)
+        return state_core.cleanup_state(bits, out, zero_threshold)
+    kernel_stats.record("apply_state", device=True)
+    import jax
+
+    from . import jx_state
+
+    cr, ci = _coeff_to_dev(c)
+    ar, ai = _coeff_to_dev(amps)
+    th = np.asarray(zero_threshold, _coeff_dtype())
+    b_o, ar_o, ai_o, n = _jitted_apply_state()(
+        _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, th
+    )
+    n = int(n)
+    bits = pack.from_u32(np.asarray(b_o[:n]))
+    out = np.asarray(ar_o[:n]) + 1j * np.asarray(ai_o[:n])
+    return bits, out

@@ -476,11 +476,10 @@ class PauliwordOp:
             return self.multiply_by_constant(mul_obj)
         if isinstance(mul_obj, QuantumState):
             assert mul_obj.vec_type == "ket", "cannot multiply a bra from the left"
-            bits, amps = state_core.apply_to_ket(
+            bits, amps = dispatch.apply_state(
                 self.x_pack, self.z_pack, self.coeff_vec,
-                mul_obj._s_pack, mul_obj._amps,
+                mul_obj._s_pack, mul_obj._amps, zero_threshold,
             )
-            bits, amps = state_core.cleanup_state(bits, amps, zero_threshold)
             return QuantumState.from_planes(bits, amps, self.n_qubits, "ket")
         return self._multiply_by_operator(mul_obj, zero_threshold=zero_threshold)
 

@@ -88,3 +88,24 @@ def test_inner_product_sorted():
         sa, aar, -aai, sa.shape[0], sb, bar, bai, sb.shape[0]
     )
     assert np.isclose(float(re) + 1j * float(im), host, atol=1e-12)
+
+
+def test_apply_state_host_device_parity():
+    """op * |psi> through both dispatch paths gives identical states."""
+    from symmer_tpu.config import config
+
+    np.random.seed(3)
+    op = PauliwordOp.random(20, 40).cleanup()
+    psi = QuantumState.random(20, 12)
+    saved = config.device_threshold
+    try:
+        config.device_threshold = 10**18
+        host = op * psi
+        config.device_threshold = 0
+        dev = op * psi
+    finally:
+        config.device_threshold = saved
+    hd = {r.tobytes(): a for r, a in zip(host._s_pack, host._amps)}
+    dd = {r.tobytes(): a for r, a in zip(dev._s_pack, dev._amps)}
+    assert hd.keys() == dd.keys()
+    assert all(abs(hd[k] - dd[k]) < 1e-10 for k in hd)
