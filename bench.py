@@ -94,8 +94,8 @@ def main():
 
     @jax.jit
     def square_and_cleanup(x, z, cr, ci):
-        xo, zo, cro, cio = jx_core.mul_pairs(x, z, cr, ci, x, z, cr, ci)
-        return jx_core.cleanup_sorted(xo, zo, cro, cio, xo.shape[0], 1e-7)
+        # fused: the 250k x 32-word product planes never reach HBM
+        return jx_core.mul_pairs_cleanup(x, z, cr, ci, x, z, cr, ci, 1e-7)
 
     t_sq = _amortized_time(
         lambda: square_and_cleanup(x2, z2, cr2, ci2), lambda out: int(out[4])

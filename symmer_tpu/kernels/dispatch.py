@@ -52,13 +52,7 @@ def _jitted():
         "cleanup": jax.jit(
             lambda x, z, cr, ci, n: jx.cleanup_sorted(x, z, cr, ci, n, None)
         ),
-        "mul_cleanup": jax.jit(
-            lambda x1, z1, cr1, ci1, x2, z2, cr2, ci2, th: jx.cleanup_sorted(
-                *jx.mul_pairs(x1, z1, cr1, ci1, x2, z2, cr2, ci2),
-                x1.shape[0] * x2.shape[0],
-                th,
-            )
-        ),
+        "mul_cleanup": jax.jit(jx.mul_pairs_cleanup),
         "anticommutes": jax.jit(jx.anticommutes),
         "clifford_scan": jax.jit(jx.clifford_scan),
         "rot_nc_cleanup": jax.jit(

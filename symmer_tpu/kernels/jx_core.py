@@ -228,6 +228,23 @@ def cleanup_sorted(
     # total on the TPU (each 1-D scatter/gather at 200k rows costs 1-3 ms, so
     # every removed table lookup matters).
     h1, h2, h3, h4 = row_hashes(x, z, lanes=4)
+    return _cleanup_from_hashes(
+        (h1, h2, h3, h4), cr, ci, invalid_flag,
+        zero_threshold, lambda orig: (x[orig], z[orig]),
+    )
+
+
+def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source):
+    """Shared tail of the hash-signature cleanup.
+
+    ``row_source(orig_idx) -> (x_rows, z_rows)`` materialises the surviving
+    representative rows; passing an index-reconstructing closure (e.g. XOR of
+    two factor rows for an all-pairs product) means the full product planes
+    never need to exist in HBM at all.
+    """
+    h1, h2, h3, h4 = hs
+    T = h1.shape[0]
+    idx = jnp.arange(T)
     ubits = jnp.uint64 if cr.dtype.itemsize == 8 else UINT
     fbits = lambda f: lax.bitcast_convert_type(f, ubits)
     funbits = lambda u: lax.bitcast_convert_type(u, cr.dtype)
@@ -283,15 +300,52 @@ def cleanup_sorted(
         jnp.where(is_out[:, None], payload, 0)
     )
     out_orig = out[:, 0].astype(jnp.int32)
-    ubits = jnp.uint64 if cw == 2 else UINT
+    ubits2 = jnp.uint64 if cw == 2 else UINT
     as_f = lambda cols: lax.bitcast_convert_type(
-        lax.bitcast_convert_type(cols, ubits).reshape(T), cr.dtype
+        lax.bitcast_convert_type(cols, ubits2).reshape(T), cr.dtype
     ) if cw == 2 else lax.bitcast_convert_type(cols.reshape(T), cr.dtype)
-    x_o = jnp.where(final[:, None], x[out_orig], 0)
-    z_o = jnp.where(final[:, None], z[out_orig], 0)
+    x_rows, z_rows = row_source(out_orig)
+    x_o = jnp.where(final[:, None], x_rows, 0)
+    z_o = jnp.where(final[:, None], z_rows, 0)
     cr_o = jnp.where(final, as_f(out[:, 1 : 1 + cw]), 0)
     ci_o = jnp.where(final, as_f(out[:, 1 + cw :]), 0)
     return x_o, z_o, cr_o, ci_o, n_out
+
+
+def mul_pairs_cleanup(x1, z1, cr1, ci1, x2, z2, cr2, ci2, zero_threshold=None):
+    """Fused all-pairs product + cleanup: the (T1*T2, W) product planes never
+    reach HBM.
+
+    The hash pass consumes the XOR broadcast on the fly, the sort works on
+    hash lanes + coefficients only, and the surviving representative rows are
+    reconstructed at the end from their pair index (x1[i] ^ x2[j]) -- the only
+    consumer that would otherwise force XLA to materialise the full planes.
+    (Semantics identical to mul_pairs followed by cleanup_sorted.)
+    """
+    T1, W = x1.shape
+    T2 = x2.shape[0]
+    T = T1 * T2
+    xo = x1[:, None, :] ^ x2[None, :, :]
+    zo = z1[:, None, :] ^ z2[None, :, :]
+    hs = row_hashes(xo.reshape(T, W), zo.reshape(T, W), lanes=4)
+    y_in = y_count(x1, z1)[:, None] + y_count(x2, z2)[None, :]
+    y_out = jnp.sum(pc(xo & zo), axis=-1)
+    sign = (
+        1 - 2 * (jnp.sum(pc(x1[:, None, :] & z2[None, :, :]), axis=-1) & 1)
+    ).astype(cr1.dtype)
+    pr = cr1[:, None] * cr2[None, :] - ci1[:, None] * ci2[None, :]
+    pi = cr1[:, None] * ci2[None, :] + ci1[:, None] * cr2[None, :]
+    pr, pi = pr * sign, pi * sign
+    pr, pi = apply_i_pow(3 * y_in + y_out, pr, pi)
+
+    def row_source(orig):
+        i, j = orig // T2, orig % T2
+        return x1[i] ^ x2[j], z1[i] ^ z2[j]
+
+    return _cleanup_from_hashes(
+        hs, pr.reshape(T), pi.reshape(T), jnp.zeros(T, UINT),
+        zero_threshold, row_source,
+    )
 
 
 def anticommutes(x1, z1, x2, z2) -> jnp.ndarray:
