@@ -78,8 +78,10 @@ def main():
 
     @jax.jit
     def rotate_and_cleanup(x, z, cr, ci, xr, zr, angle):
-        xo, zo, cro, cio = jx_core.rotate_nonclifford(x, z, cr, ci, xr, zr, angle)
-        return jx_core.cleanup_sorted(xo, zo, cro, cio, xo.shape[0], 1e-7)
+        # fused: the doubled row set never reaches HBM
+        return jx_core.rotate_nonclifford_cleanup(
+            x, z, cr, ci, xr, zr, angle, x.shape[0], 1e-7
+        )
 
     t_rot = _amortized_time(
         lambda: rotate_and_cleanup(x, z, cr, ci, xr, zr, 0.3),

@@ -56,8 +56,8 @@ def _jitted():
         "anticommutes": jax.jit(jx.anticommutes),
         "clifford_scan": jax.jit(jx.clifford_scan),
         "rot_nc_cleanup": jax.jit(
-            lambda x, z, cr, ci, xr, zr, ang, n, th: jx.cleanup_sorted(
-                *jx.rotate_nonclifford(x, z, cr, ci, xr, zr, ang), 2 * n, th
+            lambda x, z, cr, ci, xr, zr, ang, n, th: jx.rotate_nonclifford_cleanup(
+                x, z, cr, ci, xr, zr, ang, n, th
             )
         ),
     }

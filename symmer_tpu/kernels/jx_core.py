@@ -420,6 +420,45 @@ def rotate_nonclifford(x, z, cr, ci, xr, zr, angle):
     )
 
 
+def rotate_nonclifford_cleanup(x, z, cr, ci, xr, zr, angle, n_valid, zero_threshold):
+    """Fused non-Clifford rotation + cleanup: the doubled row set is never
+    materialised in HBM.
+
+    Output row i < T is the original term i; row i >= T is term (i-T) times
+    the rotation Pauli -- so hashes come from two fused passes over the T
+    input rows and the surviving representatives are reconstructed from the
+    index (x[i] or x[i-T] ^ xr).  Semantics identical to rotate_nonclifford
+    followed by cleanup_sorted.
+    """
+    T, W = x.shape
+    ac = anticommutes_single(x, z, xr, zr)
+    xm, zm, mr, mi = mul_single(x, z, cr, ci, xr, zr)
+    cos_t = jnp.cos(angle).astype(cr.dtype)
+    sin_t = jnp.sin(angle).astype(cr.dtype)
+    first_r = jnp.where(ac, cr * cos_t, cr)
+    first_i = jnp.where(ac, ci * cos_t, ci)
+    second_r = jnp.where(ac, mi * sin_t, 0)
+    second_i = jnp.where(ac, -mr * sin_t, 0)
+
+    h_first = row_hashes(x, z, lanes=4)
+    h_second = row_hashes(x ^ xr[None, :], z ^ zr[None, :], lanes=4)
+    hs = tuple(jnp.concatenate([a, b]) for a, b in zip(h_first, h_second))
+    crs = jnp.concatenate([first_r, second_r])
+    cis = jnp.concatenate([first_i, second_i])
+    invalid_flag = (
+        ~jnp.concatenate([jnp.arange(T) < n_valid] * 2)
+    ).astype(UINT)
+
+    def row_source(orig):
+        i = jnp.where(orig < T, orig, orig - T)
+        rot = orig >= T
+        xw = jnp.where(rot[:, None], xr[None, :], 0)
+        zw = jnp.where(rot[:, None], zr[None, :], 0)
+        return x[i] ^ xw, z[i] ^ zw
+
+    return _cleanup_from_hashes(hs, crs, cis, invalid_flag, zero_threshold, row_source)
+
+
 def expval_iz_sum(x, cr, ci, n_valid):
     """Sum coefficients of terms composed only of I/Z (X planes all zero).
 
