@@ -5,6 +5,9 @@ Run: python examples/01_tapering_h2.py
 """
 import numpy as np
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from symmer_tpu import PauliwordOp, QuantumState, QubitTapering
 from symmer_tpu.utils import exact_gs_energy
 

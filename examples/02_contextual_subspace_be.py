@@ -8,6 +8,9 @@ import json
 
 import numpy as np
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from symmer_tpu import ContextualSubspace, PauliwordOp, QubitTapering
 from symmer_tpu.utils import exact_gs_energy
 

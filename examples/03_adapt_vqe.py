@@ -4,6 +4,9 @@ Run: python examples/03_adapt_vqe.py
 """
 import numpy as np
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from symmer_tpu import PauliwordOp, QubitTapering
 from symmer_tpu.evolution import ADAPT_VQE
 

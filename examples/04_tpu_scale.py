@@ -14,6 +14,9 @@ import time
 
 import numpy as np
 
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from symmer_tpu import PauliwordOp
 from symmer_tpu.config import config
 from symmer_tpu.kernels import pack
