@@ -63,8 +63,17 @@ def _compact(mask, *arrays):
 
 
 def _exchange_round(k: int, state, axis_name):
-    """One round of pairwise hash-bit routing (k is a static round index)."""
-    x, z, cr, ci, n_local, h = state
+    """One round of pairwise hash-bit routing (k is a static round index).
+
+    Rows are locally merged (duplicate terms summed) before routing, so at
+    any moment a shard holds at most one copy of a term plus at most one
+    incoming copy -- duplication skew can therefore never overflow a
+    capacity-2 buffer; only >capacity *distinct* terms hashing to one shard
+    can (vanishingly unlikely for a balanced hash).
+    """
+    x, z, cr, ci, n_local, _ = state
+    x, z, cr, ci, n_local = jx_core.cleanup_sorted(x, z, cr, ci, n_local, None)
+    h, _ = jx_core.row_hashes(x, z)
     C = x.shape[0]
     rank = lax.axis_index(axis_name)
     idx = jnp.arange(C)
@@ -102,10 +111,9 @@ def _exchange_round(k: int, state, axis_name):
 def _local_shard_cleanup(x, z, cr, ci, n_local, n_rounds, zero_threshold, axis_name):
     """Body run per shard under shard_map."""
     n_local = n_local[0]  # per-shard view of int32[n_dev] is shape (1,)
-    h1, _ = jx_core.row_hashes(x, z)
     ovf_any = jnp.zeros((), bool)
 
-    state = (x, z, cr, ci, n_local, h1)
+    state = (x, z, cr, ci, n_local, None)
     for k in range(n_rounds):
         *state, ovf = _exchange_round(k, tuple(state), axis_name)
         ovf_any = ovf_any | ovf

@@ -116,20 +116,63 @@ def test_ragged_shard_counts():
 
 
 def test_overflow_detected():
-    """Adversarial routing (all rows identical -> one shard) must flag, not drop."""
+    """Adversarial routing must flag overflow, never drop rows silently.
+
+    Duplicates can no longer overflow (they merge locally before routing),
+    so the adversarial case is many DISTINCT rows whose hash bits all
+    address the same shard -- selected here by evaluating the actual
+    routing hash."""
     n_dev = len(jax.devices())
     T, W = 128, 2
-    x = np.ones((T, W), dtype=np.uint32)
-    z = np.ones((T, W), dtype=np.uint32)
-    cr = np.ones(T)
-    ci = np.zeros(T)
+    rng = np.random.default_rng(0)
+    pool_x = rng.integers(0, 2**32, (40 * T, W)).astype(np.uint32)
+    pool_z = rng.integers(0, 2**32, (40 * T, W)).astype(np.uint32)
+    h1, _ = jx_core.row_hashes(jnp.asarray(pool_x), jnp.asarray(pool_z))
+    target = np.where((np.asarray(h1) % n_dev) == 0)[0][:T]
+    assert len(target) == T
+    x, z = pool_x[target], pool_z[target]
+    cr, ci = np.ones(T), np.zeros(T)
     mesh = get_mesh()
     n_local = np.full(n_dev, T // n_dev, dtype=np.int32)
-    # capacity_factor=1: every shard sends all rows to one target -> overflow
+    # all 128 distinct rows route to shard 0 of capacity 16 -> must flag
     *_, n_out, ovf = distributed_cleanup(
         jnp.asarray(x), jnp.asarray(z), jnp.asarray(cr), jnp.asarray(ci),
         n_local, mesh, capacity_factor=1,
     )
-    # either everything still fit (merged early) or overflow was flagged --
-    # with identical rows all 128 land on one shard of capacity 16: must flag
     assert np.asarray(ovf).any()
+
+
+@pytest.mark.parametrize("capacity_factor", [2, 3, 4])
+def test_capacity_factor_sweep_skewed(capacity_factor):
+    """Skewed duplication (one hot term dominating) across capacities."""
+    rng = np.random.default_rng(11)
+    n_dev = len(jax.devices())
+    T, W = 256, 2
+    x, z, cr, ci = _random_planes(rng, T, W, dup_factor=2)
+    # half of all rows are ONE term -> they all route to a single shard
+    hot = rng.integers(0, 2**32, (1, 2 * W)).astype(np.uint32)
+    sel = rng.choice(T, T // 2, replace=False)
+    x[sel], z[sel] = hot[:, :W], hot[:, W:]
+    mesh = get_mesh()
+    n_local = np.full(n_dev, T // n_dev, dtype=np.int32)
+    xo, zo, cro, cio, n_out, ovf = distributed_cleanup(
+        jnp.asarray(x), jnp.asarray(z), jnp.asarray(cr), jnp.asarray(ci),
+        n_local, mesh, capacity_factor=capacity_factor,
+    )
+    if np.asarray(ovf).any():
+        pytest.skip(f"routing overflow at capacity_factor={capacity_factor}")
+    rx, rz, rcr, rci, rn = jx_core.cleanup_sorted(
+        jnp.asarray(x), jnp.asarray(z), jnp.asarray(cr), jnp.asarray(ci),
+        jnp.int32(T), None,
+    )
+    expected = _canonical(rx, rz, rcr, rci, rn)
+    xo, zo, cro, cio = (np.asarray(a) for a in (xo, zo, cro, cio))
+    n_out = np.asarray(n_out)
+    C = xo.shape[0] // n_dev
+    got = {}
+    for d in range(n_dev):
+        sl = slice(d * C, d * C + int(n_out[d]))
+        got.update(_canonical(xo[sl], zo[sl], cro[sl], cio[sl], int(n_out[d])))
+    assert set(got) == set(expected)
+    for key, val in expected.items():
+        assert abs(got[key] - val) < 1e-12
