@@ -17,10 +17,12 @@ term axis never gathers:
 3. A purely local ``cleanup_sorted`` per shard merges them.
 
 All shapes are static: each shard carries a fixed-capacity buffer
-(``capacity = 2 * T_local`` by default) plus a validity count.  Hash routing
-is statistically balanced, so overflow is vanishingly unlikely for capacity
-factor >= 2; it is *detected* (per-shard ``overflow`` flag returned) rather
-than silently dropped, and callers fall back to the gathered path.
+(``capacity = 2 * T_local`` by default) plus a validity count.  Duplicate
+terms are merged locally before every routing round, so duplication skew can
+never overflow a capacity-2 buffer; only more *distinct* terms than capacity
+hashing to one shard can, which is vanishingly unlikely for a balanced hash
+and is *detected* (per-shard ``overflow`` flag returned) rather than
+silently dropped -- callers fall back to the gathered path.
 
 This replaces the reference's scatter-gather multiprocessing model
 (symmer ``utils/operator_utils.py`` cleanup + ``process_handler.py:25-91``)
