@@ -187,13 +187,26 @@ def perform_rotations(
 
     import jax.numpy as jnp
 
+    # Device-resident sequence: the planes are uploaded ONCE, every Clifford
+    # run and non-Clifford rotation+cleanup executes on device arrays, and the
+    # result is downloaded ONCE at the end.  After each non-Clifford step the
+    # buffers are re-bucketed by a device-side slice (only the scalar survivor
+    # count crosses to the host, to pick the static bucket shape).
     jitted = _jitted()
+    dt = _coeff_dtype()
+    Tp = _next_bucket(T)
+    dx, dz = _to_dev(x, Tp), _to_dev(z, Tp)
+    dcr, dci = _coeff_to_dev(c, Tp)
+    n_valid = T
+    th = jnp.asarray(
+        zero_threshold if zero_threshold is not None else 0.0, dt
+    )
     i = 0
     n_rot = len(rotations)
     while i < n_rot:
         m = is_clifford_angle(rotations[i][2])
         if m is not None:
-            # gather maximal Clifford run
+            # gather maximal Clifford run -> one lax.scan on device
             j = i
             ms, rxs, rzs = [], [], []
             while j < n_rot:
@@ -204,30 +217,28 @@ def perform_rotations(
                 rzs.append(pack.to_u32(rotations[j][1].reshape(1, -1))[0])
                 ms.append(mj)
                 j += 1
-            cr, ci = _coeff_to_dev(c)
-            xs, zs, crs, cis = jitted["clifford_scan"](
-                _to_dev(x), _to_dev(z), cr, ci,
+            dx, dz, dcr, dci = jitted["clifford_scan"](
+                dx, dz, dcr, dci,
                 jnp.asarray(np.array(rxs)), jnp.asarray(np.array(rzs)),
                 jnp.asarray(np.array(ms, np.int32)),
             )
-            x = pack.from_u32(np.asarray(xs))
-            z = pack.from_u32(np.asarray(zs))
-            c = np.asarray(crs).astype(np.float64) + 1j * np.asarray(cis).astype(np.float64)
             i = j
         else:
             xr, zr, angle = rotations[i]
-            th = jnp.asarray(
-                zero_threshold if zero_threshold is not None else 0.0, _coeff_dtype()
-            )
-            cr, ci = _coeff_to_dev(c)
             ox, oz, ocr, oci, n = jitted["rot_nc_cleanup"](
-                _to_dev(x), _to_dev(z), cr, ci,
+                dx, dz, dcr, dci,
                 _to_dev(xr.reshape(1, -1))[0], _to_dev(zr.reshape(1, -1))[0],
-                jnp.asarray(float(complex(angle).real), _coeff_dtype()), x.shape[0], th,
+                jnp.asarray(float(complex(angle).real), dt), n_valid, th,
             )
-            x, z, c = _planes_from_dev(ox, oz, ocr, oci, int(n))
+            n_valid = max(int(n), 1)
+            Tp = _next_bucket(n_valid)
+            dx, dz, dcr, dci = ox[:Tp], oz[:Tp], ocr[:Tp], oci[:Tp]
             i += 1
-    return cleanup(x, z, c, zero_threshold)
+    if zero_threshold is None:
+        ox, oz, ocr, oci, n = jitted["cleanup"](dx, dz, dcr, dci, n_valid)
+    else:
+        ox, oz, ocr, oci, n = jitted["cleanup_t"](dx, dz, dcr, dci, n_valid, th)
+    return _planes_from_dev(ox, oz, ocr, oci, int(n))
 
 
 def expval(x, z, c, s_pack, amps) -> complex:

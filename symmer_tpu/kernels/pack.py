@@ -176,6 +176,24 @@ def concat_bit_planes(a_pack: np.ndarray, n_a: int, b_pack: np.ndarray, n_b: int
     return out
 
 
+def bitreverse_words(a: np.ndarray) -> np.ndarray:
+    """Reverse the 64 bits inside each packed word (vectorised, no big-ints).
+
+    After reversal, qubit 0 sits at the MSB of word 0, so comparing rows
+    lexicographically word-by-word reproduces the big-endian integer order of
+    the underlying bitstrings (reference ``binary_array_to_int``,
+    operators/utils.py:618).
+    """
+    a = np.asarray(a, dtype=np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    a = ((a >> np.uint64(1)) & m1) | ((a & m1) << np.uint64(1))
+    a = ((a >> np.uint64(2)) & m2) | ((a & m2) << np.uint64(2))
+    a = ((a >> np.uint64(4)) & m4) | ((a & m4) << np.uint64(4))
+    return a.byteswap()
+
+
 def rows_to_bytes(x_pack: np.ndarray, z_pack: np.ndarray) -> List[bytes]:
     """Hashable canonical key per term (used in host dictionaries)."""
     joint = hstack_words(x_pack, z_pack)

@@ -19,7 +19,6 @@ import numpy as np
 from ..config import config
 from ..kernels import dense, dispatch, gf2, np_core, pack, state_core
 from .utils import (
-    binary_array_to_int,
     check_adjmat_noncontextual,
     check_independent,
     check_jordan_independent,
@@ -313,10 +312,12 @@ class PauliwordOp:
             weight = pack.popcount_rows(self.x_pack) + pack.popcount_rows(self.z_pack)
             sort_order = np.argsort(-weight, kind="stable")
         elif by == "support":
-            pos = self.X_block | self.Z_block
-            sort_order = np.argsort(
-                np.array(binary_array_to_int(pos.astype(int)), dtype=object), kind="stable"
-            )[::-1]
+            # big-int support value (qubit 0 most significant, reference
+            # base.py:469-473 via binary_array_to_int) == lexicographic order
+            # on the bit-reversed packed words, word 0 primary -- a packed
+            # lexsort instead of an object-dtype big-int argsort
+            rev = pack.bitreverse_words(self.x_pack | self.z_pack)
+            sort_order = np.lexsort(rev.T[::-1])[::-1]
         elif by == "Z":
             sort_order = np.argsort(
                 np.sum(
@@ -793,10 +794,12 @@ class PauliwordOp:
         op_reconstruction = np.zeros([self.n_terms, generators.n_terms])
         successfully_reconstructed = np.zeros(self.n_terms, dtype=bool)
         ac_terms = generators[~symmetry_mask]
-        gen_keys = pack.rows_to_bytes(generators.x_pack, generators.z_pack)
+        gen_index = {
+            k: i for i, k in enumerate(pack.rows_to_bytes(generators.x_pack, generators.z_pack))
+        }
         for _, clq in ac_terms.clique_cover(edge_relation="C").items():
             clq_keys = pack.rows_to_bytes(clq.x_pack, clq.z_pack)
-            clq_indices = [gen_keys.index(k) for k in clq_keys]
+            clq_indices = [gen_index[k] for k in clq_keys]
             mask_symmetries_with_P = symmetry_mask.copy()
             mask_symmetries_with_P[np.array(clq_indices)] = True
             augmented_symmetries = generators[mask_symmetries_with_P]

@@ -162,6 +162,36 @@ def test_dispatch_device_path_end_to_end():
     assert dev_rot == a.perform_rotations(rots)
 
 
+def test_dispatch_long_mixed_rotation_sequence():
+    """Device-resident perform_rotations across many Clifford runs and
+    non-Clifford rotations (the planes stay on device between segments;
+    re-bucketing after each non-Clifford step must preserve semantics)."""
+    from symmer_tpu import PauliwordOp
+    from symmer_tpu.config import config
+
+    np.random.seed(3)
+    a = PauliwordOp.random(7, 25).cleanup()
+    rots = []
+    for k in range(24):
+        p = PauliwordOp.random(7, 1)
+        p.coeff_vec[:] = 1
+        if k % 4 == 0:
+            angle = 0.1 + 0.05 * k  # non-Clifford
+        elif k % 4 == 1:
+            angle = None            # Clifford pi/2
+        else:
+            angle = np.pi / 2 * ((k % 3) + 1)  # Clifford multiples
+        rots.append((p, angle))
+    host_out = a.perform_rotations(rots)
+    old = config.backend
+    try:
+        config.backend = "device"
+        dev_out = a.perform_rotations(rots)
+    finally:
+        config.backend = old
+    assert dev_out == host_out
+
+
 def test_device_rref_matches_host():
     from symmer_tpu.kernels.gf2 import rref_packed
     from symmer_tpu.kernels.jx_gf2 import rref_packed_device

@@ -241,6 +241,22 @@ def test_sort_magnitude():
     assert np.allclose(abs(op.sort(by="magnitude").coeff_vec), [3, 1, 0.1])
 
 
+def test_sort_support_matches_bigint_order():
+    # packed bit-reversed lexsort must reproduce the big-int support order
+    # (reference base.py:469-473), including >64-qubit rows
+    from symmer_tpu.operators.utils import binary_array_to_int
+
+    np.random.seed(7)
+    for nq in (5, 64, 70, 130):
+        op = PauliwordOp.random(nq, 40)
+        got = op.sort(by="support")
+        pos = (got.X_block | got.Z_block).astype(int)
+        vals = binary_array_to_int(pos)
+        assert all(vals[i] >= vals[i + 1] for i in range(len(vals) - 1))
+        # same multiset of terms
+        assert got == op
+
+
 def test_reindex():
     op = PauliwordOp.from_list(["XYZ"])
     out = op.reindex([2, 0, 1])  # qubit 0->2, 1->0, 2->1 reorder columns
