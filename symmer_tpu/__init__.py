@@ -5,7 +5,7 @@ Public surface mirrors symmer's (reference __init__.py:1-6).
 """
 __version__ = "0.1.0"
 
-from .config import config, enable_x64  # noqa: F401
+from .config import config, enable_x64, use_mesh  # noqa: F401
 from .parallel import process  # noqa: F401
 from .operators import PauliwordOp, QuantumState  # noqa: F401
 try:  # projection layer lands in M3

@@ -20,6 +20,7 @@ on TPU where f64 is software-emulated.
 """
 from __future__ import annotations
 
+import contextlib
 import os
 from dataclasses import dataclass, field
 
@@ -37,6 +38,18 @@ class SymmerTPUConfig:
     # use exact multi-word sort keys in device cleanup instead of 128-bit
     # hashed keys (slower, but collision-free by construction)
     exact_cleanup_keys: bool = False
+    # optional jax.sharding.Mesh (set via symmer_tpu.use_mesh): large operator
+    # kernels shard the term axis over it and the noncontextual brute-force
+    # search shards the assignment axis; None = single-device execution
+    mesh: object = None
+    # minimum term count before a mesh-sharded kernel is preferred over the
+    # single-device path (below this, collective latency dominates)
+    mesh_threshold: int = 1 << 15
+    # float32 device path only: floor the cleanup threshold at
+    # rel * max|coeff| so cancellation residue (O(eps32 * |c|) ~ 1e-7
+    # relative) is dropped even though the absolute threshold (1e-15)
+    # is below f32 resolution.  Set to 0.0 to disable the floor.
+    f32_threshold_rel_floor: float = 2e-6
     # extra env-derived switches
     _x64_enabled: bool = field(default=False, repr=False)
 
@@ -49,6 +62,28 @@ class SymmerTPUConfig:
 
 
 config = SymmerTPUConfig()
+
+
+@contextlib.contextmanager
+def use_mesh(mesh=None, n_devices: int = None, axis_name: str = "terms"):
+    """Route large operator kernels through a device mesh within the block.
+
+    ``with symmer_tpu.use_mesh():`` shards over all available devices;
+    pass an explicit ``jax.sharding.Mesh`` or ``n_devices`` to restrict.
+    The reference's analogue is the ``process.method`` switch
+    (symmer process_handler.py:15-23) -- here the "cluster" is a TPU mesh
+    and the collectives ride ICI instead of a Ray object store.
+    """
+    if mesh is None:
+        from .parallel.mesh import get_mesh
+
+        mesh = get_mesh(n_devices, axis_name)
+    prev = config.mesh
+    config.mesh = mesh
+    try:
+        yield mesh
+    finally:
+        config.mesh = prev
 
 
 def enable_x64(enable: bool = True) -> None:

@@ -48,16 +48,24 @@ def _jx():
 def _jitted():
     jax, jx = _jx()
     return {
-        "cleanup_t": jax.jit(jx.cleanup_sorted),
+        "cleanup_t": jax.jit(
+            lambda x, z, cr, ci, n, th, fl: jx.cleanup_sorted(
+                x, z, cr, ci, n, th, rel_floor=fl
+            )
+        ),
         "cleanup": jax.jit(
             lambda x, z, cr, ci, n: jx.cleanup_sorted(x, z, cr, ci, n, None)
         ),
-        "mul_cleanup": jax.jit(jx.mul_pairs_cleanup),
+        "mul_cleanup": jax.jit(
+            lambda x1, z1, cr1, ci1, x2, z2, cr2, ci2, th, fl: jx.mul_pairs_cleanup(
+                x1, z1, cr1, ci1, x2, z2, cr2, ci2, th, rel_floor=fl
+            )
+        ),
         "anticommutes": jax.jit(jx.anticommutes),
         "clifford_scan": jax.jit(jx.clifford_scan),
         "rot_nc_cleanup": jax.jit(
-            lambda x, z, cr, ci, xr, zr, ang, n, th: jx.rotate_nonclifford_cleanup(
-                x, z, cr, ci, xr, zr, ang, n, th
+            lambda x, z, cr, ci, xr, zr, ang, n, th, fl: jx.rotate_nonclifford_cleanup(
+                x, z, cr, ci, xr, zr, ang, n, th, rel_floor=fl
             )
         ),
     }
@@ -68,6 +76,17 @@ def _coeff_dtype():
     import jax
 
     return np.float64 if jax.config.jax_enable_x64 else np.float32
+
+
+def _rel_floor():
+    """Relative threshold floor for the device cleanup (0.0 disables).
+
+    Nonzero only on the float32 path, where cancellation residue sits far
+    above any absolute threshold the f64 host semantics would use (see
+    config.f32_threshold_rel_floor and jx_core.effective_threshold)."""
+    dt = _coeff_dtype()
+    fl = config.f32_threshold_rel_floor if dt == np.float32 else 0.0
+    return np.asarray(fl, dt)
 
 
 def _to_dev(x64: np.ndarray, pad_rows: int = 0):
@@ -99,8 +118,29 @@ def _planes_from_dev(x, z, cr, ci, n_out: int) -> Planes:
     return xo, zo, c
 
 
+def _try_mesh(kind: str, T: int, runner):
+    """Route through the mesh-sharded path when a mesh is configured and the
+    problem is large enough; returns host planes or None (caller continues
+    on the single-device path -- also the overflow fallback)."""
+    if config.mesh is None or T < config.mesh_threshold:
+        return None
+    out = runner(config.mesh)
+    if out is not None:
+        kernel_stats.record(kind, device=True, mesh=True)
+    return out
+
+
 def cleanup(x, z, c, zero_threshold: Optional[float]) -> Planes:
     T, W = x.shape
+    if zero_threshold is not None:
+        from ..parallel import sharded
+
+        out = _try_mesh(
+            "cleanup", T,
+            lambda mesh: sharded.cleanup(x, z, c, zero_threshold, mesh),
+        )
+        if out is not None:
+            return out
     if not config.use_device(T * W):
         kernel_stats.record("cleanup", device=False)
         return np_core.cleanup(x, z, c, zero_threshold)
@@ -114,7 +154,8 @@ def cleanup(x, z, c, zero_threshold: Optional[float]) -> Planes:
         ox, oz, ocr, oci, n = _jitted()["cleanup"](jx_, jz_, jcr, jci, T)
     else:
         ox, oz, ocr, oci, n = _jitted()["cleanup_t"](
-            jx_, jz_, jcr, jci, T, jnp.asarray(zero_threshold, _coeff_dtype())
+            jx_, jz_, jcr, jci, T,
+            jnp.asarray(zero_threshold, _coeff_dtype()), _rel_floor(),
         )
     return _planes_from_dev(ox, oz, ocr, oci, int(n))
 
@@ -122,6 +163,19 @@ def cleanup(x, z, c, zero_threshold: Optional[float]) -> Planes:
 def multiply_cleanup(x1, z1, c1, x2, z2, c2, zero_threshold: Optional[float]) -> Planes:
     M1, W = x1.shape
     M2 = x2.shape[0]
+    if zero_threshold is not None:
+        from ..parallel import sharded
+
+        # the sharded axis is op1's terms but the produced term count (the
+        # thing worth sharding) is the full M1 * M2 product
+        out = _try_mesh(
+            "multiply", M1 * M2,
+            lambda mesh: sharded.multiply_cleanup(
+                x1, z1, c1, x2, z2, c2, zero_threshold, mesh
+            ),
+        )
+        if out is not None:
+            return out
     if not config.use_device(M1 * M2 * W):
         kernel_stats.record("multiply", device=False)
         out = np_core.multiply(x1, z1, c1, x2, z2, c2)
@@ -132,11 +186,12 @@ def multiply_cleanup(x1, z1, c1, x2, z2, c2, zero_threshold: Optional[float]) ->
     th = jnp.asarray(
         zero_threshold if zero_threshold is not None else 0.0, _coeff_dtype()
     )
+    fl = _rel_floor() if zero_threshold is not None else np.asarray(0.0, _coeff_dtype())
     cr1, ci1 = _coeff_to_dev(c1)
     cr2, ci2 = _coeff_to_dev(c2)
     ox, oz, ocr, oci, n = _jitted()["mul_cleanup"](
         _to_dev(x1), _to_dev(z1), cr1, ci1,
-        _to_dev(x2), _to_dev(z2), cr2, ci2, th,
+        _to_dev(x2), _to_dev(z2), cr2, ci2, th, fl,
     )
     return _planes_from_dev(ox, oz, ocr, oci, int(n))
 
@@ -176,6 +231,17 @@ def perform_rotations(
     duplicates so deferring their cleanup is exact).
     """
     T, W = x.shape
+    if zero_threshold is not None:
+        from ..parallel import sharded
+
+        out = _try_mesh(
+            "perform_rotations", T,
+            lambda mesh: sharded.perform_rotations(
+                x, z, c, rotations, zero_threshold, mesh
+            ),
+        )
+        if out is not None:
+            return out
     use_dev = config.use_device(T * W * max(1, len(rotations)) // 4)
     kernel_stats.record("perform_rotations", device=use_dev)
     if not use_dev:
@@ -201,6 +267,7 @@ def perform_rotations(
     th = jnp.asarray(
         zero_threshold if zero_threshold is not None else 0.0, dt
     )
+    fl = _rel_floor() if zero_threshold is not None else np.asarray(0.0, dt)
     i = 0
     n_rot = len(rotations)
     while i < n_rot:
@@ -228,7 +295,7 @@ def perform_rotations(
             ox, oz, ocr, oci, n = jitted["rot_nc_cleanup"](
                 dx, dz, dcr, dci,
                 _to_dev(xr.reshape(1, -1))[0], _to_dev(zr.reshape(1, -1))[0],
-                jnp.asarray(float(complex(angle).real), dt), n_valid, th,
+                jnp.asarray(float(complex(angle).real), dt), n_valid, th, fl,
             )
             n_valid = max(int(n), 1)
             Tp = _next_bucket(n_valid)
@@ -237,7 +304,7 @@ def perform_rotations(
     if zero_threshold is None:
         ox, oz, ocr, oci, n = jitted["cleanup"](dx, dz, dcr, dci, n_valid)
     else:
-        ox, oz, ocr, oci, n = jitted["cleanup_t"](dx, dz, dcr, dci, n_valid, th)
+        ox, oz, ocr, oci, n = jitted["cleanup_t"](dx, dz, dcr, dci, n_valid, th, fl)
     return _planes_from_dev(ox, oz, ocr, oci, int(n))
 
 
@@ -278,9 +345,9 @@ def _jitted_apply_state():
 
     from . import jx_state
 
-    def _apply(x, z, cr, ci, s, ar, ai, th):
+    def _apply(x, z, cr, ci, s, ar, ai, th, fl):
         bits, br, bi = jx_state.apply_to_ket(x, z, cr, ci, s, ar, ai)
-        return jx_state.cleanup_state(bits, br, bi, bits.shape[0], th)
+        return jx_state.cleanup_state(bits, br, bi, bits.shape[0], th, rel_floor=fl)
 
     return jax.jit(_apply)
 
@@ -306,7 +373,7 @@ def apply_state(x, z, c, s_pack, amps, zero_threshold):
     ar, ai = _coeff_to_dev(amps)
     th = np.asarray(zero_threshold, _coeff_dtype())
     b_o, ar_o, ai_o, n = _jitted_apply_state()(
-        _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, th
+        _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, th, _rel_floor()
     )
     n = int(n)
     bits = pack.from_u32(np.asarray(b_o[:n]))

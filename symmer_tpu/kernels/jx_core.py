@@ -135,6 +135,23 @@ def _rows_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == b, axis=-1)
 
 
+def effective_threshold(th, cr, ci, rel_floor):
+    """Dtype-aware cleanup threshold: ``max(th, rel_floor * max|c|)``.
+
+    With float32 coefficients, terms that cancel leave O(eps32 * |c|) residue
+    -- far above any absolute threshold meaningful at f64 (the reference
+    default 1e-15 is below f32 resolution entirely).  Flooring the threshold
+    at a small multiple of the largest input magnitude makes the f32 device
+    path drop cancellation residue with the same *intent* as the reference's
+    absolute cut (symmer operators/utils.py:271-279).  ``rel_floor`` is 0 on
+    the f64 path, where the absolute threshold is already meaningful.
+    """
+    if rel_floor is None:
+        return th
+    m2 = jnp.max(cr * cr + ci * ci)
+    return jnp.maximum(th, rel_floor * jnp.sqrt(m2))
+
+
 def cleanup_sorted(
     x: jnp.ndarray,
     z: jnp.ndarray,
@@ -143,6 +160,7 @@ def cleanup_sorted(
     n_valid: jnp.ndarray,
     zero_threshold: Optional[jnp.ndarray] = None,
     exact: bool = False,
+    rel_floor: Optional[jnp.ndarray] = None,
 ):
     """Deduplicate terms: sort by hashed keys, segment-sum coefficients.
 
@@ -158,11 +176,19 @@ def cleanup_sorted(
             one gather of the surviving representatives -- at 2^18 rows the
             chance of any signature collision is ~1e-29, far below float
             coefficient noise.
+        rel_floor: optional scalar; floors the threshold at
+            ``rel_floor * max|c|`` (see :func:`effective_threshold`).
 
     Returns:
         (x_out, z_out, cr_out, ci_out, n_out): compacted arrays of static
         shape [T, ...] with the first ``n_out`` rows valid (remaining zeroed).
     """
+    if zero_threshold is not None and rel_floor is not None:
+        valid_c = jnp.arange(x.shape[0]) < n_valid
+        zero_threshold = effective_threshold(
+            zero_threshold, jnp.where(valid_c, cr, 0), jnp.where(valid_c, ci, 0),
+            rel_floor,
+        )
     T, W = x.shape
     valid = jnp.arange(T) < n_valid
     invalid_flag = (~valid).astype(UINT)
@@ -234,7 +260,8 @@ def cleanup_sorted(
     )
 
 
-def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source):
+def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
+                         rel_floor=None):
     """Shared tail of the hash-signature cleanup.
 
     ``row_source(orig_idx) -> (x_rows, z_rows)`` materialises the surviving
@@ -259,6 +286,8 @@ def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source):
     vs = invs == 0
     crs = jnp.where(vs, funbits(crb), 0)
     cis = jnp.where(vs, funbits(cib), 0)
+    if zero_threshold is not None and rel_floor is not None:
+        zero_threshold = effective_threshold(zero_threshold, crs, cis, rel_floor)
     same_as_prev = jnp.concatenate([
         jnp.array([False]),
         (h1s[1:] == h1s[:-1]) & (h2s[1:] == h2s[:-1])
@@ -312,7 +341,8 @@ def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source):
     return x_o, z_o, cr_o, ci_o, n_out
 
 
-def mul_pairs_cleanup(x1, z1, cr1, ci1, x2, z2, cr2, ci2, zero_threshold=None):
+def mul_pairs_cleanup(x1, z1, cr1, ci1, x2, z2, cr2, ci2, zero_threshold=None,
+                      rel_floor=None):
     """Fused all-pairs product + cleanup: the (T1*T2, W) product planes never
     reach HBM.
 
@@ -344,7 +374,7 @@ def mul_pairs_cleanup(x1, z1, cr1, ci1, x2, z2, cr2, ci2, zero_threshold=None):
 
     return _cleanup_from_hashes(
         hs, pr.reshape(T), pi.reshape(T), jnp.zeros(T, UINT),
-        zero_threshold, row_source,
+        zero_threshold, row_source, rel_floor=rel_floor,
     )
 
 
@@ -420,7 +450,8 @@ def rotate_nonclifford(x, z, cr, ci, xr, zr, angle):
     )
 
 
-def rotate_nonclifford_cleanup(x, z, cr, ci, xr, zr, angle, n_valid, zero_threshold):
+def rotate_nonclifford_cleanup(x, z, cr, ci, xr, zr, angle, n_valid, zero_threshold,
+                               rel_floor=None):
     """Fused non-Clifford rotation + cleanup: the doubled row set is never
     materialised in HBM.
 
@@ -456,7 +487,9 @@ def rotate_nonclifford_cleanup(x, z, cr, ci, xr, zr, angle, n_valid, zero_thresh
         zw = jnp.where(rot[:, None], zr[None, :], 0)
         return x[i] ^ xw, z[i] ^ zw
 
-    return _cleanup_from_hashes(hs, crs, cis, invalid_flag, zero_threshold, row_source)
+    return _cleanup_from_hashes(
+        hs, crs, cis, invalid_flag, zero_threshold, row_source, rel_floor=rel_floor
+    )
 
 
 def expval_iz_sum(x, cr, ci, n_valid):

@@ -40,11 +40,11 @@ def apply_to_ket(x, z, cr, ci, s, ar, ai):
     return bits, out_r.reshape(T * B), out_i.reshape(T * B)
 
 
-def cleanup_state(bits, ar, ai, n_valid, zero_threshold=None):
+def cleanup_state(bits, ar, ai, n_valid, zero_threshold=None, rel_floor=None):
     """Deduplicate basis rows, accumulating amplitudes (reuses cleanup_sorted)."""
     zeros = jnp.zeros_like(bits)
     b_o, _, ar_o, ai_o, n = jx_core.cleanup_sorted(
-        bits, zeros, ar, ai, n_valid, zero_threshold
+        bits, zeros, ar, ai, n_valid, zero_threshold, rel_floor=rel_floor
     )
     return b_o, ar_o, ai_o, n
 
@@ -196,9 +196,15 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
         ge = hs1_sorted[None, None, :] >= sl(th0_p)[:, :, None]  # (Tb, B, B)
         # keys sorted => ge monotone in c; the first True is the candidate
         oh = (ge & ~jnp.pad(ge[:, :, :-1], ((0, 0), (0, 0), (1, 0)))).astype(fdt)
+        # HIGHEST precision is required: the table carries exact 16-bit
+        # integer halves, and the TPU MXU's default bf16 multiply (8 mantissa
+        # bits) destroys them -- every hash comparison then fails and the
+        # expectation silently evaluates to zero (caught by bench.py --check
+        # on hardware; CPU f32 matmuls are exact and never exposed it)
         vals = jnp.einsum(
             "abc,cf->abf", oh, table_wide,
             preferred_element_type=fdt,
+            precision=lax.Precision.HIGHEST,
         )  # (Tb, B, 8 * WINDOW)
         trb, tib = sl(tr_p), sl(ti_p)
         for k in range(WINDOW):

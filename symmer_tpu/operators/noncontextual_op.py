@@ -1,11 +1,12 @@
 """Noncontextual Hamiltonians and their classical optimisation.
 
 API parity with symmer ``operators/noncontextual_op.py``.  The headline
-redesign: the classical objective over nu-assignments is evaluated for ALL
-2^|G| assignments as three dense matmuls (sign-parity, symmetry and clique
-contractions) -- MXU-friendly and sharded over the assignment axis on a device
-mesh -- replacing the reference's per-assignment process-pool map
-(reference :686-738).
+redesign: the classical objective over nu-assignments is evaluated in dense
+matmul chunks (sign-parity, symmetry and clique contractions) -- MXU-friendly
+-- replacing the reference's per-assignment process-pool map (reference
+:686-738).  Large brute-force searches enumerate the assignments ON DEVICE
+from an iota and, under ``symmer_tpu.use_mesh``, shard the assignment axis
+across the mesh (kernels/jx_noncon.py).
 """
 from __future__ import annotations
 
@@ -423,8 +424,11 @@ class NoncontextualOp(PauliwordOp):
         E(nu) = s0(nu) + AC_ev * ||s_i(nu)||_2 with
         s0 = m_S0 . (c * sign * (-1)^{F nu^-}),  F = [G_indices == 1].
 
-        This replaces the reference's parallel per-nu map (:686-738) and is
-        the multi-chip fan-out point (mesh over the nu axis).
+        Single-device contraction over an explicit nu-matrix (host or one
+        jitted device matmul).  The mesh-sharded, never-materialised search
+        lives in ``NoncontextualSolver._brute_force_device`` /
+        ``kernels.jx_noncon`` (replacing the reference's parallel per-nu map,
+        :686-738).
         """
         nu_list = np.atleast_2d(np.asarray(nu_list))
         F = (self.G_indices == 1).astype(np.float32)          # (M, G)
@@ -441,10 +445,14 @@ class NoncontextualOp(PauliwordOp):
 
             @jax.jit
             def _energies(F, neg, base, mS0, mCi):
-                parity = jnp.mod(F @ neg.T, 2.0)              # (M, K)
+                # HIGHEST matmul precision: the TPU MXU's default bf16
+                # multiply truncates coefficient mantissas (the 0/1 parity
+                # contraction is bf16-exact, the signed ones are not)
+                hi = dict(precision=jax.lax.Precision.HIGHEST)
+                parity = jnp.mod(jnp.matmul(F, neg.T, **hi), 2.0)  # (M, K)
                 signed = base[:, None] * (1.0 - 2.0 * parity)
-                s0 = mS0 @ signed                              # (K,)
-                si = mCi @ signed                              # (n_cliques, K)
+                s0 = jnp.matmul(mS0, signed, **hi)                 # (K,)
+                si = jnp.matmul(mCi, signed, **hi)                 # (n_cliques, K)
                 return s0 + AC_ev * jnp.linalg.norm(si, axis=0)
 
             return np.asarray(
@@ -576,22 +584,63 @@ class NoncontextualSolver:
             self.fixed_eigvals = np.array([], dtype=int)
 
     def energy_via_brute_force(self) -> Tuple[float, np.ndarray]:
-        """All 2^|unfixed G| assignments, batched dense contraction."""
+        """All 2^|unfixed G| assignments.
+
+        Small searches run as one host contraction; large ones are enumerated
+        ON DEVICE from an iota (the nu-matrix is never materialised -- host
+        memory is flat in the search size) and, when ``config.mesh`` is set,
+        sharded over the assignment axis with a psum-style (min, argmin)
+        reduction (replaces the reference's process-pool streaming,
+        noncontextual_op.py:686-738).
+        """
         if np.all(self.fixed_ev_mask):
             nu_list = self.fixed_eigvals.reshape([1, -1])
-        else:
-            search_size = 2 ** np.sum(~self.fixed_ev_mask)
-            nu_list = np.ones(
-                [search_size, self.NC_op.symmetry_generators.n_terms], dtype=int
-            )
-            nu_list[:, self.fixed_ev_mask] = np.tile(self.fixed_eigvals, [search_size, 1])
-            free = int(np.sum(~self.fixed_ev_mask))
-            # enumeration order matches itertools.product([-1, 1], repeat=free)
-            grid = (np.arange(search_size)[:, None] >> np.arange(free - 1, -1, -1)) & 1
-            nu_list[:, ~self.fixed_ev_mask] = 2 * grid - 1
+            energies = self.NC_op.get_energies_batch(nu_list)
+            return float(energies[0]), nu_list[0]
+
+        free = int(np.sum(~self.fixed_ev_mask))
+        search_size = 2**free
+        M = self.NC_op.n_terms
+        use_dev = free > 20 or (
+            search_size >= 1024 and config.use_device(search_size * M // 64)
+        )
+        if use_dev:
+            return self._brute_force_device(free)
+
+        nu_list = np.ones(
+            [search_size, self.NC_op.symmetry_generators.n_terms], dtype=int
+        )
+        nu_list[:, self.fixed_ev_mask] = np.tile(self.fixed_eigvals, [search_size, 1])
+        # enumeration order matches itertools.product([-1, 1], repeat=free)
+        grid = (np.arange(search_size)[:, None] >> np.arange(free - 1, -1, -1)) & 1
+        nu_list[:, ~self.fixed_ev_mask] = 2 * grid - 1
         energies = self.NC_op.get_energies_batch(nu_list)
         best = int(np.argmin(energies))
         return float(energies[best]), nu_list[best]
+
+    def _brute_force_device(self, free: int) -> Tuple[float, np.ndarray]:
+        """Device-enumerated (optionally mesh-sharded) assignment search."""
+        from ..kernels.jx_noncon import brute_force_minimise, nu_from_index
+
+        F = (self.NC_op.G_indices == 1).astype(np.float64)
+        fixed_neg = (np.asarray(self.fixed_eigvals) == -1).astype(np.float64)
+        fixed_parity = (F[:, self.fixed_ev_mask] @ fixed_neg) % 2
+        base = (self.NC_op.coeff_vec * self.NC_op.pauli_mult_signs).real
+        _, idx = brute_force_minimise(
+            F[:, ~self.fixed_ev_mask],
+            fixed_parity,
+            base,
+            self.NC_op.mask_S0.astype(np.float64),
+            self.NC_op.mask_Ci.astype(np.float64),
+            free,
+            mesh=config.mesh,
+        )
+        nu = np.ones(self.NC_op.symmetry_generators.n_terms, dtype=int)
+        nu[self.fixed_ev_mask] = self.fixed_eigvals
+        nu[~self.fixed_ev_mask] = nu_from_index(idx, free)
+        # the argmin came off the device (f32 on TPU); the reported energy is
+        # recomputed for that assignment at full host precision
+        return float(self.NC_op.get_energy(nu)), nu
 
     def energy_via_relaxation(self) -> Tuple[float, np.ndarray]:
         """Continuous relaxation optimised by scipy shgo (reference :710-730)."""

@@ -31,7 +31,7 @@ the algorithm itself.
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -110,19 +110,30 @@ def _exchange_round(k: int, state, axis_name):
     return x_new, z_new, cr_new, ci_new, n_new, h_new, ovf
 
 
-def _local_shard_cleanup(x, z, cr, ci, n_local, n_rounds, zero_threshold, axis_name):
-    """Body run per shard under shard_map."""
-    n_local = n_local[0]  # per-shard view of int32[n_dev] is shape (1,)
-    ovf_any = jnp.zeros((), bool)
+def exchange_merge(x, z, cr, ci, n_local, n_rounds, zero_threshold, axis_name):
+    """Hash-route rows to their home shard, then merge locally.
 
+    Runs INSIDE shard_map on per-shard buffers; reusable as the tail of any
+    distributed term-producing kernel (cleanup, multiply, rotation).  Returns
+    (x, z, cr, ci, n_out, overflow) with scalar n_out/overflow per shard.
+    """
+    ovf_any = jnp.zeros((), bool)
     state = (x, z, cr, ci, n_local, None)
     for k in range(n_rounds):
         *state, ovf = _exchange_round(k, tuple(state), axis_name)
         ovf_any = ovf_any | ovf
     x, z, cr, ci, n_local, _ = state
-
     x, z, cr, ci, n_out = jx_core.cleanup_sorted(
         x, z, cr, ci, n_local, zero_threshold
+    )
+    return x, z, cr, ci, n_out, ovf_any
+
+
+def _local_shard_cleanup(x, z, cr, ci, n_local, zt, n_rounds, has_threshold, axis_name):
+    """Body run per shard under shard_map."""
+    n_local = n_local[0]  # per-shard view of int32[n_dev] is shape (1,)
+    x, z, cr, ci, n_out, ovf_any = exchange_merge(
+        x, z, cr, ci, n_local, n_rounds, zt if has_threshold else None, axis_name
     )
     return x, z, cr, ci, n_out[None], ovf_any[None]
 
@@ -187,25 +198,12 @@ def distributed_cleanup(
              jnp.zeros((n_dev, C - T_local), ci.dtype)], axis=1
         ).reshape(n_dev * C)
 
-    spec_rows = P(axis_name, None)
-    spec_vec = P(axis_name)
-    zt = None if zero_threshold is None else jnp.asarray(zero_threshold, cr.dtype)
+    has_threshold = zero_threshold is not None
+    zt = jnp.asarray(zero_threshold if has_threshold else 0.0, cr.dtype)
 
-    fn = jax.jit(
-        jax.shard_map(
-            partial(
-                _local_shard_cleanup,
-                n_rounds=n_rounds,
-                zero_threshold=zt,
-                axis_name=axis_name,
-            ),
-            mesh=mesh,
-            in_specs=(spec_rows, spec_rows, spec_vec, spec_vec, spec_vec),
-            out_specs=(spec_rows, spec_rows, spec_vec, spec_vec, spec_vec, spec_vec),
-        )
-    )
-    sh_rows = NamedSharding(mesh, spec_rows)
-    sh_vec = NamedSharding(mesh, spec_vec)
+    fn = _cleanup_jit(mesh, axis_name, n_rounds, has_threshold)
+    sh_rows = NamedSharding(mesh, P(axis_name, None))
+    sh_vec = NamedSharding(mesh, P(axis_name))
     x = jax.device_put(x, sh_rows)
     z = jax.device_put(z, sh_rows)
     cr = jax.device_put(cr, sh_vec)
@@ -213,4 +211,159 @@ def distributed_cleanup(
     n_valid_per_shard = jax.device_put(
         jnp.asarray(n_valid_per_shard, jnp.int32), sh_vec
     )
-    return fn(x, z, cr, ci, n_valid_per_shard)
+    return fn(x, z, cr, ci, n_valid_per_shard, zt)
+
+
+def _local_multiply(x1, z1, cr1, ci1, x2, z2, cr2, ci2, zt, n_rounds, axis_name):
+    """Per-shard body: fused local all-pairs product+cleanup (the product
+    planes never reach HBM, jx_core.mul_pairs_cleanup), then hash-routed
+    exchange so duplicates created *across* shards merge too.
+
+    The LOCAL cleanup runs without a threshold: a term's coefficient can be
+    split across shards, and dropping sub-threshold partial sums before the
+    cross-shard merge would change the total.  The threshold applies once,
+    in the post-exchange merge, where every duplicate is co-resident --
+    exactly the single-device semantics."""
+    x, z, cr, ci, n = jx_core.mul_pairs_cleanup(
+        x1, z1, cr1, ci1, x2, z2, cr2, ci2, None
+    )
+    x, z, cr, ci, n_out, ovf = exchange_merge(
+        x, z, cr, ci, n, n_rounds, zt, axis_name
+    )
+    return x, z, cr, ci, n_out[None], ovf[None]
+
+
+@lru_cache(maxsize=None)
+def _multiply_jit(mesh: Mesh, axis_name: str, n_rounds: int):
+    spec_rows = P(axis_name, None)
+    spec_vec = P(axis_name)
+    return jax.jit(
+        jax.shard_map(
+            partial(_local_multiply, n_rounds=n_rounds, axis_name=axis_name),
+            mesh=mesh,
+            in_specs=(spec_rows, spec_rows, spec_vec, spec_vec,
+                      P(), P(), P(), P(), P()),
+            out_specs=(spec_rows, spec_rows, spec_vec, spec_vec,
+                       spec_vec, spec_vec),
+        )
+    )
+
+
+def distributed_multiply_cleanup(
+    x1, z1, cr1, ci1, x2, z2, cr2, ci2, mesh: Mesh,
+    zero_threshold, axis_name: str = "terms",
+):
+    """(op1 * op2).cleanup() with op1's term axis sharded over the mesh.
+
+    op2 is replicated (the smaller operand by the reference's
+    smaller-operand-left convention, symmer base.py:846-852); each shard owns
+    a (T1_local x T2) slab of the product.  The term axis never gathers:
+    local fused product+cleanup, then the hash-routed ppermute exchange.
+
+    Args are device/numpy arrays; x1's row count must divide by the mesh size
+    (callers pad with zero-coefficient rows -- their products vanish under
+    the threshold).  ``zero_threshold`` is required on this path.
+
+    Returns (x, z, cr, ci, n_out_per_shard, overflow_per_shard), sharded.
+    """
+    assert zero_threshold is not None, "sharded multiply requires a threshold"
+    n_dev = mesh.devices.size
+    if n_dev & (n_dev - 1):
+        raise ValueError(f"mesh size must be a power of two, got {n_dev}")
+    n_rounds = n_dev.bit_length() - 1
+    T1 = x1.shape[0]
+    if T1 % n_dev:
+        raise ValueError(f"term axis {T1} not divisible by mesh size {n_dev}")
+    fn = _multiply_jit(mesh, axis_name, n_rounds)
+    sh_rows = NamedSharding(mesh, P(axis_name, None))
+    sh_vec = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    zt = jnp.asarray(zero_threshold, cr1.dtype)
+    return fn(
+        jax.device_put(x1, sh_rows), jax.device_put(z1, sh_rows),
+        jax.device_put(cr1, sh_vec), jax.device_put(ci1, sh_vec),
+        jax.device_put(x2, repl), jax.device_put(z2, repl),
+        jax.device_put(cr2, repl), jax.device_put(ci2, repl),
+        zt,
+    )
+
+
+def _local_rotate_nc(x, z, cr, ci, n_local, xr, zr, angle, zt,
+                     n_rounds, axis_name):
+    """Per-shard body: fused non-Clifford rotation+cleanup (buffer doubles to
+    2C), hash-routed exchange+merge at 2C, then compact back into the C-row
+    buffer (overflow-flagged) so the sequence keeps a constant shape.
+
+    As in _local_multiply, the local cleanup is threshold-free; the threshold
+    applies only after the exchange has co-located every duplicate."""
+    n_local = n_local[0]
+    C = x.shape[0]
+    xo, zo, cro, cio, n = jx_core.rotate_nonclifford_cleanup(
+        x, z, cr, ci, xr, zr, angle, n_local, None
+    )
+    xo, zo, cro, cio, n_out, ovf = exchange_merge(
+        xo, zo, cro, cio, n, n_rounds, zt, axis_name
+    )
+    ovf = ovf | (n_out > C)
+    return (
+        xo[:C], zo[:C], cro[:C], cio[:C],
+        jnp.minimum(n_out, C)[None], ovf[None],
+    )
+
+
+@lru_cache(maxsize=None)
+def _rotate_nc_jit(mesh: Mesh, axis_name: str, n_rounds: int):
+    spec_rows = P(axis_name, None)
+    spec_vec = P(axis_name)
+    return jax.jit(
+        jax.shard_map(
+            partial(_local_rotate_nc, n_rounds=n_rounds, axis_name=axis_name),
+            mesh=mesh,
+            in_specs=(spec_rows, spec_rows, spec_vec, spec_vec, spec_vec,
+                      P(), P(), P(), P()),
+            out_specs=(spec_rows, spec_rows, spec_vec, spec_vec,
+                       spec_vec, spec_vec),
+        )
+    )
+
+
+def _local_clifford(x, z, cr, ci, rx, rz, rm):
+    """Per-shard Clifford scan: purely term-parallel, no exchange needed
+    (a Clifford rotation is a bijection on terms -- a duplicate-free sharded
+    operator stays duplicate-free, and invalid zero rows are identities)."""
+    return jx_core.clifford_scan(x, z, cr, ci, rx, rz, rm)
+
+
+@lru_cache(maxsize=None)
+def _clifford_jit(mesh: Mesh, axis_name: str):
+    spec_rows = P(axis_name, None)
+    spec_vec = P(axis_name)
+    return jax.jit(
+        jax.shard_map(
+            _local_clifford,
+            mesh=mesh,
+            in_specs=(spec_rows, spec_rows, spec_vec, spec_vec, P(), P(), P()),
+            out_specs=(spec_rows, spec_rows, spec_vec, spec_vec),
+        )
+    )
+
+
+@lru_cache(maxsize=None)
+def _cleanup_jit(mesh: Mesh, axis_name: str, n_rounds: int, has_threshold: bool):
+    """Cached jitted shard_map for the distributed cleanup (re-building the
+    wrapper per call would defeat jax.jit's trace cache)."""
+    spec_rows = P(axis_name, None)
+    spec_vec = P(axis_name)
+    return jax.jit(
+        jax.shard_map(
+            partial(
+                _local_shard_cleanup,
+                n_rounds=n_rounds,
+                has_threshold=has_threshold,
+                axis_name=axis_name,
+            ),
+            mesh=mesh,
+            in_specs=(spec_rows, spec_rows, spec_vec, spec_vec, spec_vec, P()),
+            out_specs=(spec_rows, spec_rows, spec_vec, spec_vec, spec_vec, spec_vec),
+        )
+    )

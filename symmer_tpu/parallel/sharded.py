@@ -1,0 +1,238 @@
+"""Host-boundary drivers for mesh-sharded operator kernels.
+
+These are what ``kernels.dispatch`` routes through when ``config.mesh`` is set
+(``symmer_tpu.use_mesh``): host uint64 planes + complex coefficients in, the
+same out, with the term axis sharded over the mesh in between and never
+gathered on device (parallel/distributed.py).  Overflow of the hash-routing
+buffers is detected, retried at doubled capacity, and finally falls back to
+the single-device gathered path by returning ``None`` -- the caller keeps the
+usual semantics either way.
+
+This is the layer that turns the distributed kernels from a demo into the
+product: the reference wires its process pool into the same operator call
+sites (symmer process_handler.py:100-115 used at base.py:811,
+noncontextual_op.py:733); here the call sites are PauliwordOp.cleanup /
+__mul__ / perform_rotations via kernels/dispatch.py.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..kernels import pack
+from ..kernels.dispatch import _coeff_dtype, _rel_floor, is_clifford_angle
+from . import distributed
+
+Planes = Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+
+def _split_c(c: np.ndarray):
+    dt = _coeff_dtype()
+    return (
+        np.ascontiguousarray(c.real, dtype=dt),
+        np.ascontiguousarray(c.imag, dtype=dt),
+    )
+
+
+def _pad_rows(a: np.ndarray, rows: int):
+    if rows <= a.shape[0]:
+        return a
+    widths = [(0, rows - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, widths)
+
+
+def _interleave(a: np.ndarray, n_dev: int, L: int, C: int):
+    """(n_dev * L, ...) -> (n_dev * C, ...): each shard's rows padded to C."""
+    if C == L:
+        return a
+    shp = (n_dev, C - L) + a.shape[1:]
+    return np.concatenate(
+        [a.reshape((n_dev, L) + a.shape[1:]), np.zeros(shp, a.dtype)], axis=1
+    ).reshape((n_dev * C,) + a.shape[1:])
+
+
+def _gather(x32, z32, cr, ci, ns) -> Planes:
+    """Collect per-shard valid prefixes into host planes."""
+    x32, z32, cr, ci, ns = (np.asarray(a) for a in (x32, z32, cr, ci, ns))
+    n_dev = len(ns)
+    C = x32.shape[0] // n_dev
+    xs, zs, cs = [], [], []
+    for d in range(n_dev):
+        n = int(ns[d])
+        xs.append(x32[d * C : d * C + n])
+        zs.append(z32[d * C : d * C + n])
+        cs.append(
+            cr[d * C : d * C + n].astype(np.float64)
+            + 1j * ci[d * C : d * C + n].astype(np.float64)
+        )
+    x64 = pack.from_u32(np.concatenate(xs, axis=0))
+    z64 = pack.from_u32(np.concatenate(zs, axis=0))
+    c = np.concatenate(cs)
+    if len(c) == 0:  # fully cancelled operator: keep one explicit zero row
+        x64 = np.zeros((1, x64.shape[1] or 1), np.uint64)
+        z64 = np.zeros_like(x64)
+        c = np.zeros(1, complex)
+    return x64, z64, c
+
+
+def _usable(mesh) -> bool:
+    """The exchange needs a power-of-two mesh of at least 2 devices; anything
+    else falls back to the single-device path (returning None upstream)."""
+    n = int(mesh.devices.size)
+    return n >= 2 and not (n & (n - 1))
+
+
+def cleanup(x, z, c, zero_threshold, mesh, axis_name: str = "terms") -> Optional[Planes]:
+    """Mesh-sharded deduplication of host planes; None -> caller falls back."""
+    if not _usable(mesh):
+        return None
+    n_dev = int(mesh.devices.size)
+    T = x.shape[0]
+    Tp = -(-T // n_dev) * n_dev
+    x32 = pack.to_u32(_pad_rows(x, Tp))
+    z32 = pack.to_u32(_pad_rows(z, Tp))
+    cr, ci = _split_c(_pad_rows(c, Tp))
+    L = Tp // n_dev
+    n_local = np.minimum(np.maximum(T - L * np.arange(n_dev), 0), L).astype(np.int32)
+    th = _effective_host_threshold(zero_threshold, c)
+    for capacity_factor in (2, 4):
+        xo, zo, cro, cio, ns, ovf = distributed.distributed_cleanup(
+            x32, z32, cr, ci, n_local, mesh,
+            zero_threshold=th, capacity_factor=capacity_factor,
+            axis_name=axis_name,
+        )
+        if not np.asarray(ovf).any():
+            return _gather(xo, zo, cro, cio, ns)
+    return None
+
+
+def multiply_cleanup(
+    x1, z1, c1, x2, z2, c2, zero_threshold, mesh, axis_name: str = "terms"
+) -> Optional[Planes]:
+    """Mesh-sharded (op1 * op2).cleanup() of host planes; None -> fall back."""
+    if not _usable(mesh):
+        return None
+    n_dev = int(mesh.devices.size)
+    T1 = x1.shape[0]
+    Tp = -(-T1 // n_dev) * n_dev
+    x1p = pack.to_u32(_pad_rows(x1, Tp))
+    z1p = pack.to_u32(_pad_rows(z1, Tp))
+    cr1, ci1 = _split_c(_pad_rows(c1, Tp))
+    cr2, ci2 = _split_c(c2)
+    # product coefficients scale as |c1| * |c2|: the f32 floor must use the
+    # product magnitude, mirroring jx_core.effective_threshold on the fused
+    # single-device path
+    scale = np.array([np.max(np.abs(c1)) * np.max(np.abs(c2))]) if len(c1) and len(c2) else np.array([0.0])
+    th = _effective_host_threshold(zero_threshold, scale)
+    xo, zo, cro, cio, ns, ovf = distributed.distributed_multiply_cleanup(
+        x1p, z1p, cr1, ci1,
+        pack.to_u32(x2), pack.to_u32(z2), cr2, ci2,
+        mesh, zero_threshold=th, axis_name=axis_name,
+    )
+    if np.asarray(ovf).any():
+        return None
+    return _gather(xo, zo, cro, cio, ns)
+
+
+def perform_rotations(
+    x, z, c,
+    rotations: Sequence[Tuple[np.ndarray, np.ndarray, Optional[float]]],
+    zero_threshold, mesh, axis_name: str = "terms",
+    capacity_factor: int = 2,
+) -> Optional[Planes]:
+    """Mesh-sharded rotation sequence: one scatter, one gather.
+
+    Clifford runs execute as purely local sharded scans; each non-Clifford
+    rotation doubles the per-shard buffer, exchange-merges, and compacts back
+    to the fixed capacity.  Overflow anywhere -> None (caller falls back).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if not _usable(mesh):
+        return None
+    n_dev = int(mesh.devices.size)
+    n_rounds = n_dev.bit_length() - 1
+    T = x.shape[0]
+    Tp = -(-T // n_dev) * n_dev
+    L = Tp // n_dev
+    C = capacity_factor * L
+    th_val = _effective_host_threshold(zero_threshold, c)
+
+    x32 = _interleave(pack.to_u32(_pad_rows(x, Tp)), n_dev, L, C)
+    z32 = _interleave(pack.to_u32(_pad_rows(z, Tp)), n_dev, L, C)
+    cr, ci = _split_c(_pad_rows(c, Tp))
+    cr = _interleave(cr, n_dev, L, C)
+    ci = _interleave(ci, n_dev, L, C)
+    ns = np.minimum(np.maximum(T - L * np.arange(n_dev), 0), L).astype(np.int32)
+
+    sh_rows = NamedSharding(mesh, P(axis_name, None))
+    sh_vec = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    dx = jax.device_put(jnp.asarray(x32), sh_rows)
+    dz = jax.device_put(jnp.asarray(z32), sh_rows)
+    dcr = jax.device_put(jnp.asarray(cr), sh_vec)
+    dci = jax.device_put(jnp.asarray(ci), sh_vec)
+    dns = jax.device_put(jnp.asarray(ns), sh_vec)
+    dt = _coeff_dtype()
+    zt = jnp.asarray(th_val, dt)
+    overflowed = False
+
+    clifford_fn = distributed._clifford_jit(mesh, axis_name)
+    rot_fn = distributed._rotate_nc_jit(mesh, axis_name, n_rounds)
+
+    i, n_rot = 0, len(rotations)
+    while i < n_rot:
+        if is_clifford_angle(rotations[i][2]) is not None:
+            j, ms, rxs, rzs = i, [], [], []
+            while j < n_rot:
+                mj = is_clifford_angle(rotations[j][2])
+                if mj is None:
+                    break
+                rxs.append(pack.to_u32(rotations[j][0].reshape(1, -1))[0])
+                rzs.append(pack.to_u32(rotations[j][1].reshape(1, -1))[0])
+                ms.append(mj)
+                j += 1
+            dx, dz, dcr, dci = clifford_fn(
+                dx, dz, dcr, dci,
+                jax.device_put(jnp.asarray(np.array(rxs)), repl),
+                jax.device_put(jnp.asarray(np.array(rzs)), repl),
+                jax.device_put(jnp.asarray(np.array(ms, np.int32)), repl),
+            )
+            i = j
+        else:
+            xr, zr, angle = rotations[i]
+            dx, dz, dcr, dci, dns, ovf = rot_fn(
+                dx, dz, dcr, dci, dns,
+                jax.device_put(jnp.asarray(pack.to_u32(xr.reshape(1, -1))[0]), repl),
+                jax.device_put(jnp.asarray(pack.to_u32(zr.reshape(1, -1))[0]), repl),
+                jax.device_put(jnp.asarray(float(complex(angle).real), dt), repl),
+                zt,
+            )
+            if np.asarray(ovf).any():
+                overflowed = True
+                break
+            i += 1
+
+    if overflowed:
+        return None
+    xo, zo, cro, cio, ns_o, ovf = distributed.distributed_cleanup(
+        dx, dz, dcr, dci, dns, mesh, zero_threshold=th_val,
+        capacity_factor=1, axis_name=axis_name,
+    )
+    if np.asarray(ovf).any():
+        return None
+    return _gather(xo, zo, cro, cio, ns_o)
+
+
+def _effective_host_threshold(zero_threshold, *coeff_vecs) -> float:
+    """Apply the f32 relative floor on the host side (the sharded kernels take
+    one static threshold; computing the max on host keeps semantics identical
+    to jx_core.effective_threshold on the single-device path)."""
+    fl = float(_rel_floor())
+    if fl == 0.0 or zero_threshold is None:
+        return zero_threshold if zero_threshold is not None else 0.0
+    m = max(float(np.max(np.abs(cv))) if len(cv) else 0.0 for cv in coeff_vecs)
+    return max(float(zero_threshold), fl * m)

@@ -23,14 +23,18 @@ from typing import Dict
 class KernelStats:
     host_calls: Dict[str, int] = field(default_factory=lambda: defaultdict(int))
     device_calls: Dict[str, int] = field(default_factory=lambda: defaultdict(int))
+    mesh_calls: Dict[str, int] = field(default_factory=lambda: defaultdict(int))
     timings: Dict[str, float] = field(default_factory=lambda: defaultdict(float))
 
-    def record(self, name: str, device: bool) -> None:
+    def record(self, name: str, device: bool, mesh: bool = False) -> None:
+        if mesh:
+            self.mesh_calls[name] += 1
         (self.device_calls if device else self.host_calls)[name] += 1
 
     def reset(self) -> None:
         self.host_calls.clear()
         self.device_calls.clear()
+        self.mesh_calls.clear()
         self.timings.clear()
 
     def summary(self) -> str:

@@ -88,3 +88,36 @@ def test_cleanup_empty_and_single():
     out = jx_core.cleanup_sorted(x, z, cr, ci, jnp.int32(4), jnp.asarray(1e-10))
     assert int(out[4]) == 1
     assert float(out[2][0]) == 4.0
+
+
+def test_f32_relative_threshold_floor():
+    """Float32 coefficients: cancellation residue (~eps32 * |c|) sits above
+    the f64-style absolute threshold; the rel_floor policy must drop it
+    (config.f32_threshold_rel_floor; VERDICT r1 'f32 zero-threshold').
+    """
+    # two copies of the same term that cancel, plus one surviving term
+    x = jnp.asarray(np.array([[3, 1], [3, 1], [5, 0]], dtype=np.uint32))
+    z = jnp.asarray(np.array([[0, 2], [0, 2], [1, 1]], dtype=np.uint32))
+    big = np.float32(1e4)
+    cr = jnp.asarray(np.array([big, -(big * (1 + np.float32(3e-7))), 1.0], np.float32))
+    ci = jnp.zeros(3, jnp.float32)
+    th = jnp.asarray(1e-15, jnp.float32)
+
+    # without the floor the ~3e-3 residue (3e-7 relative of 1e4) survives
+    *_, n_no_floor = jx_core.cleanup_sorted(x, z, cr, ci, 3, th)
+    assert int(n_no_floor) == 2
+
+    # with the floor (2e-6 * max|c| = 2e-2) it is dropped
+    fl = jnp.asarray(2e-6, jnp.float32)
+    out = jx_core.cleanup_sorted(x, z, cr, ci, 3, th, rel_floor=fl)
+    d = _collect(out)
+    assert len(d) == 1
+    (key,) = d
+    assert key == (
+        np.array([5, 0], np.uint32).tobytes(), np.array([1, 1], np.uint32).tobytes()
+    )
+
+    # the floor must NOT eat genuinely small terms above rel_floor * max|c|
+    cr2 = jnp.asarray(np.array([big, -big / 2, 1.0], np.float32))
+    out2 = jx_core.cleanup_sorted(x, z, cr2, ci, 3, th, rel_floor=fl)
+    assert len(_collect(out2)) == 2

@@ -1,0 +1,104 @@
+"""Mesh-sharded execution reachable from the PUBLIC operator API.
+
+``with symmer_tpu.use_mesh():`` must route cleanup / multiply / rotation
+sequences through the term-sharded kernels (term axis never gathered on
+device) and give results identical (f64, exact term sets) to the
+single-device path -- VERDICT r1 item 1.
+"""
+import numpy as np
+import pytest
+
+import symmer_tpu
+from symmer_tpu import PauliwordOp
+from symmer_tpu.config import config
+from symmer_tpu.profiling import kernel_stats
+
+
+@pytest.fixture(autouse=True)
+def _low_mesh_threshold():
+    old_th, old_backend = config.mesh_threshold, config.backend
+    config.mesh_threshold = 64
+    yield
+    config.mesh_threshold = old_th
+    config.backend = old_backend
+
+
+def _dup_heavy_op(nq, T, seed):
+    rng = np.random.default_rng(seed)
+    base = PauliwordOp.random(nq, max(T // 4, 1), density=0.5)
+    idx = rng.integers(0, base.n_terms, T)
+    return PauliwordOp.from_planes(
+        base.x_pack[idx], base.z_pack[idx],
+        rng.normal(size=T) + 1j * rng.normal(size=T), nq,
+    )
+
+
+def test_mesh_cleanup_matches_single_device():
+    op = _dup_heavy_op(70, 4096, 0)
+    single = op.cleanup()
+    kernel_stats.reset()
+    with symmer_tpu.use_mesh():
+        sharded = op.cleanup()
+    assert kernel_stats.mesh_calls["cleanup"] == 1
+    assert sharded == single
+    # exact coefficient equality at f64 (same partial sums per term)
+    d1, d2 = single.to_dictionary, sharded.to_dictionary
+    assert set(d1) == set(d2)
+    assert max(abs(d1[k] - d2[k]) for k in d1) < 1e-12
+
+
+def test_mesh_multiply_matches_single_device():
+    a = _dup_heavy_op(70, 512, 1)
+    b = PauliwordOp.random(70, 24, density=0.5)
+    single = a * b
+    kernel_stats.reset()
+    with symmer_tpu.use_mesh():
+        sharded = a * b
+    assert kernel_stats.mesh_calls["multiply"] == 1
+    assert sharded == single
+
+
+def test_mesh_square_large_operator():
+    """(H * H).cleanup() for a 2^9-term operator -> 2^18 product terms,
+    executed sharded, matching the single-device result exactly (f64)."""
+    H = PauliwordOp.random(100, 512, density=0.4)
+    single = (H * H).cleanup()
+    kernel_stats.reset()
+    with symmer_tpu.use_mesh():
+        sharded = (H * H).cleanup()
+    assert kernel_stats.mesh_calls["multiply"] >= 1
+    d1, d2 = single.to_dictionary, sharded.to_dictionary
+    assert set(d1) == set(d2)
+    scale = max(abs(v) for v in d1.values())
+    assert max(abs(d1[k] - d2[k]) for k in d1) < 1e-12 * scale
+
+
+def test_mesh_rotations_match_single_device():
+    np.random.seed(5)
+    op = _dup_heavy_op(70, 512, 2)
+    rots = []
+    for k in range(9):
+        p = PauliwordOp.random(70, 1)
+        p.coeff_vec[:] = 1
+        rots.append((p, None if k % 3 else 0.15 + 0.1 * k))
+    single = op.perform_rotations(rots)
+    kernel_stats.reset()
+    with symmer_tpu.use_mesh():
+        sharded = op.perform_rotations(rots)
+    assert kernel_stats.mesh_calls["perform_rotations"] == 1
+    assert sharded == single
+
+
+def test_mesh_threshold_gates_routing():
+    op = _dup_heavy_op(10, 32, 3)  # below the (lowered) mesh threshold
+    kernel_stats.reset()
+    with symmer_tpu.use_mesh():
+        op.cleanup()
+    assert kernel_stats.mesh_calls["cleanup"] == 0
+
+
+def test_use_mesh_restores_config():
+    assert config.mesh is None
+    with symmer_tpu.use_mesh() as mesh:
+        assert config.mesh is mesh
+    assert config.mesh is None
