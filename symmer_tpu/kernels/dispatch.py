@@ -352,6 +352,79 @@ def _jitted_apply_state():
     return jax.jit(_apply)
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_apply_bra():
+    import jax
+
+    from . import jx_state
+
+    def _apply(s, ar, ai, x, z, cr, ci, th, fl):
+        bits, br, bi = jx_state.apply_to_bra(s, ar, ai, x, z, cr, ci)
+        return jx_state.cleanup_state(bits, br, bi, bits.shape[0], th, rel_floor=fl)
+
+    return jax.jit(_apply)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_inner_product():
+    import jax
+
+    from . import jx_state
+
+    def _ip(s1, a1r, a1i, s2, a2r, a2i):
+        # states may carry duplicate rows: dedup on device first (the sorted
+        # merge pairs equal adjacent rows and needs at most one row per side)
+        s1, a1r, a1i, n1 = jx_state.cleanup_state(s1, a1r, a1i, s1.shape[0])
+        s2, a2r, a2i, n2 = jx_state.cleanup_state(s2, a2r, a2i, s2.shape[0])
+        return jx_state.inner_product_sorted(s1, a1r, a1i, n1, s2, a2r, a2i, n2)
+
+    return jax.jit(_ip)
+
+
+def apply_bra(s_pack, amps, x, z, c, zero_threshold):
+    """<psi|O (packed planes in, deduplicated packed bra out) with host/device
+    dispatch -- the device path mirrors apply_state for the bra side
+    (reference treats bra algebra as first-class, base.py:1800-1819)."""
+    from . import state_core
+
+    T, W = x.shape
+    B = s_pack.shape[0]
+    if not config.use_device(T * B * W):
+        kernel_stats.record("apply_bra", device=False)
+        bits, out = state_core.apply_to_bra(s_pack, amps, x, z, c)
+        return state_core.cleanup_state(bits, out, zero_threshold)
+    kernel_stats.record("apply_bra", device=True)
+    cr, ci = _coeff_to_dev(c)
+    ar, ai = _coeff_to_dev(amps)
+    th = np.asarray(zero_threshold, _coeff_dtype())
+    b_o, ar_o, ai_o, n = _jitted_apply_bra()(
+        _to_dev(s_pack), ar, ai, _to_dev(x), _to_dev(z), cr, ci, th, _rel_floor()
+    )
+    n = int(n)
+    bits = pack.from_u32(np.asarray(b_o[:n]))
+    out = np.asarray(ar_o[:n]) + 1j * np.asarray(ai_o[:n])
+    return bits, out
+
+
+def inner_product(s_bra, amp_bra, s_ket, amp_ket) -> complex:
+    """<bra|ket> with host/device dispatch (bra amplitudes pre-conjugated,
+    reference convention base.py:1800-1817)."""
+    from . import state_core
+
+    B1, W = s_bra.shape
+    B2 = s_ket.shape[0]
+    if not config.use_device((B1 + B2) * W * 16):
+        kernel_stats.record("inner_product", device=False)
+        return state_core.inner_product(s_bra, amp_bra, s_ket, amp_ket)
+    kernel_stats.record("inner_product", device=True)
+    a1r, a1i = _coeff_to_dev(amp_bra)
+    a2r, a2i = _coeff_to_dev(amp_ket)
+    re, im = _jitted_inner_product()(
+        _to_dev(s_bra), a1r, a1i, _to_dev(s_ket), a2r, a2i
+    )
+    return complex(float(re), float(im))
+
+
 def apply_state(x, z, c, s_pack, amps, zero_threshold):
     """O|psi> (packed planes in, deduplicated packed state out) with
     host/device dispatch -- the device path never materialises the (T*B)

@@ -40,6 +40,27 @@ def apply_to_ket(x, z, cr, ci, s, ar, ai):
     return bits, out_r.reshape(T * B), out_i.reshape(T * B)
 
 
+def apply_to_bra(s, ar, ai, x, z, cr, ci):
+    """All (basis, term) pairs of <psi|O: returns (bits, amp_re, amp_im).
+
+    Bra phase: <s|P = (-i)^{|Y|} (-1)^{popcount(s & z)} <s ^ x| (the parity
+    uses the ORIGINAL bits, unlike the ket side -- kernels/state_core.py:41).
+    Output rows ordered b*T + t, matching the host path.
+    """
+    B, W = s.shape
+    T = x.shape[0]
+    bits = (s[:, None, :] ^ x[None, :, :]).reshape(B * T, W)
+    y_cnt = jx_core.y_count(x, z)  # (T,)
+    par = (
+        jnp.sum(jx_core.pc(s[:, None, :] & z[None, :, :]), axis=-1) & 1
+    )  # (B, T)
+    pr, pi = jx_core.apply_i_pow(-y_cnt, cr, ci)  # (-i)^y * c per term
+    sign = (1 - 2 * par).astype(cr.dtype)
+    out_r = (ar[:, None] * pr[None, :] - ai[:, None] * pi[None, :]) * sign
+    out_i = (ar[:, None] * pi[None, :] + ai[:, None] * pr[None, :]) * sign
+    return bits, out_r.reshape(B * T), out_i.reshape(B * T)
+
+
 def cleanup_state(bits, ar, ai, n_valid, zero_threshold=None, rel_floor=None):
     """Deduplicate basis rows, accumulating amplitudes (reuses cleanup_sorted)."""
     zeros = jnp.zeros_like(bits)

@@ -956,15 +956,14 @@ class QuantumState:
         assert self.vec_type == "bra", "Cannot multiply a ket from the right"
         if isinstance(mul_obj, QuantumState):
             assert mul_obj.vec_type == "ket", "Cannot multiply a bra with another bra"
-            return state_core.inner_product(
+            return dispatch.inner_product(
                 self._s_pack, self._amps, mul_obj._s_pack, mul_obj._amps
             )
         elif isinstance(mul_obj, PauliwordOp):
-            bits, amps = state_core.apply_to_bra(
+            bits, amps = dispatch.apply_bra(
                 self._s_pack, self._amps,
-                mul_obj.x_pack, mul_obj.z_pack, mul_obj.coeff_vec,
+                mul_obj.x_pack, mul_obj.z_pack, mul_obj.coeff_vec, 1e-15,
             )
-            bits, amps = state_core.cleanup_state(bits, amps, 1e-15)
             return QuantumState.from_planes(bits, amps, self.n_qubits, "bra")
         raise ValueError(
             "Trying to multiply QuantumState by unrecognised object "

@@ -109,3 +109,73 @@ def test_apply_state_host_device_parity():
     dd = {r.tobytes(): a for r, a in zip(dev._s_pack, dev._amps)}
     assert hd.keys() == dd.keys()
     assert all(abs(hd[k] - dd[k]) < 1e-10 for k in hd)
+
+
+def test_apply_to_bra_parity():
+    np.random.seed(6)
+    op = PauliwordOp.random(40, 9).cleanup()
+    psi = QuantumState.random(40, 7)
+    bits_h, amps_h = state_core.apply_to_bra(
+        psi._s_pack, psi._amps, op.x_pack, op.z_pack, op.coeff_vec
+    )
+    bits_h, amps_h = state_core.cleanup_state(bits_h, amps_h)
+    x, z, cr, ci = _planes(op)
+    s, ar, ai = _state(psi)
+    bits_d, br, bi = jx_state.apply_to_bra(s, ar, ai, x, z, cr, ci)
+    bits_d, br, bi, n = jx_state.cleanup_state(bits_d, br, bi, bits_d.shape[0])
+    n = int(n)
+    d_dev = dict(
+        zip(
+            (r.tobytes() for r in pack.from_u32(np.asarray(bits_d)[:n])),
+            np.asarray(br)[:n] + 1j * np.asarray(bi)[:n],
+        )
+    )
+    d_host = dict(zip((r.tobytes() for r in bits_h), amps_h))
+    assert set(d_dev) == set(d_host)
+    assert all(abs(d_dev[k] - d_host[k]) < 1e-10 for k in d_host)
+
+
+def test_bra_dispatch_device_path():
+    """bra * PauliwordOp and bra * ket through the PUBLIC API, device backend."""
+    from symmer_tpu.config import config
+
+    np.random.seed(7)
+    op = PauliwordOp.random(12, 15).cleanup()
+    ket = QuantumState.random(12, 9)
+    bra = ket.dagger
+    host_bra_op = bra * op
+    host_ip = bra * ket
+    old = config.backend
+    try:
+        config.backend = "device"
+        dev_bra_op = bra * op
+        dev_ip = bra * ket
+    finally:
+        config.backend = old
+    assert dev_bra_op == host_bra_op
+    assert abs(dev_ip - host_ip) < 1e-10
+
+    # consistency: (<psi|O)|psi> == <psi|(O|psi>) == expval for Hermitian-ish
+    assert abs((bra * op) * ket - bra * (op * ket)) < 1e-10
+
+
+def test_inner_product_device_handles_duplicate_rows():
+    """The device inner product dedups internally -- states with repeated
+    basis rows must match the host dict-accumulation result."""
+    from symmer_tpu.config import config
+
+    np.random.seed(8)
+    base = QuantumState.random(10, 4)
+    idx = np.array([0, 1, 1, 2, 3, 0, 2])
+    dup = QuantumState.from_planes(
+        base._s_pack[idx], np.random.randn(7) + 1j * np.random.randn(7), 10, "ket"
+    )
+    bra = QuantumState.random(10, 5).dagger
+    host = bra * dup
+    old = config.backend
+    try:
+        config.backend = "device"
+        dev = bra * dup
+    finally:
+        config.backend = old
+    assert abs(dev - host) < 1e-10
