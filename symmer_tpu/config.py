@@ -45,6 +45,11 @@ class SymmerTPUConfig:
     # minimum term count before a mesh-sharded kernel is preferred over the
     # single-device path (below this, collective latency dominates)
     mesh_threshold: int = 1 << 15
+    # route large anticommutation/adjacency matrices through the Pallas
+    # VMEM-tiled kernel (kernels/pallas_gf2.py) instead of the XLA broadcast;
+    # the XLA path materialises the (M1, M2, W) broadcast in HBM, the Pallas
+    # kernel streams (256, 256) output tiles through VMEM
+    pallas_anticommutes: bool = False
     # float32 device path only: floor the cleanup threshold at
     # rel * max|coeff| so cancellation residue (O(eps32 * |c|) ~ 1e-7
     # relative) is dropped even though the absolute threshold (1e-15)

@@ -203,6 +203,13 @@ def anticommutes(x1, z1, x2, z2) -> np.ndarray:
         kernel_stats.record("anticommutes", device=False)
         return np_core.anticommutes(x1, z1, x2, z2)
     kernel_stats.record("anticommutes", device=True)
+    if config.pallas_anticommutes:
+        from . import pallas_gf2
+
+        out = pallas_gf2.anticommutes_tiled(
+            _to_dev(x1), _to_dev(z1), _to_dev(x2), _to_dev(z2)
+        )
+        return np.asarray(out)
     out = _jitted()["anticommutes"](_to_dev(x1), _to_dev(z1), _to_dev(x2), _to_dev(z2))
     return np.asarray(out)
 

@@ -295,15 +295,32 @@ def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
         & vs[1:] & vs[:-1],
     ])
     boundary = (~same_as_prev) & vs
-    # run_start[i] = sorted position of row i's segment boundary
-    run_start = lax.cummax(jnp.where(boundary, idx, -1))
-    run_start = jnp.maximum(run_start, 0)
-    # exact segment sums landing AT the boundary rows (single stacked
-    # scatter-add; prefix-sum differences would cancel catastrophically)
-    c_pair = jnp.stack([crs, cis], axis=1)
-    c_at_start = jnp.zeros((T, 2), cr.dtype).at[run_start].add(c_pair)
-    cr_sum = jnp.where(boundary, c_at_start[:, 0], 0)
-    ci_sum = jnp.where(boundary, c_at_start[:, 1], 0)
+    # Segment sums landing AT the boundary rows via a REVERSED segmented
+    # inclusive scan (lax.associative_scan: log2(T) elementwise passes).
+    # A scatter-add onto the boundary rows computes the same thing but costs
+    # ~8 ms at 2^18 rows on TPU -- the single most expensive op of the whole
+    # cleanup -- while the scan costs well under 1 ms.  Reversed, each
+    # segment's ORIGINAL first row is its scan-order last element, so the
+    # inclusive scan deposits the full segment total exactly where the
+    # output wants it.  (Prefix-sum DIFFERENCES would cancel catastrophically
+    # for segments summing to ~0; the segmented scan never subtracts.)
+    seg_start_rev = jnp.concatenate([boundary[1:], jnp.array([True])])[::-1]
+
+    def _seg_op(a, b):
+        vr_a, vi_a, f_a = a
+        vr_b, vi_b, f_b = b
+        return (
+            jnp.where(f_b, vr_b, vr_a + vr_b),
+            jnp.where(f_b, vi_b, vi_a + vi_b),
+            f_a | f_b,
+        )
+
+    tot_r_rev, tot_i_rev, _ = lax.associative_scan(
+        _seg_op, (crs[::-1], cis[::-1], seg_start_rev)
+    )
+    c_tot_r, c_tot_i = tot_r_rev[::-1], tot_i_rev[::-1]
+    cr_sum = jnp.where(boundary, c_tot_r, 0)
+    ci_sum = jnp.where(boundary, c_tot_i, 0)
 
     if zero_threshold is not None:
         is_out = boundary & (
@@ -320,8 +337,8 @@ def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
     payload = jnp.concatenate(
         [
             perm.astype(UINT)[:, None],
-            lax.bitcast_convert_type(c_at_start[:, 0], UINT).reshape(T, cw),
-            lax.bitcast_convert_type(c_at_start[:, 1], UINT).reshape(T, cw),
+            lax.bitcast_convert_type(c_tot_r, UINT).reshape(T, cw),
+            lax.bitcast_convert_type(c_tot_i, UINT).reshape(T, cw),
         ],
         axis=1,
     )
@@ -422,7 +439,9 @@ def clifford_scan(x, z, cr, ci, rx, rz, rm):
         ci_new = jnp.where(ac, jnp.where((m4 == 1) | (m4 == 3), sel_i, keep_i), ci)
         return (x_new, z_new, cr_new, ci_new), None
 
-    (x, z, cr, ci), _ = lax.scan(step, (x, z, cr, ci), (rx, rz, rm))
+    # unroll: at small term counts the per-step cost is scan dispatch latency,
+    # not arithmetic -- unrolling amortises it across several rotations
+    (x, z, cr, ci), _ = lax.scan(step, (x, z, cr, ci), (rx, rz, rm), unroll=8)
     return x, z, cr, ci
 
 
@@ -505,107 +524,3 @@ def expval_iz_sum(x, cr, ci, n_valid):
         jnp.sum(jnp.where(is_diag, cr, 0)),
         jnp.sum(jnp.where(is_diag, ci, 0)),
     )
-
-
-_HASH3_MULT = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D)
-_HASH3_INIT = (0x811C9DC5, 0xDEADBEEF, 0x1B873593)
-
-
-def _row_hashes3(x, z):
-    """Three independent 32-bit mixes of each (x|z) packed row."""
-    words = jnp.concatenate([x, z], axis=1)
-    T, WW = words.shape
-    out = []
-    for mult, init in zip(_HASH3_MULT, _HASH3_INIT):
-        h = jnp.full((T,), init, dtype=UINT)
-
-        def body(i, h, mult=mult):
-            h = (h ^ words[:, i]) * jnp.uint32(mult)
-            return h ^ (h >> 15)
-
-        out.append(lax.fori_loop(0, WW, body, h))
-    return tuple(out)
-
-
-def rotate_nonclifford_joined(x, z, cr, ci, xr, zr, angle, n_valid, zero_threshold):
-    """Non-Clifford rotation + merge for DUPLICATE-FREE inputs.
-
-    Exploits the rotation structure instead of sorting the doubled row set:
-    the output rows are [terms, terms*Q]; both halves are internally
-    duplicate-free (the input is, and right-multiplication by Q is a
-    bijection), so merging only requires locating each product row P_j Q among
-    the original rows -- P_j Q == P_i iff x_j ^ xr == x_i (and likewise z) --
-    a hash join of T rows against a sorted T-row table, not a 2T multi-word
-    sort.  Matching uses three independent 32-bit row hashes
-    (false-match probability ~ T^2/2^96).
-
-    NOTE: on PJRT transports where small-table gathers are slow (e.g. the
-    relay used for development, where this measured 39 ms vs 21 ms for the
-    sort-based path at T=100k), ``rotate_nonclifford`` + ``cleanup_sorted``
-    remains the faster production pipeline; this variant wins where gather
-    throughput is healthy.
-
-    Returns (x_out, z_out, cr_out, ci_out, n_out) with static shape 2T.
-    """
-    T, W = x.shape
-    WINDOW = 4
-    valid = jnp.arange(T) < n_valid
-    ac = anticommutes_single(x, z, xr, zr) & valid
-    xm, zm, mr, mi = mul_single(x, z, cr, ci, xr, zr)
-    cos_t = jnp.cos(angle).astype(cr.dtype)
-    sin_t = jnp.sin(angle).astype(cr.dtype)
-    first_r = jnp.where(valid, jnp.where(ac, cr * cos_t, cr), 0)
-    first_i = jnp.where(valid, jnp.where(ac, ci * cos_t, ci), 0)
-    # -i sin(t) * (mr + i mi) = sin(t) * (mi - i mr); only anticommuting terms
-    sec_r = jnp.where(ac, mr * 0 + mi * sin_t, 0)
-    sec_i = jnp.where(ac, -mr * sin_t, 0)
-
-    h_orig = _row_hashes3(x, z)
-    h_prod = _row_hashes3(xm, zm)
-    sort_key = jnp.where(valid, h_orig[0], jnp.uint32(0xFFFFFFFF))
-    order = jnp.lexsort((h_orig[1], sort_key))
-    key_sorted = sort_key[order]
-    pos = jnp.searchsorted(key_sorted, h_prod[0])
-
-    matched = jnp.zeros(T, bool)
-    match_idx = jnp.zeros(T, jnp.int32)
-    for k in range(WINDOW):
-        cand = order[jnp.clip(pos + k, 0, T - 1)]
-        hit = (
-            ac
-            & valid[cand]
-            & (h_prod[0] == h_orig[0][cand])
-            & (h_prod[1] == h_orig[1][cand])
-            & (h_prod[2] == h_orig[2][cand])
-        )
-        match_idx = jnp.where(hit & ~matched, cand, match_idx)
-        matched = matched | hit
-
-    # merge matched product coefficients onto their original rows
-    add_r = jnp.zeros(T, cr.dtype).at[match_idx].add(jnp.where(matched, sec_r, 0))
-    add_i = jnp.zeros(T, cr.dtype).at[match_idx].add(jnp.where(matched, sec_i, 0))
-    first_r = first_r + add_r
-    first_i = first_i + add_i
-
-    # compact: surviving first-half rows, then unmatched product rows
-    keep1 = valid & (first_r * first_r + first_i * first_i > zero_threshold * zero_threshold)
-    keep2 = ac & ~matched & (sec_r * sec_r + sec_i * sec_i > zero_threshold * zero_threshold)
-    keep = jnp.concatenate([keep1, keep2])
-    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dest = jnp.where(keep, dest, 2 * T - 1)
-    n_out = jnp.sum(keep.astype(jnp.int32))
-
-    rows_x = jnp.concatenate([x, xm], axis=0)
-    rows_z = jnp.concatenate([z, zm], axis=0)
-    out_r = jnp.concatenate([first_r, sec_r])
-    out_i = jnp.concatenate([first_i, sec_i])
-    x_o = jnp.zeros_like(rows_x).at[dest].set(jnp.where(keep[:, None], rows_x, 0))
-    z_o = jnp.zeros_like(rows_z).at[dest].set(jnp.where(keep[:, None], rows_z, 0))
-    cr_o = jnp.zeros(2 * T, cr.dtype).at[dest].set(jnp.where(keep, out_r, 0))
-    ci_o = jnp.zeros(2 * T, cr.dtype).at[dest].set(jnp.where(keep, out_i, 0))
-    final = jnp.arange(2 * T) < n_out
-    x_o = jnp.where(final[:, None], x_o, 0)
-    z_o = jnp.where(final[:, None], z_o, 0)
-    cr_o = jnp.where(final, cr_o, 0)
-    ci_o = jnp.where(final, ci_o, 0)
-    return x_o, z_o, cr_o, ci_o, n_out

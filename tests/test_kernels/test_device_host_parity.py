@@ -202,30 +202,3 @@ def test_device_rref_matches_host():
         host = rref_packed(packed)
         dev = pack.from_u32(np.asarray(rref_packed_device(jnp.asarray(pack.to_u32(packed)))))
         assert np.array_equal(host, dev[:, : packed.shape[1]]), (R, bits)
-
-
-def test_joined_rotation_matches_host():
-    """Hash-join rotation variant (duplicate-free inputs) vs host oracle."""
-    for (T, n, angle) in [(17, 70, 0.731), (40, 33, -1.2), (9, 5, 2.0)]:
-        strs = list({"".join(rng.choice(list("IXYZ"), n)) for _ in range(T)})
-        x, z, _ = pack.strings_to_planes(strs)
-        T_eff = x.shape[0]
-        c = rng.normal(size=T_eff) + 1j * rng.normal(size=T_eff)
-        sr = "".join(rng.choice(list("IXYZ"), n))
-        xr, zr, _ = pack.strings_to_planes([sr])
-        (hx, hz, hc), _ = np_core.rotate_single(x, z, c, xr[0], zr[0], angle)
-        hx, hz, hc = np_core.cleanup(hx, hz, hc, 1e-13)
-        ox, oz, ocr, oci, n_out = jx_core.rotate_nonclifford_joined(
-            jnp.asarray(pack.to_u32(x)), jnp.asarray(pack.to_u32(z)),
-            jnp.asarray(c.real), jnp.asarray(c.imag),
-            jnp.asarray(pack.to_u32(xr))[0], jnp.asarray(pack.to_u32(zr))[0],
-            angle, T_eff, 1e-13,
-        )
-        n_out = int(n_out)
-        d_dev = to_dicts(
-            pack.from_u32(np.asarray(ox)[:n_out]), pack.from_u32(np.asarray(oz)[:n_out]),
-            _join(ocr, oci)[:n_out],
-        )
-        d_host = to_dicts(hx, hz, hc)
-        assert set(d_dev) == set(d_host)
-        assert all(abs(d_dev[k] - d_host[k]) < 1e-10 for k in d_host)

@@ -22,3 +22,25 @@ def test_pallas_anticommutes_matches_host():
             )
         )
         assert np.array_equal(host, dev), (M1, M2)
+
+
+def test_pallas_anticommutes_reachable_from_dispatch():
+    """config.pallas_anticommutes routes the public adjacency query through
+    the Pallas kernel (interpreter mode on CPU)."""
+    import numpy as np
+
+    from symmer_tpu import PauliwordOp
+    from symmer_tpu.config import config
+
+    np.random.seed(9)
+    a = PauliwordOp.random(20, 30)
+    b = PauliwordOp.random(20, 17)
+    expected = a.commutes_termwise(b)
+    old_b, old_p = config.backend, config.pallas_anticommutes
+    try:
+        config.backend = "device"
+        config.pallas_anticommutes = True
+        got = a.commutes_termwise(b)
+    finally:
+        config.backend, config.pallas_anticommutes = old_b, old_p
+    assert np.array_equal(got, expected)
