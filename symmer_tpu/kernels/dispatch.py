@@ -315,6 +315,75 @@ def perform_rotations(
     return _planes_from_dev(ox, oz, ocr, oci, int(n))
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_project():
+    jax, jx = _jx()
+    return jax.jit(jx.clifford_project_cleanup, static_argnames=())
+
+
+def clifford_rotate_project(
+    x, z, c,
+    rotations: Sequence[Tuple[np.ndarray, np.ndarray, Optional[float]]],
+    stab_x, stab_z, stab_signs,
+    free_qubit_mask: np.ndarray,
+    zero_threshold: float,
+) -> Planes:
+    """Fused flagship projection: Clifford rotations + stabilizer projection +
+    cleanup in ONE device round trip (one upload, one download, one sync).
+
+    The unfused path (perform_rotations -> commutes_termwise ->
+    host sign flip -> cleanup) moves the full operator host<->device four
+    times; on a remote-attached TPU the transfers dominate the flagship
+    taper flow entirely.  Callers must have verified every rotation angle is
+    Clifford (is_clifford_angle).
+
+    Args:
+        x, z, c: host uint64 planes + complex coefficients.
+        rotations: (xr, zr, angle) with angle a pi/2 multiple (None = +1).
+        stab_x, stab_z: uint64[S, w] single-qubit rotated stabilizer planes.
+        stab_signs: float[S] eigenvalue assignments in {+1, -1, 0}.
+        free_qubit_mask: bool[n_qubits], True at columns to keep.
+        zero_threshold: cleanup threshold.
+
+    Returns host planes with stabilized columns ZEROED (not deleted) --
+    the caller deletes the columns, cf. reference projection/base.py:75-77.
+    """
+    import jax.numpy as jnp
+
+    kernel_stats.record("clifford_rotate_project", device=True)
+    T, W64 = x.shape
+    Tp = _next_bucket(T)
+    dt = _coeff_dtype()
+    rxs, rzs, ms = [], [], []
+    for xr, zr, angle in rotations:
+        m = is_clifford_angle(angle)
+        assert m is not None, "clifford_rotate_project requires Clifford angles"
+        rxs.append(pack.to_u32(xr.reshape(1, -1))[0])
+        rzs.append(pack.to_u32(zr.reshape(1, -1))[0])
+        ms.append(m)
+    W32 = 2 * W64
+    rx = np.array(rxs, np.uint32).reshape(len(rxs), W32)
+    rz = np.array(rzs, np.uint32).reshape(len(rzs), W32)
+    signs = np.real(np.asarray(stab_signs))
+    neg = signs < 0
+    zero = signs == 0
+    neg_x = np.bitwise_or.reduce(stab_x[neg], axis=0) if neg.any() else np.zeros(W64, np.uint64)
+    neg_z = np.bitwise_or.reduce(stab_z[neg], axis=0) if neg.any() else np.zeros(W64, np.uint64)
+    zero_x = np.bitwise_or.reduce(stab_x[zero], axis=0) if zero.any() else np.zeros(W64, np.uint64)
+    zero_z = np.bitwise_or.reduce(stab_z[zero], axis=0) if zero.any() else np.zeros(W64, np.uint64)
+    col_keep = pack.pack_bits(free_qubit_mask.reshape(1, -1))[0]
+    jcr, jci = _coeff_to_dev(c, Tp)
+    row = lambda a: _to_dev(a.reshape(1, -1))[0]
+    ox, oz, ocr, oci, n = _jitted_project()(
+        _to_dev(x, Tp), _to_dev(z, Tp), jcr, jci, T,
+        jnp.asarray(rx), jnp.asarray(rz), jnp.asarray(np.array(ms, np.int32)),
+        _to_dev(stab_x), _to_dev(stab_z),
+        row(neg_x), row(neg_z), row(zero_x), row(zero_z), row(col_keep),
+        jnp.asarray(zero_threshold, dt), _rel_floor(),
+    )
+    return _planes_from_dev(ox, oz, ocr, oci, int(n))
+
+
 def expval(x, z, c, s_pack, amps) -> complex:
     """<psi|O|psi> with host/device dispatch (device above the size threshold)."""
     from . import state_core

@@ -249,10 +249,10 @@ def cleanup_sorted(
 
     # ---- fast path: group by the sorted 128-bit signature ------------------
     # Everything is laid out per *sorted row*; segment machinery (seg ids,
-    # start tables, per-segment gathers) is replaced by one cummax and
-    # scatters indexed by the run start, which costs ~3 scatters + 1 gather
-    # total on the TPU (each 1-D scatter/gather at 200k rows costs 1-3 ms, so
-    # every removed table lookup matters).
+    # start tables, per-segment gathers) is replaced by a segmented scan and
+    # a sort-based compaction -- scatters are avoided entirely (a single
+    # (T, 3)-payload scatter at 2^18 rows costs ~2.7 ms on a v5e; the whole
+    # sort+scan+compact pipeline runs in ~2 ms).
     h1, h2, h3, h4 = row_hashes(x, z, lanes=4)
     return _cleanup_from_hashes(
         (h1, h2, h3, h4), cr, ci, invalid_flag,
@@ -294,17 +294,14 @@ def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
         & (h3s[1:] == h3s[:-1]) & (h4s[1:] == h4s[:-1])
         & vs[1:] & vs[:-1],
     ])
-    boundary = (~same_as_prev) & vs
-    # Segment sums landing AT the boundary rows via a REVERSED segmented
-    # inclusive scan (lax.associative_scan: log2(T) elementwise passes).
-    # A scatter-add onto the boundary rows computes the same thing but costs
-    # ~8 ms at 2^18 rows on TPU -- the single most expensive op of the whole
-    # cleanup -- while the scan costs well under 1 ms.  Reversed, each
-    # segment's ORIGINAL first row is its scan-order last element, so the
-    # inclusive scan deposits the full segment total exactly where the
-    # output wants it.  (Prefix-sum DIFFERENCES would cancel catastrophically
-    # for segments summing to ~0; the segmented scan never subtracts.)
-    seg_start_rev = jnp.concatenate([boundary[1:], jnp.array([True])])[::-1]
+    # Segment sums via a FORWARD segmented inclusive scan
+    # (lax.associative_scan: log2(T) elementwise passes): each segment's LAST
+    # row ends up carrying the full segment total.  A scatter-add onto the
+    # boundary rows computes the same thing but costs ~8 ms at 2^18 rows on
+    # TPU -- the scan costs well under 1 ms.  (Prefix-sum DIFFERENCES would
+    # cancel catastrophically for segments summing to ~0; the segmented scan
+    # never subtracts.)
+    seg_start = ~same_as_prev
 
     def _seg_op(a, b):
         vr_a, vi_a, f_a = a
@@ -315,46 +312,33 @@ def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
             f_a | f_b,
         )
 
-    tot_r_rev, tot_i_rev, _ = lax.associative_scan(
-        _seg_op, (crs[::-1], cis[::-1], seg_start_rev)
-    )
-    c_tot_r, c_tot_i = tot_r_rev[::-1], tot_i_rev[::-1]
-    cr_sum = jnp.where(boundary, c_tot_r, 0)
-    ci_sum = jnp.where(boundary, c_tot_i, 0)
+    tot_r, tot_i, _ = lax.associative_scan(_seg_op, (crs, cis, seg_start))
+    is_last = jnp.concatenate([~same_as_prev[1:], jnp.array([True])]) & vs
 
     if zero_threshold is not None:
-        is_out = boundary & (
-            cr_sum * cr_sum + ci_sum * ci_sum > zero_threshold * zero_threshold
+        is_out = is_last & (
+            tot_r * tot_r + tot_i * tot_i > zero_threshold * zero_threshold
         )
     else:
-        is_out = boundary
-    dest = jnp.where(is_out, jnp.cumsum(is_out.astype(jnp.int32)) - 1, T)
+        is_out = is_last
     n_out = jnp.sum(is_out.astype(jnp.int32))
     final = idx < n_out
-    # single fused output scatter: [orig index | re bits | im bits] as one
-    # (T, 1 + 2*w) u32 payload (two scatters at 200k rows cost ~1 ms each)
-    cw = 2 if cr.dtype.itemsize == 8 else 1
-    payload = jnp.concatenate(
-        [
-            perm.astype(UINT)[:, None],
-            lax.bitcast_convert_type(c_tot_r, UINT).reshape(T, cw),
-            lax.bitcast_convert_type(c_tot_i, UINT).reshape(T, cw),
-        ],
-        axis=1,
+    # Compaction via a second sort rather than a scatter: survivor rows get
+    # their position as the key (preserving hash order), dropped rows the
+    # max-u32 sentinel, and the representative index + summed coefficient
+    # bits ride as values.  On TPU the (T, 3)-payload scatter this replaces
+    # costs ~2.7 ms at 2^18 rows while the sort costs ~0.9 ms (measured on
+    # v5e; the scatter lowers to serialised row DMAs, the sort stays vector).
+    key = jnp.where(is_out, idx.astype(UINT), UINT(0xFFFFFFFF))
+    _, perm_c, cr_b, ci_b = lax.sort(
+        (key, perm.astype(UINT), fbits(tot_r), fbits(tot_i)), num_keys=1
     )
-    out = jnp.zeros((T, 1 + 2 * cw), UINT).at[dest].set(
-        jnp.where(is_out[:, None], payload, 0)
-    )
-    out_orig = out[:, 0].astype(jnp.int32)
-    ubits2 = jnp.uint64 if cw == 2 else UINT
-    as_f = lambda cols: lax.bitcast_convert_type(
-        lax.bitcast_convert_type(cols, ubits2).reshape(T), cr.dtype
-    ) if cw == 2 else lax.bitcast_convert_type(cols.reshape(T), cr.dtype)
+    out_orig = perm_c.astype(jnp.int32)
     x_rows, z_rows = row_source(out_orig)
     x_o = jnp.where(final[:, None], x_rows, 0)
     z_o = jnp.where(final[:, None], z_rows, 0)
-    cr_o = jnp.where(final, as_f(out[:, 1 : 1 + cw]), 0)
-    ci_o = jnp.where(final, as_f(out[:, 1 + cw :]), 0)
+    cr_o = jnp.where(final, funbits(cr_b), 0)
+    ci_o = jnp.where(final, funbits(ci_b), 0)
     return x_o, z_o, cr_o, ci_o, n_out
 
 
@@ -508,6 +492,65 @@ def rotate_nonclifford_cleanup(x, z, cr, ci, xr, zr, angle, n_valid, zero_thresh
 
     return _cleanup_from_hashes(
         hs, crs, cis, invalid_flag, zero_threshold, row_source, rel_floor=rel_floor
+    )
+
+
+def clifford_project_cleanup(
+    x, z, cr, ci, n_valid,
+    rx, rz, rm,
+    stab_x, stab_z,
+    neg_x, neg_z,
+    zero_x, zero_z,
+    col_keep,
+    zero_threshold,
+    rel_floor=None,
+):
+    """Fused stabilizer-subspace projection: Clifford rotation scan, commuting-
+    term selection, eigenvalue sign flips, stabilized-column masking and
+    cleanup -- one device round trip for the whole flagship taper/CS-VQE
+    projection (reference projection/base.py:44-124 runs these as separate
+    host passes with an operator transfer between each).
+
+    Args:
+        x, z: uint32[T, W] operator planes; cr, ci: float[T]; n_valid scalar.
+        rx, rz: uint32[D, W] Clifford rotation planes, rm: int32[D] pi/2
+            multiples (D == 0 skips the scan).
+        stab_x, stab_z: uint32[S, W] rotated (single-qubit) stabilizer planes.
+        neg_x, neg_z: uint32[W] OR of the single-bit masks of stabilizers with
+            eigenvalue -1 (x-side / z-side); zero_x, zero_z: same for
+            eigenvalue 0 (failed sector assignment: intersecting terms drop).
+        col_keep: uint32[W] mask of FREE qubit bits (stabilized columns are
+            zeroed before dedup -- equivalent to the reference's column
+            deletion for grouping purposes; the caller deletes the columns
+            from the compacted host result).
+        zero_threshold, rel_floor: as in cleanup_sorted.
+
+    Returns:
+        (x_out, z_out, cr_out, ci_out, n_out) with stabilized columns zeroed.
+    """
+    T, W = x.shape
+    if rx.shape[0]:
+        x, z, cr, ci = clifford_scan(x, z, cr, ci, rx, rz, rm)
+    # drop terms anticommuting with any rotated stabilizer
+    keep = ~jnp.any(anticommutes(x, z, stab_x, stab_z), axis=1)
+    # eigenvalue sign flips: each stabilizer tests ONE symplectic bit of the
+    # term; the product of -1 assignments is a parity over the OR'd masks
+    flip = (
+        1 - 2 * ((parity_and(x, neg_x[None, :]) + parity_and(z, neg_z[None, :])) & 1)
+    ).astype(cr.dtype)
+    any_zero = (
+        jnp.sum(pc(x & zero_x[None, :]), axis=-1)
+        + jnp.sum(pc(z & zero_z[None, :]), axis=-1)
+    ) > 0
+    live = keep & ~any_zero & (jnp.arange(T) < n_valid)
+    w = jnp.where(live, flip, 0)
+    cr2, ci2 = cr * w, ci * w
+    xm = x & col_keep[None, :]
+    zm = z & col_keep[None, :]
+    hs = row_hashes(xm, zm, lanes=4)
+    return _cleanup_from_hashes(
+        hs, cr2, ci2, (~live).astype(UINT), zero_threshold,
+        lambda orig: (xm[orig], zm[orig]), rel_floor=rel_floor,
     )
 
 

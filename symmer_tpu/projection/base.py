@@ -12,7 +12,8 @@ from typing import List, Union
 
 import numpy as np
 
-from ..kernels import pack
+from ..config import config
+from ..kernels import dispatch, pack
 from ..operators import IndependentOp, PauliwordOp, QuantumState
 from ..evolution import Had, trotter
 
@@ -84,13 +85,62 @@ class S3Projection:
             np.arange(operator.n_qubits), self.stab_qubit_indices
         )
 
-        if len(self.stabilizers.stabilizer_rotations) > 0:
-            op_rotated = operator.perform_rotations(self.stabilizers.stabilizer_rotations)
+        rotations = self.stabilizers.stabilizer_rotations
+        if self._use_fused_device_path(operator, rotations):
+            return self._perform_projection_device(operator, rotations)
+
+        if len(rotations) > 0:
+            op_rotated = operator.perform_rotations(rotations)
         else:
             op_rotated = operator
 
         self.rotated_flag = True
         return self._perform_projection(operator=op_rotated)
+
+    def _use_fused_device_path(self, operator: PauliwordOp, rotations) -> bool:
+        """True when the one-round-trip device projection applies: a large
+        operator, Clifford-only stabilizer rotations (always the case for
+        tapering; CS-VQE applies its non-Clifford UP rotations before calling
+        here), at least one free qubit, and no term-sharding mesh configured
+        (the mesh path keeps its own exchange machinery)."""
+        if not config.use_device(operator.n_terms * operator.n_words):
+            return False
+        if config.mesh is not None and operator.n_terms >= config.mesh_threshold:
+            return False
+        if len(self.free_qubit_indices) == 0:
+            return False
+        return all(
+            dispatch.is_clifford_angle(angle) is not None
+            for _, angle in rotations
+        )
+
+    def _perform_projection_device(
+        self, operator: PauliwordOp, rotations
+    ) -> PauliwordOp:
+        """Rotation + projection + cleanup fused into one device round trip
+        (kernels/jx_core.clifford_project_cleanup).  Semantically identical to
+        perform_rotations followed by _perform_projection: the device kernel
+        zeroes the stabilized columns before dedup (grouping-equivalent to
+        deleting them) and the columns are deleted here on the compacted
+        result."""
+        rot = self.rotated_stabilizers
+        free_mask = np.zeros(operator.n_qubits, dtype=bool)
+        free_mask[self.free_qubit_indices] = True
+        rot_planes = [(r.x_pack[0], r.z_pack[0], angle) for r, angle in rotations]
+        x, z, c = dispatch.clifford_rotate_project(
+            operator.x_pack, operator.z_pack, operator.coeff_vec,
+            rot_planes, rot.x_pack, rot.z_pack, rot.coeff_vec,
+            free_mask, zero_threshold=1e-15,
+        )
+        self.rotated_flag = False
+        if x.shape[0] == 0:
+            return PauliwordOp(np.array([], dtype=bool), [0])
+        free = self.free_qubit_indices
+        projected_symplectic = np.hstack([
+            pack.unpack_bits(x, operator.n_qubits)[:, free],
+            pack.unpack_bits(z, operator.n_qubits)[:, free],
+        ])
+        return PauliwordOp(projected_symplectic, c)
 
     def _project_state(self, state: QuantumState) -> QuantumState:
         """Project a state into the stabilizer subspace (reference :126-159)."""
