@@ -383,7 +383,58 @@ def check():
     return 1 if failures else 0
 
 
+def sweep():
+    """Term-count scaling sweep of the fused rotate+cleanup kernel.
+
+    Catches glue- and kernel-path regressions that the single 100k-term
+    headline number can hide (e.g. a change that helps at 2^17 but
+    regresses the small-operator dispatch).  Prints one table row per size.
+    """
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from symmer_tpu.kernels import jx_core
+
+    dev = jax.devices()[0]
+    print(f"# sweep backend: {dev.platform} ({dev})", file=sys.stderr)
+    n_qubits = 1000
+    W = 2 * ((n_qubits + 63) // 64)
+    keys = jax.random.split(jax.random.key(1), 6)
+    rows = []
+    f = jax.jit(
+        lambda x, z, cr, ci, xr, zr, a: jx_core.rotate_nonclifford_cleanup(
+            x, z, cr, ci, xr, zr, a, x.shape[0], 1e-7
+        )
+    )
+    for log_t in (12, 14, 16, 17):
+        T = 1 << log_t
+        x = jax.random.bits(keys[0], (T, W), dtype=jnp.uint32)
+        z = jax.random.bits(keys[1], (T, W), dtype=jnp.uint32)
+        cr = jax.random.normal(keys[2], (T,), jnp.float32)
+        ci = jax.random.normal(keys[3], (T,), jnp.float32)
+        xr = jax.random.bits(keys[4], (W,), dtype=jnp.uint32)
+        zr = jax.random.bits(keys[5], (W,), dtype=jnp.uint32)
+        t = _amortized_time(
+            lambda: f(x, z, cr, ci, xr, zr, 0.3), lambda o: int(o[4])
+        )
+        rows.append((T, t * 1e3))
+        print(f"# rotate_cleanup T=2^{log_t} ({T}): {t * 1e3:.3f} ms", file=sys.stderr)
+    print(json.dumps({
+        "metric": "rotate_cleanup_sweep_2e17",
+        "value": round(rows[-1][1], 3),
+        "unit": "ms",
+        "vs_baseline": round(1000.0 / rows[-1][1], 2),
+    }))
+
+
 if __name__ == "__main__":
     if "--check" in sys.argv:
         sys.exit(check())
+    if "--sweep" in sys.argv:
+        sys.exit(sweep())
     main()

@@ -39,7 +39,11 @@ def rref_packed(M: np.ndarray, inplace: bool = False) -> np.ndarray:
     R, W = M.shape
     from ..config import config
 
-    if config.use_device(R * R * W // 4) and _accelerator_available():
+    # Device RREF only pays off for matrices with thousands of rows: the
+    # sequential pivot loop costs ~R device steps but a single dispatch+sync
+    # on a remote-attached TPU costs tens of ms, while the packed C++ host
+    # path finishes a 200-row reduction in well under a millisecond.
+    if R >= 2048 and config.use_device(R * W) and _accelerator_available():
         # device path: fori_loop of masked full-matrix XORs (HBM-bandwidth
         # streaming for the giant-operator symmetry-search regime); on the
         # CPU backend the C++ path below is faster than a jitted loop

@@ -253,3 +253,42 @@ def QubitOperator_to_dict(op, num_qubits: int) -> Dict[str, complex]:
 
 def SparsePauliOp_to_dict(op) -> Dict[str, complex]:
     return {pstr: coeff for pstr, coeff in op.to_list()}
+
+
+def symplectic_cleanup(symp_matrix, coeff_vec, zero_threshold=None):
+    """Deduplicate boolean symplectic rows, summing coefficients of merged
+    terms and (optionally) dropping any below ``zero_threshold`` in magnitude.
+
+    API-parity wrapper over the packed host cleanup kernel (reference
+    operators/utils.py:230-279, which routes through qiskit's Rust
+    ``unordered_unique``).  Returns ``(reduced_symp_matrix, reduced_coeffs)``.
+    """
+    symp_matrix = np.atleast_2d(np.asarray(symp_matrix)).astype(bool)
+    x, z, nq = pack.symplectic_to_planes(symp_matrix)
+    xo, zo, c = np_core.cleanup(
+        x, z, np.asarray(coeff_vec, dtype=complex), zero_threshold
+    )
+    return (
+        np.hstack([pack.unpack_bits(xo, nq), pack.unpack_bits(zo, nq)]),
+        c,
+    )
+
+
+def symplectic_to_openfermion(symp_vec, coeff):
+    """Single symplectic row -> openfermion ``QubitOperator`` term (reference
+    operators/utils.py:109-137).  Requires openfermion (optional)."""
+    from openfermion.ops import QubitOperator
+
+    s = symplectic_to_string(symp_vec)
+    term = " ".join(f"{p}{i}" for i, p in enumerate(s) if p != "I")
+    return QubitOperator(term, coeff)
+
+
+def symplectic_to_sparse_matrix(symp_vec, coeff):
+    """Single symplectic row -> one-sparse ``(2^n, 2^n)`` CSR matrix scaled by
+    ``coeff`` (reference operators/utils.py:182-228).  Delegates to the packed
+    one-sparse construction behind ``PauliwordOp.to_sparse_matrix``."""
+    from .base import PauliwordOp
+
+    symp_vec = np.asarray(symp_vec, dtype=bool).reshape(1, -1)
+    return PauliwordOp(symp_vec, [coeff]).to_sparse_matrix

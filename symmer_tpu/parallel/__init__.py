@@ -34,6 +34,17 @@ class ProcessHandler:
     def _process_loop(self, func, iterable, shared):
         return [func(i, shared) for i in iterable]
 
+    def prepare_chunks(self, iterable):
+        """Split an iterable into at most ``n_logical_cores`` chunks
+        (API parity with reference process_handler.py:25-33)."""
+        items = list(iterable)
+        if not items:
+            return
+        self.n_chunks = min(len(items), self.n_logical_cores)
+        chunk_size = -(-len(items) // self.n_chunks)
+        for i in range(0, len(items), chunk_size):
+            yield items[i : i + chunk_size]
+
     def _process_mp(self, func, iterable, shared):
         """Fork-based chunked pool with order restoration.
 

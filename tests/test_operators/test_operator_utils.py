@@ -149,3 +149,45 @@ def test_check_adjmat_noncontextual_large_matches_reference_formula():
         u = np.unique(sub, axis=0)
         want = bool(np.all(np.count_nonzero(u, axis=0) == 1))
         assert check_adjmat_noncontextual(A) == want, seed
+
+
+def test_symplectic_cleanup_wrapper():
+    """API-parity wrapper (reference operators/utils.py:230-279)."""
+    from symmer_tpu.operators.utils import symplectic_cleanup
+
+    symp = np.array(
+        [[1, 0, 0, 1], [1, 0, 0, 1], [0, 1, 1, 0], [1, 0, 0, 1]], dtype=bool
+    )
+    m, c = symplectic_cleanup(symp, [1 + 2j, 3, 0.5, -4])
+    d = {tuple(row): coeff for row, coeff in zip(m.astype(int).tolist(), c)}
+    assert d[(1, 0, 0, 1)] == 1 + 2j + 3 - 4
+    assert d[(0, 1, 1, 0)] == 0.5
+    # threshold drops the cancelling group
+    m2, c2 = symplectic_cleanup(
+        np.array([[1, 0, 0, 1], [1, 0, 0, 1], [0, 1, 1, 0]], dtype=bool),
+        [2.0, -2.0, 1.0],
+        zero_threshold=1e-12,
+    )
+    assert m2.shape[0] == 1 and c2[0] == 1.0
+
+
+def test_symplectic_to_sparse_matrix_wrapper():
+    from symmer_tpu.operators.utils import symplectic_to_sparse_matrix
+
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    Y = np.array([[0, -1j], [1j, 0]])
+    Z = np.diag([1.0, -1.0]).astype(complex)
+    sv = string_to_symplectic("XYZ", 3)
+    out = symplectic_to_sparse_matrix(sv, 1.5 - 0.5j)
+    ref = (1.5 - 0.5j) * np.kron(np.kron(X, Y), Z)
+    assert np.allclose(out.toarray(), ref)
+
+
+def test_prepare_chunks_parity():
+    from symmer_tpu.parallel import process
+
+    chunks = list(process.prepare_chunks(range(7)))
+    flat = [x for ch in chunks for x in ch]
+    assert flat == list(range(7))
+    assert len(chunks) == min(7, process.n_logical_cores)
+    assert list(process.prepare_chunks([])) == []
