@@ -362,6 +362,27 @@ def check():
     if not ok:
         failures.append("expval")
 
+    # fused taper projection (clifford_rotate_project): full flagship flow
+    H_sym = _synthetic_taper_operator(n_qubits=64, n_terms=8000, n_sym=3, seed=7)
+    ref_state = np.zeros(H_sym.n_qubits, dtype=int)
+
+    def taper_flow():
+        from symmer_tpu import QubitTapering
+
+        return QubitTapering(H_sym).taper_it(ref_state=ref_state)
+
+    config.backend = "host"
+    t_host = taper_flow()
+    config.backend = "device"
+    try:
+        t_dev = taper_flow()
+    finally:
+        config.backend = "auto"
+    ok, msg = term_dicts_close(t_dev, t_host)
+    print(f"# taper_projection: {'PASS' if ok else 'FAIL'} {msg}", file=sys.stderr)
+    if not ok:
+        failures.append("taper_projection")
+
     dh, dd = host["apply_state"].to_dictionary, devr["apply_state"].to_dictionary
     common = set(dh) & set(dd)
     amp_scale = max(abs(v) for v in dh.values())

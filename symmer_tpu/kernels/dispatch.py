@@ -72,10 +72,32 @@ def _jitted():
 
 
 def _coeff_dtype():
-    """Device float dtype for coefficient planes (f64 iff x64 enabled)."""
+    """Device float dtype for coefficient planes.
+
+    float64 iff x64 is enabled AND the backend supports it: XLA TPU rewrites
+    every 64-bit element type to 32-bit pairs and has no lowering for the
+    u64 bitcasts the cleanup sort uses -- and TPU f64 arithmetic would be
+    silently downcast regardless, so on a TPU backend the device path always
+    runs float32 (the host path keeps full f64 semantics)."""
     import jax
 
-    return np.float64 if jax.config.jax_enable_x64 else np.float32
+    if not jax.config.jax_enable_x64:
+        return np.float32
+    if jax.default_backend() == "tpu":
+        global _WARNED_TPU_F64
+        if not _WARNED_TPU_F64:
+            import warnings
+
+            warnings.warn(
+                "x64 is enabled but the TPU backend has no native float64: "
+                "device kernels run float32 (host kernels stay float64)."
+            )
+            _WARNED_TPU_F64 = True
+        return np.float32
+    return np.float64
+
+
+_WARNED_TPU_F64 = False
 
 
 def _rel_floor():
@@ -313,6 +335,43 @@ def perform_rotations(
     else:
         ox, oz, ocr, oci, n = jitted["cleanup_t"](dx, dz, dcr, dci, n_valid, th, fl)
     return _planes_from_dev(ox, oz, ocr, oci, int(n))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_noncon_check():
+    jax, jx = _jx()
+
+    def _check(x, z):
+        adj = ~jx.anticommutes(x, z, x, z)
+        return jx.check_noncontextual_adj(adj)
+
+    return jax.jit(_check), jax.jit(jx.check_noncontextual_adj)
+
+
+def is_noncontextual(x, z) -> Optional[bool]:
+    """Device-resident noncontextuality check; returns None below the size
+    threshold (caller falls back to the host adjacency + C++ dedup path).
+
+    Only ONE byte crosses back from the device -- the host path's adjacency
+    download alone is M^2 bools (seconds through a remote PJRT relay at
+    M ~ 10^4, reference behaviour operators/base.py:1074-1088).
+    """
+    M, W = x.shape
+    # the device check pays ~2 dispatches; only worthwhile once the M^2 bool
+    # adjacency transfer would dominate the host path
+    if M < 1024 or not config.use_device(M * M * W // 8):
+        return None
+    kernel_stats.record("is_noncontextual", device=True)
+    xd, zd = _to_dev(x), _to_dev(z)
+    check_fused, check_adj = _jitted_noncon_check()
+    if M * M * W * 4 > (1 << 31):
+        # the broadcast (M, M, W) anticommutation intermediate would be
+        # multi-GB: build the adjacency with the VMEM-tiled Pallas kernel
+        from . import pallas_gf2
+
+        adj = ~pallas_gf2.anticommutes_tiled(xd, zd, xd, zd)
+        return bool(check_adj(adj))
+    return bool(check_fused(xd, zd))
 
 
 @functools.lru_cache(maxsize=None)

@@ -554,6 +554,48 @@ def clifford_project_cleanup(
     )
 
 
+def check_noncontextual_adj(adj):
+    """Device-resident noncontextuality test on a commutation adjacency
+    matrix -- returns a single bool.
+
+    Criterion (reference operators/utils.py:567-589, after arXiv:1904.02260):
+    drop "universal" terms (commuting with everything); the rest is
+    noncontextual iff the distinct commutation-adjacency rows partition the
+    non-universal terms into cliques, i.e. every non-universal column is hit
+    by exactly one distinct row.
+
+    Runs entirely on device: the M x M adjacency never crosses to the host
+    (an 8000-term adjacency is 64 MB of bools -- seconds through a remote
+    PJRT relay; this kernel returns ONE byte).  Row dedup reuses the hash
+    machinery: rows are bit-packed on device and grouped by their 128-bit
+    signature.  Padding rows (zero planes = identity) commute with everything,
+    so they land in the universal class and drop out automatically.
+    """
+    T = adj.shape[0]
+    universal = jnp.all(adj, axis=1)
+    # pack adjacency rows to uint32 lanes for hashing: (T, ceil(T/32))
+    Wp = -(-T // 32)
+    pad = Wp * 32 - T
+    bits = jnp.pad(adj, ((0, 0), (0, pad))).reshape(T, Wp, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    packed = jnp.sum(jnp.where(bits, weights, 0), axis=2, dtype=UINT)
+    h1, h2, h3, h4 = row_hashes(packed, jnp.zeros_like(packed), lanes=4)
+    inv = universal.astype(UINT)
+    invs, h1s, h2s, h3s, h4s, perm_u = lax.sort(
+        (inv, h1, h2, h3, h4, jnp.arange(T, dtype=UINT)), num_keys=5
+    )
+    vs = invs == 0
+    same_as_prev = jnp.concatenate([
+        jnp.array([False]),
+        (h1s[1:] == h1s[:-1]) & (h2s[1:] == h2s[:-1])
+        & (h3s[1:] == h3s[:-1]) & (h4s[1:] == h4s[:-1]) & vs[1:] & vs[:-1],
+    ])
+    is_rep = (~same_as_prev) & vs
+    rep = jnp.zeros(T, bool).at[perm_u.astype(jnp.int32)].set(is_rep)
+    counts = jnp.sum(jnp.where(rep[:, None], adj, False), axis=0)
+    return jnp.all(jnp.where(universal, True, counts == 1))
+
+
 def expval_iz_sum(x, cr, ci, n_valid):
     """Sum coefficients of terms composed only of I/Z (X planes all zero).
 

@@ -549,6 +549,11 @@ class PauliwordOp:
     def is_noncontextual(self) -> bool:
         if self.n_terms < 4:
             return True
+        # large operators: device-resident check (the M^2 adjacency never
+        # crosses to the host); None = below threshold, use the host path
+        dev = dispatch.is_noncontextual(self.x_pack, self.z_pack)
+        if dev is not None:
+            return dev
         return check_adjmat_noncontextual(self.adjacency_matrix)
 
     # -- rotations ----------------------------------------------------------

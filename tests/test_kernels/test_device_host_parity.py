@@ -202,3 +202,34 @@ def test_device_rref_matches_host():
         host = rref_packed(packed)
         dev = pack.from_u32(np.asarray(rref_packed_device(jnp.asarray(pack.to_u32(packed)))))
         assert np.array_equal(host, dev[:, : packed.shape[1]]), (R, bits)
+
+
+def test_device_noncontextual_check_matches_host():
+    """Device-resident is_noncontextual (adjacency never downloaded) vs the
+    host C++ dedup oracle, above and below the noncontextual boundary."""
+    from symmer_tpu.config import config
+    from symmer_tpu.kernels import dispatch
+    from symmer_tpu.operators import NoncontextualOp, PauliwordOp
+    from symmer_tpu.operators.utils import check_adjmat_noncontextual
+
+    np.random.seed(11)
+    nc = NoncontextualOp.random(12, n_cliques=3, n_commuting_terms=512)
+    # pad the noncontextual op with duplicates of its own terms (duplicate
+    # rows share commutation character, so noncontextuality is preserved)
+    idx = np.random.randint(0, nc.n_terms, 1400)
+    big_nc = PauliwordOp.from_planes(
+        nc.x_pack[idx], nc.z_pack[idx], np.ones(1400, complex), nc.n_qubits
+    )
+    contextual = PauliwordOp.random(12, 1300, density=0.5).cleanup()
+    old = config.backend
+    try:
+        config.backend = "device"
+        for op, label in ((big_nc, "noncontextual"), (contextual, "contextual")):
+            dev = dispatch.is_noncontextual(op.x_pack, op.z_pack)
+            assert dev is not None, "device path not taken"
+            host = check_adjmat_noncontextual(
+                np.asarray(op.commutes_termwise(op))
+            )
+            assert dev == host, label
+    finally:
+        config.backend = old
