@@ -444,11 +444,22 @@ def clifford_rotate_project(
 
 
 def expval(x, z, c, s_pack, amps) -> complex:
-    """<psi|O|psi> with host/device dispatch (device above the size threshold)."""
+    """<psi|O|psi> with host/device dispatch (device above the size threshold).
+
+    Under ``symmer_tpu.use_mesh`` and above ``config.mesh_threshold`` terms,
+    the term axis shards over the mesh with a single psum (the multi-chip
+    analog of the reference's parallelized expval, base.py:811-815)."""
     from . import state_core
 
     T, W = x.shape
     B = s_pack.shape[0]
+    if config.mesh is not None and T >= config.mesh_threshold:
+        from ..parallel import sharded
+
+        out = sharded.expval(x, z, c, s_pack, amps, config.mesh)
+        if out is not None:
+            kernel_stats.record("expval", device=True, mesh=True)
+            return out
     if not config.use_device(T * B * W):
         kernel_stats.record("expval", device=False)
         return state_core.expval(x, z, c, s_pack, amps)

@@ -146,13 +146,19 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
     hs1_sorted = hs[0][order]
 
     # per-(t, b) hashes of the target rows s_b ^ x_t, built incrementally so
-    # only (T, B) intermediates exist (must mirror _row_hashes3 exactly)
-    th = tuple(jnp.full((T, B), init, dtype=jnp.uint32) for init in _HASH3_INIT)
+    # only (T, B) intermediates exist (must mirror _row_hashes3 exactly).
+    # The arithmetic no-op mix of x keeps the loop carry's sharding variance
+    # consistent when the term axis runs under shard_map (a plain jnp.full
+    # carry is "unvarying" while the body output varies over the term axis).
+    vary0 = x[:, :1] & jnp.uint32(0)  # (T, 1) of zeros, varying like x
+    th = tuple(
+        jnp.full((T, B), init, dtype=jnp.uint32) | vary0 for init in _HASH3_INIT
+    )
     th = lax.fori_loop(0, 2 * W, lambda w, c: _target_hash_step(w, c, x, s), th)
 
     # phases: (-i)^{|Y_t|} (-1)^{popcount((s_b ^ x_t) & z_t)} * c_t
     y_cnt = jx_core.y_count(x, z)
-    par = jnp.zeros((T, B), jnp.int32)
+    par = jnp.zeros((T, B), jnp.int32) + vary0.astype(jnp.int32)
 
     def par_body(w, par):
         word = s[None, :, w] ^ x[:, w, None]
@@ -245,8 +251,9 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
             total_i = total_i + jnp.sum(jnp.where(match, ci_, 0))
         return (total_r, total_i), 0
 
+    zero_vary = jnp.sum(cr[:1]) * 0  # varying-consistent scalar zero
     (total_r, total_i), _ = lax.scan(
-        block, (jnp.zeros((), fdt), jnp.zeros((), fdt)), jnp.arange(n_blocks)
+        block, (zero_vary, zero_vary), jnp.arange(n_blocks)
     )
     return total_r, total_i
 

@@ -227,6 +227,78 @@ def perform_rotations(
     return _gather(xo, zo, cro, cio, ns_o)
 
 
+def expval(x, z, c, s_pack, amps, mesh, axis_name: str = "terms"):
+    """Mesh-sharded <psi|O|psi>: term axis split across devices, one psum.
+
+    A pure reduction -- no exchange, so any mesh size >= 2 works (the
+    power-of-two restriction applies only to the hash-routed kernels).  Each
+    device runs the matched-formulation expval kernel (jx_state.expval) on
+    its term shard against the replicated state and the partial sums combine
+    with a single collective.  This is the multi-chip analog of the
+    reference's parallelized expval call site (symmer base.py:811-815).
+    Returns None when the mesh is unusable (caller falls back).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..kernels import jx_state
+
+    n_dev = int(mesh.devices.size)
+    if n_dev < 2:
+        return None
+    T = x.shape[0]
+    B = s_pack.shape[0]
+    Tp = -(-T // n_dev) * n_dev
+    # padding rows carry zero coefficients: every (term, basis) contribution
+    # is scaled by c_t, so they add exactly 0 to the reduction
+    x32 = pack.to_u32(_pad_rows(x, Tp))
+    z32 = pack.to_u32(_pad_rows(z, Tp))
+    cr, ci = _split_c(_pad_rows(c, Tp))
+    s32 = pack.to_u32(s_pack)
+    ar, ai = _split_c(amps)
+
+    sh_rows = NamedSharding(mesh, P(axis_name, None))
+    sh_vec = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    dx = jax.device_put(jnp.asarray(x32), sh_rows)
+    dz = jax.device_put(jnp.asarray(z32), sh_rows)
+    dcr = jax.device_put(jnp.asarray(cr), sh_vec)
+    dci = jax.device_put(jnp.asarray(ci), sh_vec)
+    ds = jax.device_put(jnp.asarray(s32), repl)
+    dar = jax.device_put(jnp.asarray(ar), repl)
+    dai = jax.device_put(jnp.asarray(ai), repl)
+
+    @jax.jit
+    @partial_shard_map_expval(mesh, axis_name)
+    def _shard(xs, zs, crs, cis, s, a_r, a_i):
+        re, im = jx_state.expval(xs, zs, crs, cis, s, a_r, a_i, s.shape[0])
+        return (
+            jax.lax.psum(re, axis_name),
+            jax.lax.psum(im, axis_name),
+        )
+
+    re, im = _shard(dx, dz, dcr, dci, ds, dar, dai)
+    return complex(float(re), float(im))
+
+
+def partial_shard_map_expval(mesh, axis_name):
+    """shard_map decorator for the expval reduction (terms sharded, state
+    replicated, scalar out)."""
+    from functools import partial
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    return partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name),
+                  P(axis_name), P(), P(), P()),
+        out_specs=(P(), P()),
+    )
+
+
 def _effective_host_threshold(zero_threshold, *coeff_vecs) -> float:
     """Apply the f32 relative floor on the host side (the sharded kernels take
     one static threshold; computing the max on host keeps semantics identical

@@ -102,3 +102,38 @@ def test_use_mesh_restores_config():
     with symmer_tpu.use_mesh() as mesh:
         assert config.mesh is mesh
     assert config.mesh is None
+
+
+def test_mesh_sharded_expval_matches_single_device():
+    """Term-axis sharded <psi|O|psi> (one psum) == single-device expval."""
+    import numpy as np
+
+    import symmer_tpu
+    from symmer_tpu import PauliwordOp, QuantumState
+    from symmer_tpu.config import config
+    from symmer_tpu.profiling import kernel_stats
+
+    rng = np.random.default_rng(4)
+    nq, B, T = 40, 48, 4000
+    psi = QuantumState.random(nq, B)
+    s = psi._s_pack
+    hop = rng.integers(0, len(s), (T // 2, 2))
+    x = np.vstack([
+        np.zeros((T - T // 2, s.shape[1]), np.uint64),
+        s[hop[:, 0]] ^ s[hop[:, 1]],
+    ])
+    z = PauliwordOp.random(nq, T, density=0.3).z_pack
+    coeffs = rng.normal(size=T) + 1j * rng.normal(size=T)
+    op = PauliwordOp.from_planes(x, z, coeffs, nq)
+
+    single = op.expval(psi)
+    old = config.mesh_threshold
+    config.mesh_threshold = 1024
+    try:
+        kernel_stats.reset()
+        with symmer_tpu.use_mesh():
+            shard = op.expval(psi)
+    finally:
+        config.mesh_threshold = old
+    assert kernel_stats.mesh_calls["expval"] >= 1, "sharded expval not taken"
+    assert abs(shard - single) < 1e-10 * max(abs(single), 1.0)
