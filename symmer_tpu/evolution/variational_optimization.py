@@ -54,6 +54,11 @@ class VQE_Driver:
       - observable_rotation: rotations applied to the observable
       - sparse_array:       sparse matrix-vector contraction (default)
       - dense_array:        dense matrix contraction
+      - device_array:       ONE jit-compiled device program for the whole
+        objective (dense statevector on TPU, evolution/jx_vqe.py) with the
+        gradient from a single fused jax.grad backward pass instead of
+        2 * n_params parameter-shift evaluations (values identical: the
+        +-pi/4 shift rule is exact for Pauli generators)
     """
 
     expectation_eval = "sparse_array"
@@ -119,9 +124,30 @@ class VQE_Driver:
             return complex(
                 self.ref_state.dagger * (observable.perform_rotations(state) * self.ref_state)
             ).real
+        elif self.expectation_eval == "device_array":
+            # arbitrary-observable path (ADAPT pool scoring): state arrives as
+            # a symbolically evolved QuantumState; the fixed-ansatz objective
+            # and gradient bypass this via the fused device engine (f/gradient)
+            return observable.expval(state).real
         raise ValueError(f"Unknown expectation_eval {self.expectation_eval}")
 
+    def _device_engine(self):
+        """Cached jx_vqe engine bound to the current (H, generators, ref)."""
+        from . import jx_vqe
+
+        key = jx_vqe.DeviceVQEEngine.key(
+            self.observable, self.excitation_generators, self.ref_state
+        )
+        if getattr(self, "_dev_engine_key", None) != key:
+            self._dev_engine = jx_vqe.DeviceVQEEngine(
+                self.observable, self.excitation_generators, self.ref_state
+            )
+            self._dev_engine_key = key
+        return self._dev_engine
+
     def f(self, x: np.ndarray) -> float:
+        if self.expectation_eval == "device_array":
+            return self._device_engine().loss(x)
         state = self.get_state(self.excitation_generators, x)
         return self._f(self.observable, state)
 
@@ -132,6 +158,9 @@ class VQE_Driver:
         return self.f(x_upper) - self.f(x_lower)
 
     def gradient(self, x: np.ndarray) -> np.ndarray:
+        if self.expectation_eval == "device_array":
+            return self._device_engine().gradient(x)
+
         @process.parallelize
         def deriv(index, param):
             return self.partial_derivative(param, index)

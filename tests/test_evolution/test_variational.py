@@ -34,7 +34,7 @@ def test_evolve_state_matches_dense():
 
 EXPECTATION_METHODS = [
     "symbolic_direct", "symbolic_projector", "observable_rotation",
-    "sparse_array", "dense_array",
+    "sparse_array", "dense_array", "device_array",
 ]
 
 
@@ -158,3 +158,43 @@ def test_adapt_vqe_on_contextual_subspace_lih():
     adapt.derivative_eval = "commutators"
     out = adapt.optimize(max_cycles=8, gtol=1e-5)
     assert abs(out["result"]["fun"] - gs_cs) < 1e-4  # ADAPT reaches subspace gs
+
+
+def test_device_array_backend_multi_param(h2_taper):
+    """Fused device objective + autodiff gradient vs the sparse host backend
+    (values must agree to numerical precision; gradient equals the exact
+    parameter-shift values)."""
+    H_taper, ref, fci = h2_taper
+    excitations = PauliwordOp.from_list(["Y", "X", "Z"])
+    host = VQE_Driver(H_taper, excitation_ops=excitations, ref_state=ref)
+    host.verbose = False
+    host.expectation_eval = "sparse_array"
+    dev = VQE_Driver(H_taper, excitation_ops=excitations, ref_state=ref)
+    dev.verbose = False
+    dev.expectation_eval = "device_array"
+    rng = np.random.default_rng(0)
+    for _ in range(3):
+        x = rng.normal(size=3)
+        assert np.isclose(dev.f(x), host.f(x), atol=1e-9)
+        assert np.allclose(dev.gradient(x), host.gradient(x), atol=1e-8)
+
+
+def test_device_array_vqe_reaches_fci(h2_taper):
+    H_taper, ref, fci = h2_taper
+    excitations = PauliwordOp.from_list(["Y"])
+    driver = VQE_Driver(H_taper, excitation_ops=excitations, ref_state=ref)
+    driver.verbose = False
+    driver.expectation_eval = "device_array"
+    opt_out, history = driver.run(x0=np.array([0.1]), method="BFGS")
+    assert abs(opt_out["fun"] - fci) < 1e-6
+
+
+def test_adapt_vqe_device_array(h2_taper):
+    H_taper, ref, fci = h2_taper
+    pool = PauliwordOp.from_list(["X", "Y", "Z"])
+    adapt = ADAPT_VQE(H_taper, excitation_pool=pool, ref_state=ref)
+    adapt.verbose = False
+    adapt.expectation_eval = "device_array"
+    adapt.derivative_eval = "commutators"
+    out = adapt.optimize(max_cycles=3, atol=1e-8)
+    assert abs(out["result"]["fun"] - fci) < 1e-6
