@@ -132,3 +132,76 @@ class DeviceVQEEngine:
         )
 
     key = staticmethod(key)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_pool_grad(n_qubits: int, f64: bool):
+    """Jitted ADAPT pool gradient: every d_i = <psi| i[H, P_i] |psi> in one
+    device program.
+
+    Uses d_i = -2 Im <H psi | P_i psi> (H, P_i Hermitian), so the state and
+    H|psi> are built once and each pool element costs one XOR-permutation --
+    the reference instead materialises a full commutator OPERATOR per pool
+    element and evaluates each expectation separately
+    (variational_optimization.py:276-355)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    cdt = jnp.complex128 if f64 else jnp.complex64
+    fdt = jnp.float64 if f64 else jnp.float32
+    idt = jnp.int32 if n_qubits < 31 else jnp.int64
+    dim = 1 << n_qubits
+
+    def pool_grad(x, p0r, p0i, gxi, gzi, gpr, gpi, hxi, hzi, hpr, hpi,
+                  pxi, pzi, ppr, ppi):
+        rows = jnp.arange(dim, dtype=idt)
+        psi = (p0r + 1j * p0i).astype(cdt)
+
+        def evolve(psi, tpl):
+            xk, xi, zi, pr, pi = tpl
+            sgn = (1 - 2 * (lax.population_count(rows & zi) & 1)).astype(fdt)
+            gpsi = (pr + 1j * pi) * sgn * psi[rows ^ xi]
+            return jnp.cos(xk) * psi + 1j * jnp.sin(xk) * gpsi, None
+
+        psi, _ = lax.scan(evolve, psi, (x.astype(fdt), gxi, gzi, gpr, gpi))
+
+        def hterm(acc, tpl):
+            xi, zi, pr, pi = tpl
+            sgn = (1 - 2 * (lax.population_count(rows & zi) & 1)).astype(fdt)
+            return acc + (pr + 1j * pi) * sgn * psi[rows ^ xi], None
+
+        phi, _ = lax.scan(hterm, jnp.zeros(dim, cdt), (hxi, hzi, hpr, hpi))
+
+        def pterm(_, tpl):
+            xi, zi, pr, pi = tpl
+            sgn = (1 - 2 * (lax.population_count(rows & zi) & 1)).astype(fdt)
+            z = jnp.vdot(phi, (pr + 1j * pi) * sgn * psi[rows ^ xi])
+            return 0, -2.0 * z.imag
+
+        _, ds = lax.scan(pterm, 0, (pxi, pzi, ppr, ppi))
+        return ds
+
+    return jax.jit(pool_grad)
+
+
+def device_pool_gradient(observable, adapt_gens, ref_state, pool, x) -> np.ndarray:
+    """ADAPT pool gradient on device (see _jitted_pool_grad)."""
+    import jax
+    import jax.numpy as jnp
+
+    f64 = bool(jax.config.jax_enable_x64) and jax.default_backend() != "tpu"
+    fdt = np.float64 if f64 else np.float32
+    gxi, gzi, gpr, gpi = _term_arrays(adapt_gens, fdt)
+    hxi, hzi, hpr, hpi = _term_arrays(observable, fdt)
+    pxi, pzi, ppr, ppi = _term_arrays(pool, fdt)
+    psi0 = ref_state.to_dense_matrix.reshape(-1)
+    fn = _jitted_pool_grad(observable.n_qubits, f64)
+    out = fn(
+        jnp.asarray(np.asarray(x, np.float64)),
+        jnp.asarray(np.ascontiguousarray(psi0.real, fdt)),
+        jnp.asarray(np.ascontiguousarray(psi0.imag, fdt)),
+        *(jnp.asarray(a) for a in (gxi, gzi, gpr, gpi, hxi, hzi, hpr, hpi,
+                                   pxi, pzi, ppr, ppi)),
+    )
+    return np.asarray(out, dtype=np.float64)

@@ -258,6 +258,25 @@ class ADAPT_VQE(VQE_Driver):
 
     def pool_gradient(self) -> np.ndarray:
         """(reference :320-355)"""
+        if (
+            self.derivative_eval == "commutators"
+            and self.expectation_eval == "device_array"
+        ):
+            # ALL pool derivatives d_i = <psi|i[H,P_i]|psi> in one device
+            # program (|psi> and H|psi> built once; the reference caches a
+            # full commutator operator per pool element instead)
+            from . import jx_vqe
+
+            non_identity = np.any(self.adapt_operator.symp_matrix, axis=1)
+            gen = PauliwordOp.from_planes(
+                self.adapt_operator.x_pack[non_identity],
+                self.adapt_operator.z_pack[non_identity],
+                np.ones(int(non_identity.sum())), self.adapt_operator.n_qubits,
+            )
+            return jx_vqe.device_pool_gradient(
+                self.observable, gen, self.ref_state, self.excitation_pool,
+                np.asarray(self.opt_parameters, dtype=float),
+            )
         if self.derivative_eval == "commutators":
             self.commutators  # ensure cached
             if self.expectation_eval == "observable_rotation":

@@ -198,3 +198,29 @@ def test_adapt_vqe_device_array(h2_taper):
     adapt.derivative_eval = "commutators"
     out = adapt.optimize(max_cycles=3, atol=1e-8)
     assert abs(out["result"]["fun"] - fci) < 1e-6
+
+
+def test_device_pool_gradient_matches_commutator_path(h2_taper):
+    """One-program device pool gradient == per-commutator host expectations."""
+    H_taper, ref, fci = h2_taper
+    pool = PauliwordOp.from_list(["X", "Y", "Z"])
+
+    host = ADAPT_VQE(H_taper, excitation_pool=pool, ref_state=ref)
+    host.verbose = False
+    host.expectation_eval = "symbolic_direct"
+    host.opt_parameters = []
+    g_host = host.pool_gradient()
+
+    dev = ADAPT_VQE(H_taper, excitation_pool=pool, ref_state=ref)
+    dev.verbose = False
+    dev.expectation_eval = "device_array"
+    dev.opt_parameters = []
+    g_dev = dev.pool_gradient()
+    assert np.allclose(g_dev, g_host, atol=1e-8), (g_dev, g_host)
+
+    # non-empty ansatz
+    host.append_to_adapt_operator([pool[1]])
+    host.opt_parameters = [0.37]
+    dev.append_to_adapt_operator([pool[1]])
+    dev.opt_parameters = [0.37]
+    assert np.allclose(dev.pool_gradient(), host.pool_gradient(), atol=1e-8)
