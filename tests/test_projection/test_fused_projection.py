@@ -116,3 +116,35 @@ def test_fused_projection_direct_s3():
     finally:
         config.backend = old
     _dicts_close(dev_out, host_out)
+
+
+def test_fused_projection_in_cs_vqe_flow(be_fixture):
+    """ContextualSubspace.project_onto_subspace on Be STO-3G: taper, then
+    UP rotations (non-Clifford, device-resident rotation path), then the
+    fused device projection; must match the full host flow."""
+    from symmer_tpu import ContextualSubspace
+
+    H = PauliwordOp.from_dictionary(be_fixture["hamiltonian"])
+    hf = be_fixture["data"]["hf_array"]
+    old = config.backend
+
+    def flow():
+        qt = QubitTapering(H)
+        H_taper = qt.taper_it(ref_state=hf)
+        cs = ContextualSubspace(H_taper, noncontextual_strategy="SingleSweep_magnitude")
+        cs.update_stabilizers(3, strategy="aux_preserving")
+        return cs.project_onto_subspace()
+
+    try:
+        config.backend = "host"
+        host_out = flow()
+        config.backend = "device"
+        kernel_stats.reset()
+        dev_out = flow()
+    finally:
+        config.backend = old
+    assert kernel_stats.device_calls["clifford_rotate_project"] >= 1, (
+        "fused projection not reached in the CS flow"
+    )
+    assert dev_out.n_qubits == host_out.n_qubits == 3
+    _dicts_close(dev_out, host_out, tol=1e-8)
