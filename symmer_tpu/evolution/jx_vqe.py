@@ -96,6 +96,19 @@ class DeviceVQEEngine:
         self.n_qubits = observable.n_qubits
         self.n_params = generators.n_terms
         gxi, gzi, gpr, gpi = _term_arrays(generators, fdt)
+        # pad the generator axis to a power-of-two bucket with identity
+        # no-ops (x_int = z_int = 0, phase 1, parameter pinned to 0):
+        # exp(i*0*I) is exact identity, its gradient entry is exactly 0, and
+        # the jit cache is keyed by shape -- so an ADAPT loop growing the
+        # ansatz one excitation at a time recompiles once per bucket, not
+        # once per cycle
+        self._padded = max(1, 1 << (max(self.n_params, 1) - 1).bit_length())
+        pad = self._padded - self.n_params
+        if pad:
+            gxi = np.concatenate([gxi, np.zeros(pad, gxi.dtype)])
+            gzi = np.concatenate([gzi, np.zeros(pad, gzi.dtype)])
+            gpr = np.concatenate([gpr, np.ones(pad, gpr.dtype)])
+            gpi = np.concatenate([gpi, np.zeros(pad, gpi.dtype)])
         hxi, hzi, hpr, hpi = _term_arrays(observable, fdt)
         psi0 = ref_state.to_dense_matrix.reshape(-1)
         self._args = tuple(
@@ -106,21 +119,27 @@ class DeviceVQEEngine:
             )
         )
         self._loss, self._grad = _jitted_engine(
-            self.n_qubits, self.n_params, observable.n_terms, self.f64
+            self.n_qubits, self._padded, observable.n_terms, self.f64
         )
+
+    def _pad_x(self, x):
+        x = np.asarray(x, np.float64).reshape(-1)
+        if len(x) < self._padded:
+            x = np.concatenate([x, np.zeros(self._padded - len(x))])
+        return x
 
     def loss(self, x) -> float:
         import jax.numpy as jnp
 
-        return float(self._loss(jnp.asarray(np.asarray(x, np.float64)), *self._args))
+        return float(self._loss(jnp.asarray(self._pad_x(x)), *self._args))
 
     def gradient(self, x) -> np.ndarray:
         import jax.numpy as jnp
 
         return np.asarray(
-            self._grad(jnp.asarray(np.asarray(x, np.float64)), *self._args),
+            self._grad(jnp.asarray(self._pad_x(x)), *self._args),
             dtype=np.float64,
-        )
+        )[: self.n_params]
 
     def key(observable, generators, ref_state) -> Tuple:
         """Cheap identity for engine reuse across optimizer iterations."""
