@@ -134,9 +134,20 @@ def _coeff_to_dev(c: np.ndarray, pad_rows: int = 0):
 
 
 def _planes_from_dev(x, z, cr, ci, n_out: int) -> Planes:
-    xo = pack.from_u32(np.asarray(x)[:n_out])
-    zo = pack.from_u32(np.asarray(z)[:n_out])
-    c = np.asarray(cr)[:n_out].astype(np.float64) + 1j * np.asarray(ci)[:n_out].astype(np.float64)
+    """Download result planes in ONE batched fetch.
+
+    Separate ``np.asarray`` calls each pay a full host<->device round trip
+    (~30 ms on a remote-attached TPU) and transfer the ENTIRE padded buffer;
+    slicing on device first and batching through ``jax.device_get`` makes
+    this one round trip moving only the valid rows."""
+    import jax
+
+    xh, zh, crh, cih = jax.device_get(
+        (x[:n_out], z[:n_out], cr[:n_out], ci[:n_out])
+    )
+    xo = pack.from_u32(np.asarray(xh))
+    zo = pack.from_u32(np.asarray(zh))
+    c = np.asarray(crh).astype(np.float64) + 1j * np.asarray(cih).astype(np.float64)
     return xo, zo, c
 
 
@@ -473,7 +484,10 @@ def expval(x, z, c, s_pack, amps) -> complex:
     re, im = _jitted_expval()(
         _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, B
     )
-    return complex(float(re), float(im))
+    import jax
+
+    re_h, im_h = jax.device_get((re, im))
+    return complex(float(re_h), float(im_h))
 
 
 @functools.lru_cache(maxsize=None)
@@ -547,8 +561,11 @@ def apply_bra(s_pack, amps, x, z, c, zero_threshold):
         _to_dev(s_pack), ar, ai, _to_dev(x), _to_dev(z), cr, ci, th, _rel_floor()
     )
     n = int(n)
-    bits = pack.from_u32(np.asarray(b_o[:n]))
-    out = np.asarray(ar_o[:n]) + 1j * np.asarray(ai_o[:n])
+    import jax
+
+    b_h, ar_h, ai_h = jax.device_get((b_o[:n], ar_o[:n], ai_o[:n]))
+    bits = pack.from_u32(np.asarray(b_h))
+    out = np.asarray(ar_h) + 1j * np.asarray(ai_h)
     return bits, out
 
 
@@ -568,7 +585,10 @@ def inner_product(s_bra, amp_bra, s_ket, amp_ket) -> complex:
     re, im = _jitted_inner_product()(
         _to_dev(s_bra), a1r, a1i, _to_dev(s_ket), a2r, a2i
     )
-    return complex(float(re), float(im))
+    import jax
+
+    re_h, im_h = jax.device_get((re, im))
+    return complex(float(re_h), float(im_h))
 
 
 def apply_state(x, z, c, s_pack, amps, zero_threshold):
@@ -595,6 +615,9 @@ def apply_state(x, z, c, s_pack, amps, zero_threshold):
         _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, th, _rel_floor()
     )
     n = int(n)
-    bits = pack.from_u32(np.asarray(b_o[:n]))
-    out = np.asarray(ar_o[:n]) + 1j * np.asarray(ai_o[:n])
+    import jax
+
+    b_h, ar_h, ai_h = jax.device_get((b_o[:n], ar_o[:n], ai_o[:n]))
+    bits = pack.from_u32(np.asarray(b_h))
+    out = np.asarray(ar_h) + 1j * np.asarray(ai_h)
     return bits, out
