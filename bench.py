@@ -224,7 +224,12 @@ def _flagship_flow_times():
 
     out = {}
 
-    # (a) synthetic 100q x 50k-term Z2 tapering
+    # (a) synthetic 100q x 50k-term Z2 tapering -- both execution paths
+    # (the host path is a useful transport-independent reference: on a
+    # REMOTE-attached TPU the transfers dominate this size and the packed
+    # C++ host path can win; on local attachment the device path wins)
+    from symmer_tpu.config import config
+
     H_big = _synthetic_taper_operator()
     ref_state = np.zeros(H_big.n_qubits, dtype=int)
 
@@ -236,6 +241,15 @@ def _flagship_flow_times():
     t0 = time.perf_counter()
     taper_flow()
     out["flagship_taper_100q_50k_terms_ms"] = (time.perf_counter() - t0) * 1e3
+    old_backend = config.backend
+    try:
+        config.backend = "host"
+        taper_flow()
+        t0 = time.perf_counter()
+        taper_flow()
+        out["flagship_taper_hostpath_ms"] = (time.perf_counter() - t0) * 1e3
+    finally:
+        config.backend = old_backend
 
     # (b) Be/STO-3G taper -> contextual subspace -> 3-qubit projection
     path = "/root/reference/tests/hamiltonian_data/Be_STO-3G_SINGLET_JW.json"
