@@ -368,9 +368,12 @@ def is_noncontextual(x, z) -> Optional[bool]:
     M ~ 10^4, reference behaviour operators/base.py:1074-1088).
     """
     M, W = x.shape
-    # the device check pays ~2 dispatches; only worthwhile once the M^2 bool
-    # adjacency transfer would dominate the host path
-    if M < 1024 or not config.use_device(M * M * W // 8):
+    # the device check pays ~2 dispatch round trips; the packed C++ host
+    # path handles mid sizes in tens of ms, so under 'auto' the device only
+    # wins once the O(M^2) host adjacency work itself is the bottleneck
+    # (an explicit backend='device' honors smaller operators)
+    min_rows = 1024 if config.backend == "device" else 4096
+    if M < min_rows or not config.use_device(M * M * W // 8):
         return None
     kernel_stats.record("is_noncontextual", device=True)
     xd, zd = _to_dev(x), _to_dev(z)

@@ -53,7 +53,10 @@ def _interleave(a: np.ndarray, n_dev: int, L: int, C: int):
 
 
 def _gather(x32, z32, cr, ci, ns) -> Planes:
-    """Collect per-shard valid prefixes into host planes."""
+    """Collect per-shard valid prefixes into host planes (one batched fetch)."""
+    import jax
+
+    x32, z32, cr, ci, ns = jax.device_get((x32, z32, cr, ci, ns))
     x32, z32, cr, ci, ns = (np.asarray(a) for a in (x32, z32, cr, ci, ns))
     n_dev = len(ns)
     C = x32.shape[0] // n_dev

@@ -224,3 +224,29 @@ def test_device_pool_gradient_matches_commutator_path(h2_taper):
     dev.append_to_adapt_operator([pool[1]])
     dev.opt_parameters = [0.37]
     assert np.allclose(dev.pool_gradient(), host.pool_gradient(), atol=1e-8)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4])
+def test_device_array_fuzz_vs_symbolic(seed):
+    """Random small systems: device objective/gradient vs the symbolic path
+    (random Hermitian observable, random generators incl. duplicates)."""
+    r = np.random.default_rng(seed)
+    n = int(r.integers(2, 6))
+    H = PauliwordOp.random(n, int(r.integers(4, 20)), density=0.6).cleanup()
+    H.coeff_vec = H.coeff_vec.real.astype(complex)
+    P = int(r.integers(1, 6))
+    gens = PauliwordOp.random(n, P, density=0.6)
+    gens.coeff_vec[:] = 1
+    ref = QuantumState.random(n, int(r.integers(1, 4))).normalize
+
+    sym = VQE_Driver(H, excitation_ops=gens, ref_state=ref)
+    sym.verbose = False
+    sym.expectation_eval = "symbolic_direct"
+    dev = VQE_Driver(H, excitation_ops=gens, ref_state=ref)
+    dev.verbose = False
+    dev.expectation_eval = "device_array"
+    assert sym.n_params == dev.n_params
+    for _ in range(3):
+        x = r.normal(size=sym.n_params)
+        assert np.isclose(dev.f(x), sym.f(x), atol=1e-9), (n, P)
+        assert np.allclose(dev.gradient(x), sym.gradient(x), atol=1e-8), (n, P)
