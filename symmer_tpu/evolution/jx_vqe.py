@@ -41,11 +41,18 @@ def _term_arrays(op, dtype):
 
 
 @functools.lru_cache(maxsize=32)
-def _jitted_engine(n_qubits: int, n_params: int, n_terms: int, f64: bool):
+def _jitted_engine(n_qubits: int, n_params: int, n_terms: int, f64: bool,
+                   mesh=None, axis_name: str = "terms"):
     """(loss, grad) jitted for the given shape signature.
 
     Shapes (not values) key the cache, so an optimizer loop reuses one
-    compilation; ADAPT recompiles once per added excitation.
+    compilation; ADAPT recompiles once per added excitation bucket.
+
+    With ``mesh``, the Hamiltonian-term axis shards across devices: the
+    ansatz evolution runs replicated (cheap: one dense state), each device
+    accumulates its term slice of <psi|H|psi>, and one psum combines --
+    multi-chip VQE over the observable axis.  ``jax.grad`` differentiates
+    straight through the shard_map.
     """
     import jax
     import jax.numpy as jnp
@@ -73,9 +80,23 @@ def _jitted_engine(n_qubits: int, n_params: int, n_terms: int, f64: bool):
             sgn = (1 - 2 * (lax.population_count(rows & zi) & 1)).astype(fdt)
             return acc + (pr + 1j * pi) * jnp.vdot(psi, sgn * psi[rows ^ xi]), None
 
-        e, _ = lax.scan(hterm, jnp.zeros((), cdt), (hxi, hzi, hpr, hpi))
+        # carry seeded from the (possibly device-varying) term arrays so the
+        # scan types check under shard_map's varying-axis rules
+        acc0 = jnp.zeros((), cdt) + (hpr[0] * 0).astype(cdt)
+        e, _ = lax.scan(hterm, acc0, (hxi, hzi, hpr, hpi))
+        if mesh is not None:
+            return lax.psum(e.real, axis_name)
         return e.real
 
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        rep = P()
+        loss = jax.shard_map(
+            loss, mesh=mesh,
+            in_specs=(rep,) * 7 + (P(axis_name),) * 4,
+            out_specs=rep,
+        )
     return jax.jit(loss), jax.jit(jax.grad(loss, argnums=0))
 
 
@@ -111,15 +132,46 @@ class DeviceVQEEngine:
             gpi = np.concatenate([gpi, np.zeros(pad, gpi.dtype)])
         hxi, hzi, hpr, hpi = _term_arrays(observable, fdt)
         psi0 = ref_state.to_dense_matrix.reshape(-1)
-        self._args = tuple(
-            jnp.asarray(a) for a in (
-                np.ascontiguousarray(psi0.real, fdt),
-                np.ascontiguousarray(psi0.imag, fdt),
-                gxi, gzi, gpr, gpi, hxi, hzi, hpr, hpi,
-            )
+
+        from ..config import config
+
+        mesh = config.mesh
+        n_terms = observable.n_terms
+        if mesh is not None and int(mesh.devices.size) >= 2:
+            # shard the Hamiltonian-term axis; zero-phase padding terms
+            # contribute exactly 0 to the expectation
+            n_dev = int(mesh.devices.size)
+            Tp = -(-n_terms // n_dev) * n_dev
+            padT = Tp - n_terms
+            if padT:
+                hxi = np.concatenate([hxi, np.zeros(padT, hxi.dtype)])
+                hzi = np.concatenate([hzi, np.zeros(padT, hzi.dtype)])
+                hpr = np.concatenate([hpr, np.zeros(padT, hpr.dtype)])
+                hpi = np.concatenate([hpi, np.zeros(padT, hpi.dtype)])
+            n_terms = Tp
+        else:
+            mesh = None
+
+        rep_args = (
+            np.ascontiguousarray(psi0.real, fdt),
+            np.ascontiguousarray(psi0.imag, fdt),
+            gxi, gzi, gpr, gpi,
         )
+        h_args = (hxi, hzi, hpr, hpi)
+        if mesh is None:
+            self._args = tuple(jnp.asarray(a) for a in rep_args + h_args)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            shd = NamedSharding(mesh, P(mesh.axis_names[0]))
+            self._args = tuple(
+                [jax.device_put(jnp.asarray(a), rep) for a in rep_args]
+                + [jax.device_put(jnp.asarray(a), shd) for a in h_args]
+            )
         self._loss, self._grad = _jitted_engine(
-            self.n_qubits, self._padded, observable.n_terms, self.f64
+            self.n_qubits, self._padded, n_terms, self.f64,
+            mesh=mesh, axis_name=mesh.axis_names[0] if mesh is not None else "terms",
         )
 
     def _pad_x(self, x):
@@ -143,7 +195,10 @@ class DeviceVQEEngine:
 
     def key(observable, generators, ref_state) -> Tuple:
         """Cheap identity for engine reuse across optimizer iterations."""
+        from ..config import config
+
         return (
+            id(config.mesh),
             observable.x_pack.tobytes(), observable.z_pack.tobytes(),
             observable.coeff_vec.tobytes(),
             generators.x_pack.tobytes(), generators.z_pack.tobytes(),

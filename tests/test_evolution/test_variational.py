@@ -250,3 +250,35 @@ def test_device_array_fuzz_vs_symbolic(seed):
         x = r.normal(size=sym.n_params)
         assert np.isclose(dev.f(x), sym.f(x), atol=1e-9), (n, P)
         assert np.allclose(dev.gradient(x), sym.gradient(x), atol=1e-8), (n, P)
+
+
+def test_device_array_mesh_sharded_hamiltonian(h2_taper):
+    """Hamiltonian-term-sharded VQE objective/gradient under use_mesh must
+    equal the single-device engine exactly (f64 CPU)."""
+    import symmer_tpu
+
+    H_taper, ref, fci = h2_taper
+    gens = PauliwordOp.from_list(["Y", "X"])
+
+    single = VQE_Driver(H_taper, excitation_ops=gens, ref_state=ref)
+    single.verbose = False
+    single.expectation_eval = "device_array"
+    x = np.array([0.3, -0.7])
+    f0, g0 = single.f(x), single.gradient(x)
+
+    with symmer_tpu.use_mesh():
+        sharded_drv = VQE_Driver(H_taper, excitation_ops=gens, ref_state=ref)
+        sharded_drv.verbose = False
+        sharded_drv.expectation_eval = "device_array"
+        f1, g1 = sharded_drv.f(x), sharded_drv.gradient(x)
+    assert abs(f0 - f1) < 1e-12, (f0, f1)
+    assert np.allclose(g0, g1, atol=1e-12)
+
+    # and an optimization run end-to-end under the mesh
+    with symmer_tpu.use_mesh():
+        drv = VQE_Driver(H_taper, excitation_ops=PauliwordOp.from_list(["Y"]),
+                         ref_state=ref)
+        drv.verbose = False
+        drv.expectation_eval = "device_array"
+        opt_out, _ = drv.run(x0=np.array([0.1]), method="BFGS")
+    assert abs(opt_out["fun"] - fci) < 1e-6
