@@ -133,9 +133,14 @@ class S3Projection:
             free_mask, zero_threshold=1e-15,
         )
         self.rotated_flag = False
-        if x.shape[0] == 0:
-            return PauliwordOp(np.array([], dtype=bool), [0])
         free = self.free_qubit_indices
+        if x.shape[0] == 0:
+            # every term projected away: an explicit zero operator on the
+            # free qubits (what the host path's cleanup of an empty
+            # operator produces)
+            return PauliwordOp(
+                np.zeros((1, 2 * len(free)), dtype=bool), [0]
+            )
         projected_symplectic = np.hstack([
             pack.unpack_bits(x, operator.n_qubits)[:, free],
             pack.unpack_bits(z, operator.n_qubits)[:, free],
