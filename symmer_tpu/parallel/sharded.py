@@ -251,7 +251,6 @@ def expval(x, z, c, s_pack, amps, mesh, axis_name: str = "terms"):
     if n_dev < 2:
         return None
     T = x.shape[0]
-    B = s_pack.shape[0]
     Tp = -(-T // n_dev) * n_dev
     # padding rows carry zero coefficients: every (term, basis) contribution
     # is scaled by c_t, so they add exactly 0 to the reduction
