@@ -148,3 +148,30 @@ def test_fused_projection_in_cs_vqe_flow(be_fixture):
     )
     assert dev_out.n_qubits == host_out.n_qubits == 3
     _dicts_close(dev_out, host_out, tol=1e-8)
+
+
+def test_fused_projection_in_subspace_manager_flow(be_fixture):
+    """QubitSubspaceManager end-to-end (taper + contextual subspace) with the
+    device backend == host backend, through the manager orchestration API."""
+    from symmer_tpu import QubitSubspaceManager
+
+    H = PauliwordOp.from_dictionary(be_fixture["hamiltonian"])
+    hf = np.asarray(be_fixture["data"]["hf_array"])
+    old = config.backend
+
+    def flow():
+        np.random.seed(0)
+        qsm = QubitSubspaceManager(H, ref_state=hf)
+        return qsm.get_reduced_hamiltonian(3)
+
+    try:
+        config.backend = "host"
+        host_out = flow()
+        config.backend = "device"
+        kernel_stats.reset()
+        dev_out = flow()
+    finally:
+        config.backend = old
+    assert kernel_stats.device_calls["clifford_rotate_project"] >= 1
+    assert dev_out.n_qubits == host_out.n_qubits == 3
+    _dicts_close(dev_out, host_out, tol=1e-8)
