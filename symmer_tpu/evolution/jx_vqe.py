@@ -193,6 +193,7 @@ class DeviceVQEEngine:
             dtype=np.float64,
         )[: self.n_params]
 
+    @staticmethod
     def key(observable, generators, ref_state) -> Tuple:
         """Cheap identity for engine reuse across optimizer iterations."""
         from ..config import config
@@ -204,8 +205,6 @@ class DeviceVQEEngine:
             generators.x_pack.tobytes(), generators.z_pack.tobytes(),
             ref_state._s_pack.tobytes(), ref_state._amps.tobytes(),
         )
-
-    key = staticmethod(key)
 
 
 @functools.lru_cache(maxsize=32)
