@@ -175,3 +175,31 @@ def test_fused_projection_in_subspace_manager_flow(be_fixture):
     assert kernel_stats.device_calls["clifford_rotate_project"] >= 1
     assert dev_out.n_qubits == host_out.n_qubits == 3
     _dicts_close(dev_out, host_out, tol=1e-8)
+
+
+def test_taper_under_mesh_matches_single_device():
+    """Tapering inside use_mesh: rotations route through the term-sharded
+    kernels (the fused single-device projection defers to them above the
+    mesh threshold) and the result matches the host flow exactly."""
+    import symmer_tpu
+
+    H = synthetic_symmetric_operator(n_qubits=24, n_terms=3000, n_sym=3, seed=21)
+    # integer coefficients: sharded partial sums are exact in any float width
+    r = np.random.default_rng(3)
+    H = PauliwordOp.from_planes(
+        H.x_pack, H.z_pack,
+        (r.integers(-8, 9, H.n_terms) + 1j * r.integers(-8, 9, H.n_terms)).astype(complex),
+        H.n_qubits,
+    )
+    ref_state = np.zeros(H.n_qubits, dtype=int)
+    host_out = QubitTapering(H).taper_it(ref_state=ref_state)
+    old = config.mesh_threshold
+    config.mesh_threshold = 1024
+    try:
+        kernel_stats.reset()
+        with symmer_tpu.use_mesh():
+            mesh_out = QubitTapering(H).taper_it(ref_state=ref_state)
+    finally:
+        config.mesh_threshold = old
+    assert sum(kernel_stats.mesh_calls.values()) >= 1, "no sharded kernel ran"
+    _dicts_close(mesh_out, host_out, tol=1e-10)
