@@ -146,10 +146,60 @@ def cmd_reduce(args) -> dict:
     return out
 
 
+def cmd_vqe(args) -> dict:
+    """Taper (optional) then ADAPT-VQE with the fused device backend --
+    end-to-end ground-state estimation from a Hamiltonian JSON (a capability
+    the reference CLI never had)."""
+    import numpy as np
+
+    from .evolution.variational_optimization import ADAPT_VQE
+    from .operators import PauliwordOp
+    from .projection import QubitTapering
+    from .utils import exact_gs_energy
+
+    H = PauliwordOp.from_dictionary(load_hamiltonian_dict(args.hamiltonian))
+    out = {"n_qubits_before": H.n_qubits}
+    ref_state = None
+    if args.taper_reference:
+        ref_bits = np.array([int(b) for b in args.taper_reference.split(",")])
+        qt = QubitTapering(H)
+        H = qt.taper_it(ref_state=ref_bits)
+        ref_state = qt.tapered_ref_state.normalize
+        out["n_qubits_after_taper"] = H.n_qubits
+
+    pool = PauliwordOp.haar_random(H.n_qubits, args.pool_size)         if args.pool == "random" else None
+    if pool is None:
+        # single-qubit + nearest-neighbour two-qubit Pauli pool (qubit-ADAPT)
+        strings = []
+        for q in range(H.n_qubits):
+            for p in "XYZ":
+                strings.append("I" * q + p + "I" * (H.n_qubits - q - 1))
+        for q in range(H.n_qubits - 1):
+            for p1 in "XY":
+                for p2 in "XY":
+                    strings.append(
+                        "I" * q + p1 + p2 + "I" * (H.n_qubits - q - 2)
+                    )
+        pool = PauliwordOp.from_list(strings)
+
+    adapt = ADAPT_VQE(H, excitation_pool=pool, ref_state=ref_state)
+    adapt.verbose = False
+    adapt.expectation_eval = args.expectation_eval
+    res = adapt.optimize(max_cycles=args.max_cycles, gtol=args.gtol)
+    out["vqe_energy"] = float(res["result"]["fun"])
+    out["n_excitations"] = len(res["adapt_operator"])
+    out["adapt_operator"] = res["adapt_operator"]
+    if args.exact_energies:
+        out["gs_energy_exact"] = float(exact_gs_energy(H.to_sparse_matrix)[0])
+        out["vqe_error"] = out["vqe_energy"] - out["gs_energy_exact"]
+    return out
+
+
 COMMANDS = {
     "taper": cmd_taper,
     "contextual_subspace": cmd_contextual_subspace,
     "reduce": cmd_reduce,
+    "vqe": cmd_vqe,
 }
 
 
@@ -177,6 +227,17 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stabilizer-strategy", type=str, default="aux_preserving")
     parser.add_argument("--exact-energies", action="store_true",
                         help="diagonalise before/after (small systems only)")
+    parser.add_argument("--expectation-eval", type=str, default="device_array",
+                        help="VQE backend (device_array = fused TPU program)")
+    parser.add_argument("--pool", type=str, default="qubit",
+                        choices=["qubit", "random"],
+                        help="ADAPT excitation pool (vqe command)")
+    parser.add_argument("--pool-size", type=int, default=20,
+                        help="pool size for --pool random")
+    parser.add_argument("--max-cycles", type=int, default=10,
+                        help="ADAPT cycles (vqe command)")
+    parser.add_argument("--gtol", type=float, default=1e-3,
+                        help="ADAPT pool-gradient stopping norm")
     return parser
 
 

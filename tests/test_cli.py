@@ -54,3 +54,16 @@ def test_cli_reduce_stdout(h2_json):
 def test_cli_missing_args(h2_json):
     out = _run_cli(["taper"])
     assert out.returncode != 0
+
+
+def test_cli_vqe(h2_json):
+    """End-to-end taper + ADAPT-VQE (device backend) from the CLI."""
+    out = _run_cli([
+        "vqe", "-H", h2_json, "--taper-reference", "1,1,0,0",
+        "--exact-energies", "--max-cycles", "4",
+    ])
+    assert out.returncode == 0, out.stderr
+    result = json.loads(out.stdout)
+    assert result["n_qubits_after_taper"] == 1
+    assert abs(result["vqe_error"]) < 1e-6
+    assert result["n_excitations"] >= 1
