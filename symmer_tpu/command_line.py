@@ -167,7 +167,11 @@ def cmd_vqe(args) -> dict:
         ref_state = qt.tapered_ref_state.normalize
         out["n_qubits_after_taper"] = H.n_qubits
 
-    pool = PauliwordOp.haar_random(H.n_qubits, args.pool_size)         if args.pool == "random" else None
+    pool = None
+    if args.pool == "random":
+        np.random.seed(0)
+        pool = PauliwordOp.random(H.n_qubits, args.pool_size, density=0.5).cleanup()
+        pool.coeff_vec[:] = 1
     if pool is None:
         # single-qubit + nearest-neighbour two-qubit Pauli pool (qubit-ADAPT)
         strings = []

@@ -50,6 +50,9 @@ class SymmerTPUConfig:
     # the XLA path materialises the (M1, M2, W) broadcast in HBM, the Pallas
     # kernel streams (256, 256) output tiles through VMEM
     pallas_anticommutes: bool = False
+    # host brute-force search: nu-assignments evaluated per chunk of this many
+    # rows, so forcing backend='host' on a large search keeps memory bounded
+    brute_force_host_chunk: int = 1 << 20
     # float32 device path only: floor the cleanup threshold at
     # rel * max|coeff| so cancellation residue (O(eps32 * |c|) ~ 1e-7
     # relative) is dropped even though the absolute threshold (1e-15)

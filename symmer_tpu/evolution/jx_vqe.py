@@ -263,6 +263,11 @@ def device_pool_gradient(observable, adapt_gens, ref_state, pool, x) -> np.ndarr
     import jax
     import jax.numpy as jnp
 
+    assert observable.n_qubits <= 26, (
+        "device_array holds the dense 2^n statevector on device; "
+        f"{observable.n_qubits} qubits exceeds the supported range"
+    )
+
     f64 = bool(jax.config.jax_enable_x64) and jax.default_backend() != "tpu"
     fdt = np.float64 if f64 else np.float32
     gxi, gzi, gpr, gpi = _term_arrays(adapt_gens, fdt)

@@ -132,9 +132,22 @@ class VQE_Driver:
         raise ValueError(f"Unknown expectation_eval {self.expectation_eval}")
 
     def _device_engine(self):
-        """Cached jx_vqe engine bound to the current (H, generators, ref)."""
-        from . import jx_vqe
+        """Cached jx_vqe engine bound to the current (H, generators, ref).
 
+        Identity is checked by object ids first (the optimizer hot loop calls
+        this per objective/gradient evaluation; hashing multi-MB planes each
+        time would dominate) and falls back to the content key only when an
+        id changed -- e.g. ADAPT replacing excitation_generators each cycle.
+        """
+        from . import jx_vqe
+        from ..config import config
+
+        ids = (
+            id(self.observable), id(self.excitation_generators),
+            id(self.ref_state), id(config.mesh),
+        )
+        if getattr(self, "_dev_engine_ids", None) == ids:
+            return self._dev_engine
         key = jx_vqe.DeviceVQEEngine.key(
             self.observable, self.excitation_generators, self.ref_state
         )
@@ -143,6 +156,7 @@ class VQE_Driver:
                 self.observable, self.excitation_generators, self.ref_state
             )
             self._dev_engine_key = key
+        self._dev_engine_ids = ids
         return self._dev_engine
 
     def f(self, x: np.ndarray) -> float:

@@ -438,12 +438,11 @@ def clifford_rotate_project(
     rx = np.array(rxs, np.uint32).reshape(len(rxs), W32)
     rz = np.array(rzs, np.uint32).reshape(len(rzs), W32)
     signs = np.real(np.asarray(stab_signs))
+    # only -1 assignments flip signs; a 0 assignment behaves as +1, matching
+    # the reference's eigval_assignment[assignment == 0] = 1 (base.py:67-72)
     neg = signs < 0
-    zero = signs == 0
     neg_x = np.bitwise_or.reduce(stab_x[neg], axis=0) if neg.any() else np.zeros(W64, np.uint64)
     neg_z = np.bitwise_or.reduce(stab_z[neg], axis=0) if neg.any() else np.zeros(W64, np.uint64)
-    zero_x = np.bitwise_or.reduce(stab_x[zero], axis=0) if zero.any() else np.zeros(W64, np.uint64)
-    zero_z = np.bitwise_or.reduce(stab_z[zero], axis=0) if zero.any() else np.zeros(W64, np.uint64)
     col_keep = pack.pack_bits(free_qubit_mask.reshape(1, -1))[0]
     jcr, jci = _coeff_to_dev(c, Tp)
     row = lambda a: _to_dev(a.reshape(1, -1))[0]
@@ -451,7 +450,7 @@ def clifford_rotate_project(
         _to_dev(x, Tp), _to_dev(z, Tp), jcr, jci, T,
         jnp.asarray(rx), jnp.asarray(rz), jnp.asarray(np.array(ms, np.int32)),
         _to_dev(stab_x), _to_dev(stab_z),
-        row(neg_x), row(neg_z), row(zero_x), row(zero_z), row(col_keep),
+        row(neg_x), row(neg_z), row(col_keep),
         jnp.asarray(zero_threshold, dt), _rel_floor(),
     )
     return _planes_from_dev(ox, oz, ocr, oci, int(n))

@@ -513,7 +513,6 @@ def clifford_project_cleanup(
     rx, rz, rm,
     stab_x, stab_z,
     neg_x, neg_z,
-    zero_x, zero_z,
     col_keep,
     zero_threshold,
     rel_floor=None,
@@ -530,8 +529,10 @@ def clifford_project_cleanup(
             multiples (D == 0 skips the scan).
         stab_x, stab_z: uint32[S, W] rotated (single-qubit) stabilizer planes.
         neg_x, neg_z: uint32[W] OR of the single-bit masks of stabilizers with
-            eigenvalue -1 (x-side / z-side); zero_x, zero_z: same for
-            eigenvalue 0 (failed sector assignment: intersecting terms drop).
+            eigenvalue -1 (x-side / z-side).  A 0 eigenvalue (failed sector
+            assignment) behaves as +1, matching the reference's
+            ``eigval_assignment[assignment == 0] = 1`` (projection/base.py:67-72)
+            -- the caller simply leaves such stabilizers out of the masks.
         col_keep: uint32[W] mask of FREE qubit bits (stabilized columns are
             zeroed before dedup -- equivalent to the reference's column
             deletion for grouping purposes; the caller deletes the columns
@@ -551,11 +552,7 @@ def clifford_project_cleanup(
     flip = (
         1 - 2 * ((parity_and(x, neg_x[None, :]) + parity_and(z, neg_z[None, :])) & 1)
     ).astype(cr.dtype)
-    any_zero = (
-        jnp.sum(pc(x & zero_x[None, :]), axis=-1)
-        + jnp.sum(pc(z & zero_z[None, :]), axis=-1)
-    ) > 0
-    live = keep & ~any_zero & (jnp.arange(T) < n_valid)
+    live = keep & (jnp.arange(T) < n_valid)
     w = jnp.where(live, flip, 0)
     cr2, ci2 = cr * w, ci * w
     xm = x & col_keep[None, :]

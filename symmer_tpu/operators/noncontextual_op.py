@@ -599,24 +599,39 @@ class NoncontextualSolver:
             return float(energies[0]), nu_list[0]
 
         free = int(np.sum(~self.fixed_ev_mask))
+        if free > 31:
+            raise ValueError(
+                f"brute force over 2^{free} assignments is infeasible; "
+                "fix more symmetry eigenvalues (reference state) or use "
+                "strategy='binary_relaxation'"
+            )
         search_size = 2**free
         M = self.NC_op.n_terms
-        use_dev = free > 20 or (
-            search_size >= 1024 and config.use_device(search_size * M // 64)
+        use_dev = config.backend != "host" and (
+            free > 20
+            or (search_size >= 1024 and config.use_device(search_size * M // 64))
         )
         if use_dev:
             return self._brute_force_device(free)
 
-        nu_list = np.ones(
-            [search_size, self.NC_op.symmetry_generators.n_terms], dtype=int
-        )
-        nu_list[:, self.fixed_ev_mask] = np.tile(self.fixed_eigvals, [search_size, 1])
-        # enumeration order matches itertools.product([-1, 1], repeat=free)
-        grid = (np.arange(search_size)[:, None] >> np.arange(free - 1, -1, -1)) & 1
-        nu_list[:, ~self.fixed_ev_mask] = 2 * grid - 1
-        energies = self.NC_op.get_energies_batch(nu_list)
-        best = int(np.argmin(energies))
-        return float(energies[best]), nu_list[best]
+        # host path, chunked so memory stays bounded even when backend='host'
+        # forces large searches through here
+        n_sym = self.NC_op.symmetry_generators.n_terms
+        chunk = min(search_size, config.brute_force_host_chunk)
+        best_e, best_nu = np.inf, None
+        shifts = np.arange(free - 1, -1, -1)
+        for start in range(0, search_size, chunk):
+            idx = np.arange(start, min(start + chunk, search_size))
+            nu_list = np.ones([len(idx), n_sym], dtype=int)
+            nu_list[:, self.fixed_ev_mask] = np.tile(self.fixed_eigvals, [len(idx), 1])
+            # enumeration order matches itertools.product([-1, 1], repeat=free)
+            grid = (idx[:, None] >> shifts) & 1
+            nu_list[:, ~self.fixed_ev_mask] = 2 * grid - 1
+            energies = self.NC_op.get_energies_batch(nu_list)
+            k = int(np.argmin(energies))
+            if energies[k] < best_e:
+                best_e, best_nu = float(energies[k]), nu_list[k]
+        return best_e, best_nu
 
     def _brute_force_device(self, free: int) -> Tuple[float, np.ndarray]:
         """Device-enumerated (optionally mesh-sharded) assignment search."""

@@ -43,7 +43,11 @@ def _pad_rows(a: np.ndarray, rows: int):
 
 
 def _interleave(a: np.ndarray, n_dev: int, L: int, C: int):
-    """(n_dev * L, ...) -> (n_dev * C, ...): each shard's rows padded to C."""
+    """(n_dev * L, ...) -> (n_dev * C, ...): each shard's rows padded to C.
+
+    MUST stay layout-identical to the in-device capacity expansion inside
+    distributed.distributed_cleanup (shard-local rows first, padding after,
+    per shard) -- both sides address shard s at rows [s*C, s*C + n_s)."""
     if C == L:
         return a
     shp = (n_dev, C - L) + a.shape[1:]
@@ -304,7 +308,11 @@ def partial_shard_map_expval(mesh, axis_name):
 def _effective_host_threshold(zero_threshold, *coeff_vecs) -> float:
     """Apply the f32 relative floor on the host side (the sharded kernels take
     one static threshold; computing the max on host keeps semantics identical
-    to jx_core.effective_threshold on the single-device path)."""
+    to jx_core.effective_threshold on the single-device path).
+
+    Keep the floor rule in lockstep with jx_core.effective_threshold --
+    a change applied to only one of the two desynchronizes the sharded and
+    single-device cleanup semantics."""
     fl = float(_rel_floor())
     if fl == 0.0 or zero_threshold is None:
         return zero_threshold if zero_threshold is not None else 0.0

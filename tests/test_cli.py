@@ -67,3 +67,13 @@ def test_cli_vqe(h2_json):
     assert result["n_qubits_after_taper"] == 1
     assert abs(result["vqe_error"]) < 1e-6
     assert result["n_excitations"] >= 1
+
+
+def test_cli_vqe_random_pool(h2_json):
+    out = _run_cli([
+        "vqe", "-H", h2_json, "--taper-reference", "1,1,0,0",
+        "--pool", "random", "--pool-size", "6", "--max-cycles", "3",
+    ])
+    assert out.returncode == 0, out.stderr
+    result = json.loads(out.stdout)
+    assert "vqe_energy" in result

@@ -231,3 +231,38 @@ def test_brute_force_large_G_flat_memory():
     expected = -np.sum(np.abs(coeffs))
     assert np.isclose(nc.energy, expected, atol=1e-8)
     assert peak < 512 * 1024 * 1024
+
+
+def test_brute_force_host_chunked_matches_device():
+    """backend='host' routes large searches through the chunked host loop;
+    the chunked (min, argmin) must match the single-contraction result and
+    the device-enumerated search."""
+    from symmer_tpu.config import config
+    from symmer_tpu.operators.noncontextual_op import NoncontextualSolver
+
+    np.random.seed(5)
+    nc = NoncontextualOp.random(8, n_cliques=2, n_commuting_terms=24)
+    solver = NoncontextualSolver(nc)
+    e_ref, nu_ref = solver.energy_via_brute_force()
+    old_chunk, old_backend = config.brute_force_host_chunk, config.backend
+    try:
+        config.brute_force_host_chunk = 64  # forces many chunks
+        config.backend = "host"
+        e_chunked, nu_chunked = solver.energy_via_brute_force()
+    finally:
+        config.brute_force_host_chunk = old_chunk
+        config.backend = old_backend
+    assert abs(e_chunked - e_ref) < 1e-10
+    assert np.array_equal(nu_chunked, nu_ref)
+
+
+def test_brute_force_infeasible_search_raises():
+    from symmer_tpu.operators.noncontextual_op import NoncontextualSolver
+
+    np.random.seed(1)
+    nc = NoncontextualOp.random(6, n_cliques=2, n_commuting_terms=16)
+    solver = NoncontextualSolver(nc)
+    solver.fixed_ev_mask = np.zeros(40, dtype=bool)  # 40 free generators
+    solver.fixed_eigvals = np.array([], dtype=int)
+    with pytest.raises(ValueError, match="infeasible"):
+        solver.energy_via_brute_force()

@@ -77,21 +77,28 @@ def test_fused_projection_negative_and_mixed_sectors():
     _dicts_close(dev_out, host_out)
 
 
-def test_fused_projection_zero_sector_drops_intersecting_terms():
-    """A 0-valued eigenvalue assignment zeroes intersecting terms (the host
-    path multiplies the eigenvalue product through, reference base.py:67-72)."""
-    H = synthetic_symmetric_operator(n_qubits=18, n_terms=150, n_sym=3, seed=9)
+def test_fused_projection_zero_sector_acts_as_plus_one():
+    """A 0-valued eigenvalue assignment behaves as +1 (the host path and the
+    reference set eigval_assignment[assignment == 0] = 1, base.py:67-72).
+    Exercised DIRECTLY on single-qubit stabilizers so the 0-coefficient
+    stabilizer is not silently dropped by a rotation cleanup first."""
+    n = 10
+    H = PauliwordOp.from_list(
+        ["ZIXXIIIIII", "IZXXIIIIII", "ZZYYIIIIII", "IIXXIIIIII",
+         "ZIIIXXIIII", "IIIIXXIIII"],
+        [1, 2, 3, 4, 5, 6],
+    )
+    stabs = IndependentOp.from_list(
+        ["Z" + "I" * (n - 1), "I" + "Z" + "I" * (n - 2)], [1, 1]
+    )
     old = config.backend
     try:
         config.backend = "host"
-        qt = QubitTapering(H)
-        n_sym = qt.symmetry_generators.n_terms
-        sector = np.ones(n_sym, dtype=int)
-        sector[0] = 0
-        host_out = qt.taper_it(sector=sector)
+        p1 = S3Projection(stabs)
+        host_out = p1.perform_projection(H.copy(), sector=np.array([0, 1]))
         config.backend = "device"
-        qt_d = QubitTapering(H)
-        dev_out = qt_d.taper_it(sector=sector)
+        p2 = S3Projection(stabs)
+        dev_out = p2.perform_projection(H.copy(), sector=np.array([0, 1]))
     finally:
         config.backend = old
     _dicts_close(dev_out, host_out)
