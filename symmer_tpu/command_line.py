@@ -186,6 +186,8 @@ def cmd_vqe(args) -> dict:
                     )
         pool = PauliwordOp.from_list(strings)
 
+    if args.max_cycles < 1:
+        raise SystemExit("--max-cycles must be >= 1 (the ADAPT loop needs at least one cycle)")
     adapt = ADAPT_VQE(H, excitation_pool=pool, ref_state=ref_state)
     adapt.verbose = False
     adapt.expectation_eval = args.expectation_eval

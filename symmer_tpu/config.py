@@ -58,6 +58,18 @@ class SymmerTPUConfig:
     # relative) is dropped even though the absolute threshold (1e-15)
     # is below f32 resolution.  Set to 0.0 to disable the floor.
     f32_threshold_rel_floor: float = 2e-6
+    # transport-aware auto dispatch: when True, host-in/host-out kernel calls
+    # compare an estimated host time against measured device round-trip cost
+    # (kernels/transport.py probe) instead of the fixed element-count
+    # threshold -- essential on remote-attached chips where a sync costs
+    # ~30 ms and bandwidth can be tens of MB/s
+    transport_aware: bool = True
+    # calibrated host-kernel throughputs for the transport-aware estimates
+    # (conservative defaults for one modern core; env-tunable deployments can
+    # overwrite the attributes directly)
+    host_adjacency_rate: float = 4e8   # native qwc/anticommutes pair-words/s
+    host_cleanup_rate: float = 3e7     # packed cleanup words/s
+    host_rotate_rate: float = 2e7      # rotate+cleanup words/s per rotation
     # extra env-derived switches
     _x64_enabled: bool = field(default=False, repr=False)
 
@@ -67,6 +79,21 @@ class SymmerTPUConfig:
         if self.backend == "host":
             return False
         return work_items >= self.device_threshold
+
+    def use_device_io(self, host_s: float, up_bytes: float, down_bytes: float,
+                      n_syncs: int = 1, dev_s: float = 0.0) -> bool:
+        """Auto dispatch for host-in/host-out calls: device wins only when the
+        measured transport cost + device compute beats the host estimate."""
+        if self.backend == "device":
+            return True
+        if self.backend == "host":
+            return False
+        if not self.transport_aware:
+            return host_s > 5e-3
+        from .kernels import transport
+
+        p = transport.profile()
+        return p.device_time(up_bytes, down_bytes, n_syncs, dev_s) < host_s
 
 
 config = SymmerTPUConfig()

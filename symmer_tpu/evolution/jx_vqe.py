@@ -111,6 +111,12 @@ class DeviceVQEEngine:
             "device_array holds the dense 2^n statevector on device; "
             f"{observable.n_qubits} qubits exceeds the supported range"
         )
+        # the evolve step computes cos(x)psi + i sin(x) c P psi, which equals
+        # exp(i x c P) only for |c| == 1 (VQE_Driver.prepare_for_evolution
+        # normalises; guard against direct callers that do not)
+        assert generators.n_terms == 0 or np.allclose(
+            np.abs(generators.coeff_vec), 1
+        ), "DeviceVQEEngine requires unit-modulus generator coefficients"
 
         self.f64 = bool(jax.config.jax_enable_x64) and jax.default_backend() != "tpu"
         fdt = np.float64 if self.f64 else np.float32
@@ -203,6 +209,7 @@ class DeviceVQEEngine:
             observable.x_pack.tobytes(), observable.z_pack.tobytes(),
             observable.coeff_vec.tobytes(),
             generators.x_pack.tobytes(), generators.z_pack.tobytes(),
+            generators.coeff_vec.tobytes(),
             ref_state._s_pack.tobytes(), ref_state._amps.tobytes(),
         )
 

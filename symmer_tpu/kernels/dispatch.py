@@ -232,7 +232,13 @@ def multiply_cleanup(x1, z1, c1, x2, z2, c2, zero_threshold: Optional[float]) ->
 def anticommutes(x1, z1, x2, z2) -> np.ndarray:
     M1, W = x1.shape
     M2 = x2.shape[0]
-    if not config.use_device(M1 * M2 * W // 8):
+    # host-in/host-out: the M1 x M2 bool result must cross the transport, so
+    # the decision weighs measured bandwidth against the native host kernel
+    if not config.use_device_io(
+        host_s=M1 * M2 * W / config.host_adjacency_rate,
+        up_bytes=(M1 + M2) * W * 16,
+        down_bytes=M1 * M2,
+    ):
         kernel_stats.record("anticommutes", device=False)
         return np_core.anticommutes(x1, z1, x2, z2)
     kernel_stats.record("anticommutes", device=True)
@@ -245,6 +251,46 @@ def anticommutes(x1, z1, x2, z2) -> np.ndarray:
         return np.asarray(out)
     out = _jitted()["anticommutes"](_to_dev(x1), _to_dev(z1), _to_dev(x2), _to_dev(z2))
     return np.asarray(out)
+
+
+def qubitwise_commutes(x1, z1, x2, z2) -> np.ndarray:
+    """Termwise QWC adjacency with host/device dispatch (hot for
+    clique_cover('QWC') measurement grouping)."""
+    M1, W = x1.shape
+    M2 = x2.shape[0]
+    if not config.use_device_io(
+        host_s=M1 * M2 * W / config.host_adjacency_rate,
+        up_bytes=(M1 + M2) * W * 16,
+        down_bytes=M1 * M2,
+    ):
+        kernel_stats.record("qubitwise_commutes", device=False)
+        return np_core.qubitwise_commutes(x1, z1, x2, z2)
+    kernel_stats.record("qubitwise_commutes", device=True)
+    # the device broadcast materialises (chunk, M2, 2W) u32 intermediates;
+    # chunk the row axis to bound HBM (pow-2 chunks reuse the jit cache)
+    budget_rows = max(8, (1 << 27) // max(1, 3 * M2 * (2 * W) * 4))
+    Ic = 1 << (budget_rows.bit_length() - 1)
+    if Ic >= M1:
+        out = _jitted_qwc()(_to_dev(x1), _to_dev(z1), _to_dev(x2), _to_dev(z2))
+        return np.asarray(out)
+    dx2, dz2 = _to_dev(x2), _to_dev(z2)
+    parts = []
+    for i0 in range(0, M1, Ic):
+        # padded rows are identity terms (QWC with everything); sliced off below
+        parts.append(_jitted_qwc()(
+            _to_dev(x1[i0 : i0 + Ic], Ic), _to_dev(z1[i0 : i0 + Ic], Ic), dx2, dz2
+        ))
+    import jax
+
+    host = jax.device_get(parts)
+    out = np.concatenate([np.asarray(p) for p in host], axis=0)
+    return out[:M1]
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_qwc():
+    jax, jx = _jx()
+    return jax.jit(jx.qubitwise_commutes)
 
 
 def is_clifford_angle(angle, tol: float = 1e-18):
@@ -378,9 +424,11 @@ def is_noncontextual(x, z) -> Optional[bool]:
     kernel_stats.record("is_noncontextual", device=True)
     xd, zd = _to_dev(x), _to_dev(z)
     check_fused, check_adj = _jitted_noncon_check()
-    if M * M * W * 4 > (1 << 31):
-        # the broadcast (M, M, W) anticommutation intermediate would be
-        # multi-GB: build the adjacency with the VMEM-tiled Pallas kernel
+    # the XLA broadcast materialises TWO (M, M, 2W) uint32 intermediates
+    # (x1&z2 and z1&x2): guard on the u32 word count, not the host u64 planes
+    if 2 * (M * M * (2 * W) * 4) > (1 << 31):
+        # the broadcast anticommutation intermediate would be multi-GB:
+        # build the adjacency with the VMEM-tiled Pallas kernel
         from . import pallas_gf2
 
         adj = ~pallas_gf2.anticommutes_tiled(xd, zd, xd, zd)
@@ -479,15 +527,31 @@ def expval(x, z, c, s_pack, amps) -> complex:
     kernel_stats.record("expval", device=True)
     import jax
 
-    from . import jx_state
+    # the kernel carries several (T, B) float planes; bound HBM by chunking
+    # the term axis (expval is linear in the operator's terms) -- the chunk
+    # results stay on device and one device_get syncs them all
+    max_elems = 1 << 25
+    if T * B > max_elems:
+        Tc = max(1, max_elems // max(B, 1))
+        ar, ai = _coeff_to_dev(amps)
+        sd = _to_dev(s_pack)
+        parts = []
+        for t0 in range(0, T, Tc):
+            t1 = min(T, t0 + Tc)
+            cr, ci = _coeff_to_dev(c[t0:t1])
+            parts.append(_jitted_expval()(
+                _to_dev(x[t0:t1]), _to_dev(z[t0:t1]), cr, ci, sd, ar, ai, B
+            ))
+        host = jax.device_get(parts)
+        return complex(
+            float(sum(p[0] for p in host)), float(sum(p[1] for p in host))
+        )
 
     cr, ci = _coeff_to_dev(c)
     ar, ai = _coeff_to_dev(amps)
     re, im = _jitted_expval()(
         _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, B
     )
-    import jax
-
     re_h, im_h = jax.device_get((re, im))
     return complex(float(re_h), float(im_h))
 

@@ -399,6 +399,15 @@ def anticommutes(x1, z1, x2, z2) -> jnp.ndarray:
     return ((a + b) & 1).astype(bool)
 
 
+def qubitwise_commutes(x1, z1, x2, z2) -> jnp.ndarray:
+    """bool[M1, M2]: True where term pairs commute qubit by qubit (difference
+    bits masked to joint support vanish)."""
+    diff = (
+        (x1[:, None, :] ^ x2[None, :, :]) | (z1[:, None, :] ^ z2[None, :, :])
+    ) & (x1 | z1)[:, None, :] & (x2 | z2)[None, :, :]
+    return ~jnp.any(diff != 0, axis=2)
+
+
 def anticommutes_single(x, z, xr, zr) -> jnp.ndarray:
     a = parity_and(x, zr[None, :]) + parity_and(z, xr[None, :])
     return (a & 1).astype(bool)

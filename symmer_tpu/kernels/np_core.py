@@ -114,8 +114,18 @@ def anticommutes(
 
     parity( popcount(x1&z2) + popcount(z1&x2) ) over packed words; chunked to
     bound the (M1, M2, W) broadcast memory.
+
+    Native fast path: the symplectic product is one GF(2) matmul on the
+    concatenated planes -- rows1 = [x1|z1], rows2 = [z2|x2] -- so the C++
+    popcount-parity kernel computes it directly.
     """
     M1, M2, W = x1.shape[0], x2.shape[0], x1.shape[1]
+    from ..native import gf2core
+
+    if gf2core is not None and M1 * M2 * W > (1 << 18):
+        rows1 = np.hstack([x1, z1])
+        rows2 = np.hstack([z2, x2])
+        return gf2core.matmul_gf2(rows1, rows2)
     out = np.empty((M1, M2), dtype=bool)
     rows_per_chunk = max(1, chunk // max(1, M2 * W * 8))
     for i0 in range(0, M1, rows_per_chunk):
@@ -128,6 +138,37 @@ def anticommutes(
 
 def commutes(x1, z1, x2, z2) -> np.ndarray:
     return ~anticommutes(x1, z1, x2, z2)
+
+
+def qubitwise_commutes(
+    x1: np.ndarray, z1: np.ndarray,
+    x2: np.ndarray, z2: np.ndarray,
+    chunk: int = 1 << 26,
+) -> np.ndarray:
+    """Termwise qubitwise-commutation matrix: True where on every qubit the
+    two terms are equal or at least one acts trivially.
+
+    Packed formulation (reference base.py:985-1009 broadcasts boolean
+    blocks): difference bits masked to the joint support must vanish --
+    chunked over the row axis to bound the (M1, M2, W) broadcast.
+    """
+    M1, M2, W = x1.shape[0], x2.shape[0], x1.shape[1]
+    from ..native import gf2core
+
+    if gf2core is not None:
+        return gf2core.qwc_matrix(x1, z1, x2, z2)
+    n1 = x1 | z1
+    n2 = x2 | z2
+    out = np.empty((M1, M2), dtype=bool)
+    rows_per_chunk = max(1, chunk // max(1, M2 * W * 8))
+    for i0 in range(0, M1, rows_per_chunk):
+        i1 = min(M1, i0 + rows_per_chunk)
+        diff = (
+            (x1[i0:i1, None, :] ^ x2[None, :, :])
+            | (z1[i0:i1, None, :] ^ z2[None, :, :])
+        ) & n1[i0:i1, None, :] & n2[None, :, :]
+        out[i0:i1] = ~np.any(diff, axis=2)
+    return out
 
 
 def anticommutes_single(x, z, xr, zr) -> np.ndarray:

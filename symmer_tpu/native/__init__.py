@@ -54,6 +54,11 @@ class _GF2Core:
             u64p, ctypes.c_int64,
         ]
         lib.transpose_bits.restype = None
+        lib.qwc_matrix.argtypes = [
+            u64p, u64p, ctypes.c_int64, u64p, u64p, ctypes.c_int64,
+            ctypes.c_int64, u8p,
+        ]
+        lib.qwc_matrix.restype = None
 
     def rref_inplace(self, M: np.ndarray) -> None:
         assert M.dtype == np.uint64 and M.flags["C_CONTIGUOUS"]
@@ -77,6 +82,18 @@ class _GF2Core:
         out = np.zeros((n_cols, out_words), dtype=np.uint64)
         self._lib.transpose_bits(M, rows, in_words, n_cols, out, out_words)
         return out
+
+    def qwc_matrix(self, x1, z1, x2, z2) -> np.ndarray:
+        """Termwise qubitwise-commutation adjacency -> bool[m1, m2]."""
+        x1 = np.ascontiguousarray(x1, dtype=np.uint64)
+        z1 = np.ascontiguousarray(z1, dtype=np.uint64)
+        x2 = np.ascontiguousarray(x2, dtype=np.uint64)
+        z2 = np.ascontiguousarray(z2, dtype=np.uint64)
+        m1, words = x1.shape
+        m2 = x2.shape[0]
+        out = np.empty((m1, m2), dtype=np.uint8)
+        self._lib.qwc_matrix(x1, z1, m1, x2, z2, m2, words, out)
+        return out.astype(bool)
 
     def matmul_gf2(self, A: np.ndarray, B_rows: np.ndarray) -> np.ndarray:
         """parity(popcount(A_i & B_j)) -> bool[m, p]."""

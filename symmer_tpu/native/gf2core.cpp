@@ -112,6 +112,43 @@ void matmul_gf2(
     }
 }
 
+// Qubitwise-commutation matrix on packed operands:
+// C[i,j] = 1 iff ((x1_i ^ x2_j) | (z1_i ^ z2_j)) & (x1_i | z1_i) & (x2_j | z2_j)
+// vanishes, i.e. on every qubit the terms agree or one acts trivially
+// (reference base.py:985-1009 broadcasts boolean blocks; this runs at packed
+// memory speed with early exit).
+void qwc_matrix(
+    const uint64_t* x1, const uint64_t* z1, int64_t m1,
+    const uint64_t* x2, const uint64_t* z2, int64_t m2,
+    int64_t words, uint8_t* C
+) {
+    // hoist the per-row supports (n = x | z)
+    std::vector<uint64_t> n2(m2 * words);
+    for (int64_t j = 0; j < m2 * words; ++j) n2[j] = x2[j] | z2[j];
+    for (int64_t i = 0; i < m1; ++i) {
+        const uint64_t* xi = x1 + i * words;
+        const uint64_t* zi = z1 + i * words;
+        uint8_t* c_row = C + i * m2;
+        uint64_t ni[32];
+        uint64_t ni_heap_storage = 0; (void)ni_heap_storage;
+        std::vector<uint64_t> ni_heap;
+        uint64_t* nip = ni;
+        if (words > 32) { ni_heap.resize(words); nip = ni_heap.data(); }
+        for (int64_t k = 0; k < words; ++k) nip[k] = xi[k] | zi[k];
+        for (int64_t j = 0; j < m2; ++j) {
+            const uint64_t* xj = x2 + j * words;
+            const uint64_t* zj = z2 + j * words;
+            const uint64_t* nj = n2.data() + j * words;
+            uint8_t ok = 1;
+            for (int64_t k = 0; k < words; ++k) {
+                uint64_t d = ((xi[k] ^ xj[k]) | (zi[k] ^ zj[k])) & nip[k] & nj[k];
+                if (d) { ok = 0; break; }
+            }
+            c_row[j] = ok;
+        }
+    }
+}
+
 }  // extern "C"
 
 extern "C" {

