@@ -335,25 +335,20 @@ class PauliwordOp:
             rev = pack.bitreverse_words(self.x_pack | self.z_pack)
             sort_order = np.lexsort(rev.T[::-1])[::-1]
         elif by == "Z":
+            # sum((n+1) X_q + Z_q) == (n+1) |x| + |z| on the packed planes
+            # (reference base.py:475-489 materialises the boolean blocks)
             sort_order = np.argsort(
-                np.sum(
-                    (self.n_qubits + 1) * self.X_block.astype(int)
-                    + self.Z_block.astype(int),
-                    axis=1,
-                )
+                (self.n_qubits + 1) * pack.popcount_rows(self.x_pack)
+                + pack.popcount_rows(self.z_pack)
             )
         elif by == "X":
             sort_order = np.argsort(
-                np.sum(
-                    self.X_block.astype(int)
-                    + (self.n_qubits + 1) * self.Z_block.astype(int),
-                    axis=1,
-                )
+                pack.popcount_rows(self.x_pack)
+                + (self.n_qubits + 1) * pack.popcount_rows(self.z_pack)
             )
         elif by == "Y":
-            sort_order = np.argsort(
-                np.sum(abs(self.X_block.astype(int) - self.Z_block.astype(int)), axis=1)
-            )
+            # sum|X_q - Z_q| == |x ^ z|
+            sort_order = np.argsort(pack.popcount_rows(self.x_pack ^ self.z_pack))
         else:
             raise ValueError("Only permitted sort by values are magnitude, weight, X, Y or Z")
         if key == "increasing":
@@ -1045,9 +1040,11 @@ class QuantumState:
         return QuantumState(new_state_matrix, self._amps, vec_type=self.vec_type)
 
     def sectors_present(self, symmetry) -> np.ndarray:
-        symmetry_copy = symmetry.copy()
-        symmetry_copy.coeff_vec = np.ones(symmetry.n_terms)
-        return np.array([S.expval(self) for S in symmetry_copy])
+        """Per-stabilizer expectation values in one batched pass (the
+        reference evaluates one expval per symmetry term, base.py:1938-1951)."""
+        return state_core.termwise_expval(
+            symmetry.x_pack, symmetry.z_pack, self._s_pack, self._amps
+        ).real
 
     @cached_property
     def normalize(self) -> "QuantumState":

@@ -223,9 +223,16 @@ class IndependentOp(PauliwordOp):
         if not isinstance(ref_state, QuantumState):
             ref_state = QuantumState(ref_state)
         assert ref_state._is_normalized(), "Reference state is not normalized."
-        self.coeff_vec = np.array(
-            [assign_value(self[i], ref_state, threshold) for i in range(self.n_terms)]
-        )
+        # ONE batched pass over all stabilizers (the reference parallelises
+        # S separate expectation evaluations, independent_op.py:364-383)
+        from ..kernels import state_core
+
+        expvals = state_core.termwise_expval(
+            self.x_pack, self.z_pack, ref_state._s_pack, ref_state._amps
+        ).real
+        self.coeff_vec = np.where(
+            np.abs(expvals) > threshold, np.sign(expvals), 0
+        ).astype(int)
         if np.any(self.coeff_vec == 0):
             S_zero = self[self.coeff_vec == 0]
             S_zero.coeff_vec[:] = 1

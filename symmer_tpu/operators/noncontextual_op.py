@@ -62,9 +62,14 @@ class NoncontextualOp(PauliwordOp):
         stabilizers: IndependentOp = None,
         DFS_runtime: int = 10,
         use_jordan_product=False,
-        override_noncontextuality_check: bool = True,
+        override_noncontextuality_check: bool = False,
     ) -> "NoncontextualOp":
-        """Extract a noncontextual sub-Hamiltonian (reference :63-106)."""
+        """Extract a noncontextual sub-Hamiltonian (reference :63-106).
+
+        ``override_noncontextuality_check`` defaults to False as in the
+        reference: an already-noncontextual H short-circuits with a warning.
+        Pass True to skip the O(M^2) check when H is known to be contextual.
+        """
         if not override_noncontextuality_check:
             if H.is_noncontextual:
                 warnings.warn("input H is already noncontextual ignoring strategy")

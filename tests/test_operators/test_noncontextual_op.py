@@ -24,9 +24,25 @@ def test_contextual_rejected():
 
 def test_diag_strategy(h2_fixture):
     H = PauliwordOp.from_dictionary(h2_fixture["H_dict"])
-    nc = NoncontextualOp.from_hamiltonian(H, strategy="diag")
+    # H2 JW is itself noncontextual; skip the early-exit to force the strategy
+    nc = NoncontextualOp.from_hamiltonian(
+        H, strategy="diag", override_noncontextuality_check=True
+    )
     assert not np.any(nc.X_block)
     assert nc.is_noncontextual
+
+
+def test_from_hamiltonian_noncontextual_early_exit(h2_fixture):
+    # reference default (noncontextual_op.py:63-106): an already-noncontextual
+    # H returns whole with a warning, ignoring the strategy
+    import warnings as _w
+
+    H = PauliwordOp.from_dictionary(h2_fixture["H_dict"])
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        nc = NoncontextualOp.from_hamiltonian(H, strategy="diag")
+    assert nc.n_terms == H.n_terms
+    assert any("already noncontextual" in str(r.message) for r in rec)
 
 
 @pytest.mark.parametrize(

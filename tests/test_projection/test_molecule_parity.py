@@ -49,6 +49,37 @@ def test_tapering_preserves_fci(name, nq, _):
     assert abs(gs - fci) < 1e-8, f"{name}: {gs} vs {fci}"
 
 
+# exact energies frozen from the host-float64 path (generated once, round 3);
+# regressions in cleanup/rotation/projection numerics surface at the
+# BASELINE.md 1e-10 bar instead of the looser published-FCI 1e-8 proxy
+# (reference style: hardcoded constants test_qubit_tapering.py:48-50)
+LIH_TAPERED_GS_EXACT = -7.8827622309719985
+BE_CSVQE_3Q_GS_EXACT = -14.389536593826167
+
+
+def test_lih_tapered_energy_pinned_1e10():
+    data = _load("LiH_STO-3G_SINGLET_JW.json")
+    H = PauliwordOp.from_dictionary(data["hamiltonian"])
+    QT = QubitTapering(H)
+    H_taper = QT.taper_it(ref_state=np.asarray(data["data"]["hf_array"]))
+    gs = exact_gs_energy(H_taper.to_sparse_matrix)[0]
+    assert abs(gs - LIH_TAPERED_GS_EXACT) < 1e-10
+
+
+def test_be_cs_vqe_energy_pinned_1e10():
+    from symmer_tpu import ContextualSubspace
+
+    data = _load("Be_STO-3G_SINGLET_JW.json")
+    H = PauliwordOp.from_dictionary(data["hamiltonian"])
+    qt = QubitTapering(H)
+    H_taper = qt.taper_it(ref_state=np.asarray(data["data"]["hf_array"]))
+    cs = ContextualSubspace(H_taper, noncontextual_strategy="SingleSweep_magnitude")
+    cs.update_stabilizers(3, strategy="aux_preserving")
+    H_cs = cs.project_onto_subspace()
+    gs = exact_gs_energy(H_cs.to_sparse_matrix)[0]
+    assert abs(gs - BE_CSVQE_3Q_GS_EXACT) < 1e-10
+
+
 @pytest.mark.parametrize("name", ["LiH_STO-3G_SINGLET_JW.json"])
 def test_contextual_subspace_error_decay(name):
     data = _load(name)
