@@ -58,6 +58,17 @@ class SymmerTPUConfig:
     # relative) is dropped even though the absolute threshold (1e-15)
     # is below f32 resolution.  Set to 0.0 to disable the floor.
     f32_threshold_rel_floor: float = 2e-6
+    # device coefficient precision on float32 backends (TPU):
+    #   'extended'  double-float [hi, lo] planes (~49 mantissa bits, error-
+    #               free transformations, jx_df) -- 1e-10 energy parity ON
+    #               the chip at ~2-3x arithmetic cost on memory-bound kernels
+    #   'f32'       plain float32 planes (fastest; ~1e-7 relative residue)
+    # ignored when the backend supports native f64 (CPU with x64 enabled)
+    device_precision: str = "extended"
+    # extended mode's cancellation-residue floor: double-float segment sums
+    # leave O(u_df * |c|max) ~ 4e-15 relative residue; the floor drops it the
+    # same way f32_threshold_rel_floor does for plain f32
+    extended_threshold_rel_floor: float = 1e-12
     # transport-aware auto dispatch: when True, host-in/host-out kernel calls
     # compare an estimated host time against measured device round-trip cost
     # (kernels/transport.py probe) instead of the fixed element-count

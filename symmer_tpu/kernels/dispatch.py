@@ -64,8 +64,8 @@ def _jitted():
         "anticommutes": jax.jit(jx.anticommutes),
         "clifford_scan": jax.jit(jx.clifford_scan),
         "rot_nc_cleanup": jax.jit(
-            lambda x, z, cr, ci, xr, zr, ang, n, th, fl: jx.rotate_nonclifford_cleanup(
-                x, z, cr, ci, xr, zr, ang, n, th, rel_floor=fl
+            lambda x, z, cr, ci, xr, zr, tc, ts, n, th, fl: jx.rotate_nonclifford_cleanup(
+                x, z, cr, ci, xr, zr, None, n, th, rel_floor=fl, trig=(tc, ts)
             )
         ),
     }
@@ -100,14 +100,30 @@ def _coeff_dtype():
 _WARNED_TPU_F64 = False
 
 
-def _rel_floor():
+def _df_mode() -> bool:
+    """True when device coefficients run as double-float [hi, lo] planes
+    (extended precision on a float32-only backend, see jx_df)."""
+    return config.device_precision == "extended" and _coeff_dtype() == np.float32
+
+
+def _rel_floor(df: Optional[bool] = None):
     """Relative threshold floor for the device cleanup (0.0 disables).
 
-    Nonzero only on the float32 path, where cancellation residue sits far
-    above any absolute threshold the f64 host semantics would use (see
-    config.f32_threshold_rel_floor and jx_core.effective_threshold)."""
+    Nonzero only on float32 backends, where cancellation residue sits above
+    the absolute threshold of the f64 host semantics: ~2e-6 relative in plain
+    f32, ~1e-12 in extended (double-float) mode (see
+    config.f32_threshold_rel_floor / extended_threshold_rel_floor and
+    jx_core.effective_threshold).  ``df`` pins the mode for callers that run
+    a fixed coefficient layout (e.g. the still-plain sharded drivers)."""
     dt = _coeff_dtype()
-    fl = config.f32_threshold_rel_floor if dt == np.float32 else 0.0
+    if df is None:
+        df = _df_mode()
+    if dt != np.float32:
+        fl = 0.0
+    elif df:
+        fl = config.extended_threshold_rel_floor
+    else:
+        fl = config.f32_threshold_rel_floor
     return np.asarray(fl, dt)
 
 
@@ -120,17 +136,66 @@ def _to_dev(x64: np.ndarray, pad_rows: int = 0):
     return jnp.asarray(a)
 
 
-def _coeff_to_dev(c: np.ndarray, pad_rows: int = 0):
-    """complex host coeffs -> (re, im) device planes."""
+def _coeff_to_dev(c: np.ndarray, pad_rows: int = 0, df: Optional[bool] = None):
+    """complex host coeffs -> (re, im) device planes.
+
+    In extended mode each plane is a (T, 2) double-float [hi, lo] pair that
+    represents the host float64 exactly to ~2^-48 relative; kernels detect
+    the layout by shape (jx_core.c_lanes)."""
     import jax.numpy as jnp
 
     dt = _coeff_dtype()
+    if df is None:
+        df = _df_mode()
+    if df and dt == np.float32:
+        from . import jx_df
+
+        rh, rl = jx_df.host_split_f64(np.ascontiguousarray(c.real, np.float64))
+        ih, il = jx_df.host_split_f64(np.ascontiguousarray(c.imag, np.float64))
+        cr = np.stack([rh, rl], axis=-1)
+        ci = np.stack([ih, il], axis=-1)
+        if pad_rows > c.shape[0]:
+            cr = np.pad(cr, [(0, pad_rows - c.shape[0]), (0, 0)])
+            ci = np.pad(ci, [(0, pad_rows - c.shape[0]), (0, 0)])
+        return jnp.asarray(cr), jnp.asarray(ci)
     cr = np.ascontiguousarray(c.real, dtype=dt)
     ci = np.ascontiguousarray(c.imag, dtype=dt)
     if pad_rows > c.shape[0]:
         cr = np.pad(cr, (0, pad_rows - c.shape[0]))
         ci = np.pad(ci, (0, pad_rows - c.shape[0]))
     return jnp.asarray(cr), jnp.asarray(ci)
+
+
+def _trig_split(angle: float):
+    """Host-side cos/sin of a rotation angle for the device kernels: exact
+    f64 evaluation split into double-float pairs in extended mode (device f32
+    cos is only ~1e-7 accurate), plain scalars otherwise."""
+    import jax.numpy as jnp
+
+    a = float(complex(angle).real)
+    dt = _coeff_dtype()
+    if _df_mode():
+        from . import jx_df
+
+        ch, cl = jx_df.host_split_f64(np.float64(np.cos(a)))
+        sh, sl = jx_df.host_split_f64(np.float64(np.sin(a)))
+        return (
+            jnp.asarray(np.stack([ch, cl])), jnp.asarray(np.stack([sh, sl]))
+        )
+    return jnp.asarray(np.cos(a), dt), jnp.asarray(np.sin(a), dt)
+
+
+def _merge_coeff_host(crh, cih) -> np.ndarray:
+    """Device coefficient planes (plain or [hi, lo]) -> host complex128."""
+    crh = np.asarray(crh)
+    cih = np.asarray(cih)
+    if crh.ndim >= 2 and crh.shape[-1] == 2:
+        from . import jx_df
+
+        return jx_df.host_merge_f64(crh[..., 0], crh[..., 1]) + 1j * jx_df.host_merge_f64(
+            cih[..., 0], cih[..., 1]
+        )
+    return crh.astype(np.float64) + 1j * cih.astype(np.float64)
 
 
 def _planes_from_dev(x, z, cr, ci, n_out: int) -> Planes:
@@ -147,8 +212,7 @@ def _planes_from_dev(x, z, cr, ci, n_out: int) -> Planes:
     )
     xo = pack.from_u32(np.asarray(xh))
     zo = pack.from_u32(np.asarray(zh))
-    c = np.asarray(crh).astype(np.float64) + 1j * np.asarray(cih).astype(np.float64)
-    return xo, zo, c
+    return xo, zo, _merge_coeff_host(crh, cih)
 
 
 def _try_mesh(kind: str, T: int, runner):
@@ -378,10 +442,11 @@ def perform_rotations(
             i = j
         else:
             xr, zr, angle = rotations[i]
+            tc, ts = _trig_split(angle)
             ox, oz, ocr, oci, n = jitted["rot_nc_cleanup"](
                 dx, dz, dcr, dci,
                 _to_dev(xr.reshape(1, -1))[0], _to_dev(zr.reshape(1, -1))[0],
-                jnp.asarray(float(complex(angle).real), dt), n_valid, th, fl,
+                tc, ts, n_valid, th, fl,
             )
             n_valid = max(int(n), 1)
             Tp = _next_bucket(n_valid)
@@ -533,12 +598,12 @@ def expval(x, z, c, s_pack, amps) -> complex:
     max_elems = 1 << 25
     if T * B > max_elems:
         Tc = max(1, max_elems // max(B, 1))
-        ar, ai = _coeff_to_dev(amps)
+        ar, ai = _coeff_to_dev(amps, df=False)
         sd = _to_dev(s_pack)
         parts = []
         for t0 in range(0, T, Tc):
             t1 = min(T, t0 + Tc)
-            cr, ci = _coeff_to_dev(c[t0:t1])
+            cr, ci = _coeff_to_dev(c[t0:t1], df=False)
             parts.append(_jitted_expval()(
                 _to_dev(x[t0:t1]), _to_dev(z[t0:t1]), cr, ci, sd, ar, ai, B
             ))
@@ -547,8 +612,8 @@ def expval(x, z, c, s_pack, amps) -> complex:
             float(sum(p[0] for p in host)), float(sum(p[1] for p in host))
         )
 
-    cr, ci = _coeff_to_dev(c)
-    ar, ai = _coeff_to_dev(amps)
+    cr, ci = _coeff_to_dev(c, df=False)
+    ar, ai = _coeff_to_dev(amps, df=False)
     re, im = _jitted_expval()(
         _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, B
     )
@@ -620,8 +685,8 @@ def apply_bra(s_pack, amps, x, z, c, zero_threshold):
         bits, out = state_core.apply_to_bra(s_pack, amps, x, z, c)
         return state_core.cleanup_state(bits, out, zero_threshold)
     kernel_stats.record("apply_bra", device=True)
-    cr, ci = _coeff_to_dev(c)
-    ar, ai = _coeff_to_dev(amps)
+    cr, ci = _coeff_to_dev(c, df=False)
+    ar, ai = _coeff_to_dev(amps, df=False)
     th = np.asarray(zero_threshold, _coeff_dtype())
     b_o, ar_o, ai_o, n = _jitted_apply_bra()(
         _to_dev(s_pack), ar, ai, _to_dev(x), _to_dev(z), cr, ci, th, _rel_floor()
@@ -646,8 +711,8 @@ def inner_product(s_bra, amp_bra, s_ket, amp_ket) -> complex:
         kernel_stats.record("inner_product", device=False)
         return state_core.inner_product(s_bra, amp_bra, s_ket, amp_ket)
     kernel_stats.record("inner_product", device=True)
-    a1r, a1i = _coeff_to_dev(amp_bra)
-    a2r, a2i = _coeff_to_dev(amp_ket)
+    a1r, a1i = _coeff_to_dev(amp_bra, df=False)
+    a2r, a2i = _coeff_to_dev(amp_ket, df=False)
     re, im = _jitted_inner_product()(
         _to_dev(s_bra), a1r, a1i, _to_dev(s_ket), a2r, a2i
     )
@@ -674,8 +739,8 @@ def apply_state(x, z, c, s_pack, amps, zero_threshold):
 
     from . import jx_state
 
-    cr, ci = _coeff_to_dev(c)
-    ar, ai = _coeff_to_dev(amps)
+    cr, ci = _coeff_to_dev(c, df=False)
+    ar, ai = _coeff_to_dev(amps, df=False)
     th = np.asarray(zero_threshold, _coeff_dtype())
     b_o, ar_o, ai_o, n = _jitted_apply_state()(
         _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, th, _rel_floor()

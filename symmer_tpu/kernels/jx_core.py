@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import jx_df
+
 UINT = jnp.uint32
 
 # multiply-xor mixing constants for the 32-bit row-hash lanes.  The default
@@ -71,6 +73,101 @@ def apply_i_pow(k: jnp.ndarray, re: jnp.ndarray, im: jnp.ndarray):
     return out_re, out_im
 
 
+# ---------------------------------------------------------------------------
+# coefficient-lane abstraction
+#
+# A coefficient plane arrives as either a 1-D float array (plain f32/f64) or
+# a (..., 2) array of double-float [hi, lo] pairs (see jx_df).  Internally
+# every kernel works on a flat tuple of float lanes -- (re, im) plain, or
+# (re_h, re_l, im_h, im_l) double-float -- with the helpers below; the shape
+# switch happens at trace time, so one jitted entry point serves both
+# precisions.
+# ---------------------------------------------------------------------------
+
+def c_lanes(cr, ci):
+    """Normalise (cr, ci) planes to (lane tuple, is_double_float)."""
+    if cr.ndim >= 2 and cr.shape[-1] == 2:
+        return (cr[..., 0], cr[..., 1], ci[..., 0], ci[..., 1]), True
+    return (cr, ci), False
+
+
+def c_pack(c, df):
+    """Lane tuple -> (cr, ci) planes in the caller's layout."""
+    if df:
+        return jnp.stack([c[0], c[1]], -1), jnp.stack([c[2], c[3]], -1)
+    return c[0], c[1]
+
+
+def c_add(a, b, df):
+    if df:
+        rh, rl = jx_df.df_add(a[0], a[1], b[0], b[1])
+        ih, il = jx_df.df_add(a[2], a[3], b[2], b[3])
+        return (rh, rl, ih, il)
+    return (a[0] + b[0], a[1] + b[1])
+
+
+def c_mul(a, b, df):
+    """Complex product of lane tuples (broadcasting)."""
+    if df:
+        p1 = jx_df.df_mul(a[0], a[1], b[0], b[1])
+        p2 = jx_df.df_mul(a[2], a[3], b[2], b[3])
+        p3 = jx_df.df_mul(a[0], a[1], b[2], b[3])
+        p4 = jx_df.df_mul(a[2], a[3], b[0], b[1])
+        rr = jx_df.df_sub(*p1, *p2)
+        ii = jx_df.df_add(*p3, *p4)
+        return (rr[0], rr[1], ii[0], ii[1])
+    return (a[0] * b[0] - a[1] * b[1], a[0] * b[1] + a[1] * b[0])
+
+
+def c_scale_exact(c, s):
+    """Multiply by an EXACT factor (+-1, 0, powers of two): lanewise, lossless."""
+    return tuple(l * s for l in c)
+
+
+def c_scale_df(c, sv, df):
+    """Multiply by a real scalar given as () plain or (2,) double-float."""
+    if df:
+        sh, sl = sv[0], sv[1]
+        rr = jx_df.df_mul(c[0], c[1], sh, sl)
+        ii = jx_df.df_mul(c[2], c[3], sh, sl)
+        return (rr[0], rr[1], ii[0], ii[1])
+    return tuple(l * sv for l in c)
+
+
+def c_ipow(k, c, df):
+    """Multiply by i^k -- exact lane swaps/negations."""
+    if df:
+        rh, ih = apply_i_pow(k, c[0], c[2])
+        rl, il = apply_i_pow(k, c[1], c[3])
+        return (rh, rl, ih, il)
+    r, i = apply_i_pow(k, c[0], c[1])
+    return (r, i)
+
+
+def c_where(pred, a, b):
+    return tuple(jnp.where(pred, x, y) for x, y in zip(a, b))
+
+
+def c_zeros(c):
+    return tuple(jnp.zeros_like(l) for l in c)
+
+
+def c_mag2_hi(c, df):
+    """|c|^2 at working (single-word) precision -- for threshold compares."""
+    if df:
+        re = c[0] + c[1]
+        im = c[2] + c[3]
+        return re * re + im * im
+    return c[0] * c[0] + c[1] * c[1]
+
+
+def _wmask(pred, a, b):
+    """jnp.where with the predicate broadcast over a trailing [hi, lo] axis."""
+    if a.ndim > pred.ndim:
+        pred = pred[..., None]
+    return jnp.where(pred, a, b)
+
+
 def mul_pairs(x1, z1, cr1, ci1, x2, z2, cr2, ci2):
     """All-pairs product: returns (x, z, cr, ci) with rows ordered i*M2+j."""
     M1, W = x1.shape
@@ -79,18 +176,17 @@ def mul_pairs(x1, z1, cr1, ci1, x2, z2, cr2, ci2):
     zo = z1[:, None, :] ^ z2[None, :, :]
     y_in = y_count(x1, z1)[:, None] + y_count(x2, z2)[None, :]
     y_out = jnp.sum(pc(xo & zo), axis=-1)
-    sign = (1 - 2 * (jnp.sum(pc(x1[:, None, :] & z2[None, :, :]), axis=-1) & 1)).astype(cr1.dtype)
+    c1, df = c_lanes(cr1, ci1)
+    c2, df2 = c_lanes(cr2, ci2)
+    assert df == df2, "mixed-precision operands"
+    sign = (1 - 2 * (jnp.sum(pc(x1[:, None, :] & z2[None, :, :]), axis=-1) & 1)).astype(c1[0].dtype)
     # c1 * c2 (outer), then * sign * i^(3 y_in + y_out)
-    pr = cr1[:, None] * cr2[None, :] - ci1[:, None] * ci2[None, :]
-    pi = cr1[:, None] * ci2[None, :] + ci1[:, None] * cr2[None, :]
-    pr, pi = pr * sign, pi * sign
-    pr, pi = apply_i_pow(3 * y_in + y_out, pr, pi)
-    return (
-        xo.reshape(M1 * M2, W),
-        zo.reshape(M1 * M2, W),
-        pr.reshape(M1 * M2),
-        pi.reshape(M1 * M2),
-    )
+    p = c_mul(tuple(l[:, None] for l in c1), tuple(l[None, :] for l in c2), df)
+    p = c_scale_exact(p, sign)
+    p = c_ipow(3 * y_in + y_out, p, df)
+    p = tuple(l.reshape(M1 * M2) for l in p)
+    pr, pi = c_pack(p, df)
+    return xo.reshape(M1 * M2, W), zo.reshape(M1 * M2, W), pr, pi
 
 
 def mul_single(x, z, cr, ci, xr, zr):
@@ -99,8 +195,10 @@ def mul_single(x, z, cr, ci, xr, zr):
     zo = z ^ zr[None, :]
     y_in = y_count(x, z) + y_count(xr[None, :], zr[None, :])[0]
     y_out = y_count(xo, zo)
-    sign = (1 - 2 * parity_and(x, zr[None, :])).astype(cr.dtype)
-    pr, pi = apply_i_pow(3 * y_in + y_out, cr * sign, ci * sign)
+    c, df = c_lanes(cr, ci)
+    sign = (1 - 2 * parity_and(x, zr[None, :])).astype(c[0].dtype)
+    p = c_ipow(3 * y_in + y_out, c_scale_exact(c, sign), df)
+    pr, pi = c_pack(p, df)
     return xo, zo, pr, pi
 
 
@@ -144,11 +242,13 @@ def effective_threshold(th, cr, ci, rel_floor):
     at a small multiple of the largest input magnitude makes the f32 device
     path drop cancellation residue with the same *intent* as the reference's
     absolute cut (symmer operators/utils.py:271-279).  ``rel_floor`` is 0 on
-    the f64 path, where the absolute threshold is already meaningful.
+    the f64 path; the double-float path uses a much smaller floor
+    (~u_df^2 residue, config.extended_threshold_rel_floor).
     """
     if rel_floor is None:
         return th
-    m2 = jnp.max(cr * cr + ci * ci)
+    c, df = c_lanes(cr, ci)
+    m2 = jnp.max(c_mag2_hi(c, df))
     return jnp.maximum(th, rel_floor * jnp.sqrt(m2))
 
 
@@ -186,8 +286,8 @@ def cleanup_sorted(
     if zero_threshold is not None and rel_floor is not None:
         valid_c = jnp.arange(x.shape[0]) < n_valid
         zero_threshold = effective_threshold(
-            zero_threshold, jnp.where(valid_c, cr, 0), jnp.where(valid_c, ci, 0),
-            rel_floor,
+            zero_threshold, _wmask(valid_c, cr, jnp.zeros_like(cr)),
+            _wmask(valid_c, ci, jnp.zeros_like(ci)), rel_floor,
         )
     T, W = x.shape
     valid = jnp.arange(T) < n_valid
@@ -195,6 +295,10 @@ def cleanup_sorted(
     idx = jnp.arange(T)
 
     if exact:
+        assert cr.ndim == 1, (
+            "exact_cleanup_keys is not supported with double-float "
+            "coefficient planes (use the default hash-signature cleanup)"
+        )
         h1, h2 = row_hashes(x, z)
         perm = jnp.lexsort((h2, h1, invalid_flag))
         xs, zs = x[perm], z[perm]
@@ -260,29 +364,30 @@ def cleanup_sorted(
     )
 
 
-def _segmented_inclusive_sum(cr, ci, seg_start):
-    """Inclusive segmented sum of (cr, ci): each row accumulates its segment
-    up to itself, so segment LAST rows carry the totals.
+def _segmented_inclusive_sum(c, seg_start, df):
+    """Inclusive segmented sum of coefficient lanes: each row accumulates its
+    segment up to itself, so segment LAST rows carry the totals.
 
     Hand-rolled Hillis-Steele: log2(T) rounds of shift-by-2^k masked adds.
     ``lax.associative_scan`` computes the same thing but costs 2.25x more on
     TPU (0.90 vs 0.40 ms at 2^18 rows) -- its generic combinator machinery
     emits slice/concat pairs per level that XLA does not fuse away.  The
     segmented form never SUBTRACTS, so segments summing to ~0 (exactly the
-    rows the zero threshold must drop) lose no precision to cancellation.
+    rows the zero threshold must drop) lose no precision to cancellation;
+    in double-float mode the adds are compensated (jx_df.df_add).
     """
-    T = cr.shape[0]
-    r, i, f = cr, ci, seg_start
+    T = c[0].shape[0]
+    f = seg_start
     d = 1
     while d < T:
-        rs = jnp.concatenate([jnp.zeros(d, r.dtype), r[:-d]])
-        is_ = jnp.concatenate([jnp.zeros(d, i.dtype), i[:-d]])
+        shifted = tuple(
+            jnp.concatenate([jnp.zeros(d, l.dtype), l[:-d]]) for l in c
+        )
         fs = jnp.concatenate([jnp.ones(d, bool), f[:-d]])
-        r = jnp.where(f, r, r + rs)
-        i = jnp.where(f, i, i + is_)
+        c = c_where(f, c, c_add(c, shifted, df))
         f = f | fs
         d *= 2
-    return r, i
+    return c
 
 
 def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
@@ -293,26 +398,33 @@ def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
     representative rows; passing an index-reconstructing closure (e.g. XOR of
     two factor rows for an all-pairs product) means the full product planes
     never need to exist in HBM at all.
+
+    ``cr, ci`` may be plain 1-D planes or (T, 2) double-float [hi, lo] pairs;
+    every coefficient lane rides the sorts as bitcast integer values and the
+    segment sums run at the lane tuple's precision.
     """
+    c_in, df = c_lanes(cr, ci)
     h1, h2, h3, h4 = hs
     T = h1.shape[0]
     idx = jnp.arange(T)
-    ubits = jnp.uint64 if cr.dtype.itemsize == 8 else UINT
+    fdt = c_in[0].dtype
+    ubits = jnp.uint64 if fdt.itemsize == 8 else UINT
     fbits = lambda f: lax.bitcast_convert_type(f, ubits)
-    funbits = lambda u: lax.bitcast_convert_type(u, cr.dtype)
-    invs, h1s, h2s, h3s, h4s, perm_u, crb, cib = lax.sort(
-        (
-            invalid_flag, h1, h2, h3, h4,
-            idx.astype(UINT), fbits(cr), fbits(ci),
-        ),
+    funbits = lambda u: lax.bitcast_convert_type(u, fdt)
+    sorted_all = lax.sort(
+        (invalid_flag, h1, h2, h3, h4, idx.astype(UINT))
+        + tuple(fbits(l) for l in c_in),
         num_keys=5,
     )
+    invs, h1s, h2s, h3s, h4s, perm_u = sorted_all[:6]
     perm = perm_u.astype(jnp.int32)
     vs = invs == 0
-    crs = jnp.where(vs, funbits(crb), 0)
-    cis = jnp.where(vs, funbits(cib), 0)
+    cs = c_where(vs, tuple(funbits(b) for b in sorted_all[6:]),
+                 c_zeros(c_in))
     if zero_threshold is not None and rel_floor is not None:
-        zero_threshold = effective_threshold(zero_threshold, crs, cis, rel_floor)
+        zero_threshold = effective_threshold(
+            zero_threshold, *c_pack(cs, df), rel_floor
+        )
     same_as_prev = jnp.concatenate([
         jnp.array([False]),
         (h1s[1:] == h1s[:-1]) & (h2s[1:] == h2s[:-1])
@@ -325,12 +437,12 @@ def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
     # rows computes the same thing but costs ~8 ms at 2^18 rows on TPU --
     # the scan costs ~0.4 ms.
     seg_start = ~same_as_prev
-    tot_r, tot_i = _segmented_inclusive_sum(crs, cis, seg_start)
+    tot = _segmented_inclusive_sum(cs, seg_start, df)
     is_last = jnp.concatenate([~same_as_prev[1:], jnp.array([True])]) & vs
 
     if zero_threshold is not None:
         is_out = is_last & (
-            tot_r * tot_r + tot_i * tot_i > zero_threshold * zero_threshold
+            c_mag2_hi(tot, df) > zero_threshold * zero_threshold
         )
     else:
         is_out = is_last
@@ -343,15 +455,16 @@ def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
     # costs ~2.7 ms at 2^18 rows while the sort costs ~0.9 ms (measured on
     # v5e; the scatter lowers to serialised row DMAs, the sort stays vector).
     key = jnp.where(is_out, idx.astype(UINT), UINT(0xFFFFFFFF))
-    _, perm_c, cr_b, ci_b = lax.sort(
-        (key, perm.astype(UINT), fbits(tot_r), fbits(tot_i)), num_keys=1
+    sorted_c = lax.sort(
+        (key, perm.astype(UINT)) + tuple(fbits(l) for l in tot), num_keys=1
     )
-    out_orig = perm_c.astype(jnp.int32)
+    out_orig = sorted_c[1].astype(jnp.int32)
     x_rows, z_rows = row_source(out_orig)
     x_o = jnp.where(final[:, None], x_rows, 0)
     z_o = jnp.where(final[:, None], z_rows, 0)
-    cr_o = jnp.where(final, funbits(cr_b), 0)
-    ci_o = jnp.where(final, funbits(ci_b), 0)
+    c_out = c_where(final, tuple(funbits(b) for b in sorted_c[2:]),
+                    c_zeros(c_in))
+    cr_o, ci_o = c_pack(c_out, df)
     return x_o, z_o, cr_o, ci_o, n_out
 
 
@@ -374,20 +487,22 @@ def mul_pairs_cleanup(x1, z1, cr1, ci1, x2, z2, cr2, ci2, zero_threshold=None,
     hs = row_hashes(xo.reshape(T, W), zo.reshape(T, W), lanes=4)
     y_in = y_count(x1, z1)[:, None] + y_count(x2, z2)[None, :]
     y_out = jnp.sum(pc(xo & zo), axis=-1)
+    c1, df = c_lanes(cr1, ci1)
+    c2, _ = c_lanes(cr2, ci2)
     sign = (
         1 - 2 * (jnp.sum(pc(x1[:, None, :] & z2[None, :, :]), axis=-1) & 1)
-    ).astype(cr1.dtype)
-    pr = cr1[:, None] * cr2[None, :] - ci1[:, None] * ci2[None, :]
-    pi = cr1[:, None] * ci2[None, :] + ci1[:, None] * cr2[None, :]
-    pr, pi = pr * sign, pi * sign
-    pr, pi = apply_i_pow(3 * y_in + y_out, pr, pi)
+    ).astype(c1[0].dtype)
+    p = c_mul(tuple(l[:, None] for l in c1), tuple(l[None, :] for l in c2), df)
+    p = c_scale_exact(p, sign)
+    p = c_ipow(3 * y_in + y_out, p, df)
+    pr, pi = c_pack(tuple(l.reshape(T) for l in p), df)
 
     def row_source(orig):
         i, j = orig // T2, orig % T2
         return x1[i] ^ x2[j], z1[i] ^ z2[j]
 
     return _cleanup_from_hashes(
-        hs, pr.reshape(T), pi.reshape(T), jnp.zeros(T, UINT),
+        hs, pr, pi, jnp.zeros(T, UINT),
         zero_threshold, row_source, rel_floor=rel_floor,
     )
 
@@ -431,7 +546,8 @@ def clifford_scan(x, z, cr, ci, rx, rz, rm):
         ac = anticommutes_single(x, z, xr, zr)
         m4 = m % 4
         xm, zm, mr, mi = mul_single(x, z, cr, ci, xr, zr)
-        # phase: m4==1 -> -i * (PQ product); m4==3 -> +i
+        # phase: m4==1 -> -i * (PQ product); m4==3 -> +i  (exact lane swaps;
+        # mr/mi may carry a trailing [hi, lo] axis in double-float mode)
         pr1, pi1 = mi, -mr     # -i * (mr + i mi)
         pr3, pi3 = -mi, mr     # +i * (mr + i mi)
         swap = ac & ((m4 == 1) | (m4 == 3))
@@ -441,8 +557,9 @@ def clifford_scan(x, z, cr, ci, rx, rz, rm):
         sel_i = jnp.where(m4 == 1, pi1, pi3)
         keep_r = jnp.where(m4 == 2, -cr, cr)
         keep_i = jnp.where(m4 == 2, -ci, ci)
-        cr_new = jnp.where(ac, jnp.where((m4 == 1) | (m4 == 3), sel_r, keep_r), cr)
-        ci_new = jnp.where(ac, jnp.where((m4 == 1) | (m4 == 3), sel_i, keep_i), ci)
+        is_swap_phase = (m4 == 1) | (m4 == 3)
+        cr_new = _wmask(ac, jnp.where(is_swap_phase, sel_r, keep_r), cr)
+        ci_new = _wmask(ac, jnp.where(is_swap_phase, sel_i, keep_i), ci)
         return (x_new, z_new, cr_new, ci_new), None
 
     # unroll: at small term counts the per-step cost is scan dispatch latency,
@@ -451,32 +568,59 @@ def clifford_scan(x, z, cr, ci, rx, rz, rm):
     return x, z, cr, ci
 
 
-def rotate_nonclifford(x, z, cr, ci, xr, zr, angle):
+def _trig_values(angle, trig, fdt, df):
+    """cos/sin for the rotation: either precomputed (``trig``, host-split
+    double-float pairs in extended mode -- device f32 cos is only ~1e-7
+    accurate) or computed on device from ``angle`` (plain mode)."""
+    if trig is not None:
+        cos_v, sin_v = trig
+    else:
+        cos_v = jnp.cos(angle).astype(fdt)
+        sin_v = jnp.sin(angle).astype(fdt)
+        if df:
+            zero = jnp.zeros((), fdt)
+            cos_v = jnp.stack([cos_v, zero])
+            sin_v = jnp.stack([sin_v, zero])
+    return cos_v, sin_v
+
+
+def _rotate_nc_parts(x, z, cr, ci, xr, zr, angle, trig):
+    """Shared body: (anticommute mask, product planes, first/second lanes, df)."""
+    c, df = c_lanes(cr, ci)
+    ac = anticommutes_single(x, z, xr, zr)
+    xm, zm, mr, mi = mul_single(x, z, cr, ci, xr, zr)
+    c_m, _ = c_lanes(mr, mi)
+    cos_v, sin_v = _trig_values(angle, trig, c[0].dtype, df)
+    first = c_where(ac, c_scale_df(c, cos_v, df), c)
+    # -i sin(t) * (mr + i mi): i^3 swap (exact) then scale by sin
+    second = c_where(
+        ac, c_scale_df(c_ipow(3, c_m, df), sin_v, df), c_zeros(c_m)
+    )
+    return ac, xm, zm, first, second, df
+
+
+def rotate_nonclifford(x, z, cr, ci, xr, zr, angle, trig=None):
     """Non-Clifford rotation producing 2T rows: [orig terms, PQ terms].
 
     Commuting terms keep coefficient in the first copy (second copy zeroed);
     anticommuting terms split cos(t)/-i sin(t) across the copies.  Compose with
     cleanup_sorted.
     """
-    ac = anticommutes_single(x, z, xr, zr)
-    xm, zm, mr, mi = mul_single(x, z, cr, ci, xr, zr)
-    cos_t = jnp.cos(angle).astype(cr.dtype)
-    sin_t = jnp.sin(angle).astype(cr.dtype)
-    first_r = jnp.where(ac, cr * cos_t, cr)
-    first_i = jnp.where(ac, ci * cos_t, ci)
-    # -i sin(t) * (mr + i mi) = sin(t) * (mi - i mr)
-    second_r = jnp.where(ac, mi * sin_t, 0)
-    second_i = jnp.where(ac, -mr * sin_t, 0)
+    _, xm, zm, first, second, df = _rotate_nc_parts(
+        x, z, cr, ci, xr, zr, angle, trig
+    )
+    both = tuple(jnp.concatenate([a, b]) for a, b in zip(first, second))
+    cr_o, ci_o = c_pack(both, df)
     return (
         jnp.concatenate([x, xm], axis=0),
         jnp.concatenate([z, zm], axis=0),
-        jnp.concatenate([first_r, second_r], axis=0),
-        jnp.concatenate([first_i, second_i], axis=0),
+        cr_o,
+        ci_o,
     )
 
 
 def rotate_nonclifford_cleanup(x, z, cr, ci, xr, zr, angle, n_valid, zero_threshold,
-                               rel_floor=None):
+                               rel_floor=None, trig=None):
     """Fused non-Clifford rotation + cleanup: the doubled row set is never
     materialised in HBM.
 
@@ -487,20 +631,14 @@ def rotate_nonclifford_cleanup(x, z, cr, ci, xr, zr, angle, n_valid, zero_thresh
     followed by cleanup_sorted.
     """
     T, W = x.shape
-    ac = anticommutes_single(x, z, xr, zr)
-    xm, zm, mr, mi = mul_single(x, z, cr, ci, xr, zr)
-    cos_t = jnp.cos(angle).astype(cr.dtype)
-    sin_t = jnp.sin(angle).astype(cr.dtype)
-    first_r = jnp.where(ac, cr * cos_t, cr)
-    first_i = jnp.where(ac, ci * cos_t, ci)
-    second_r = jnp.where(ac, mi * sin_t, 0)
-    second_i = jnp.where(ac, -mr * sin_t, 0)
-
+    _, xm, zm, first, second, df = _rotate_nc_parts(
+        x, z, cr, ci, xr, zr, angle, trig
+    )
     h_first = row_hashes(x, z, lanes=4)
     h_second = row_hashes(x ^ xr[None, :], z ^ zr[None, :], lanes=4)
     hs = tuple(jnp.concatenate([a, b]) for a, b in zip(h_first, h_second))
-    crs = jnp.concatenate([first_r, second_r])
-    cis = jnp.concatenate([first_i, second_i])
+    both = tuple(jnp.concatenate([a, b]) for a, b in zip(first, second))
+    crs, cis = c_pack(both, df)
     invalid_flag = (
         ~jnp.concatenate([jnp.arange(T) < n_valid] * 2)
     ).astype(UINT)
@@ -554,16 +692,17 @@ def clifford_project_cleanup(
     T, W = x.shape
     if rx.shape[0]:
         x, z, cr, ci = clifford_scan(x, z, cr, ci, rx, rz, rm)
+    c, df = c_lanes(cr, ci)
     # drop terms anticommuting with any rotated stabilizer
     keep = ~jnp.any(anticommutes(x, z, stab_x, stab_z), axis=1)
     # eigenvalue sign flips: each stabilizer tests ONE symplectic bit of the
     # term; the product of -1 assignments is a parity over the OR'd masks
     flip = (
         1 - 2 * ((parity_and(x, neg_x[None, :]) + parity_and(z, neg_z[None, :])) & 1)
-    ).astype(cr.dtype)
+    ).astype(c[0].dtype)
     live = keep & (jnp.arange(T) < n_valid)
     w = jnp.where(live, flip, 0)
-    cr2, ci2 = cr * w, ci * w
+    cr2, ci2 = c_pack(c_scale_exact(c, w), df)
     xm = x & col_keep[None, :]
     zm = z & col_keep[None, :]
     hs = row_hashes(xm, zm, lanes=4)
@@ -620,11 +759,15 @@ def expval_iz_sum(x, cr, ci, n_valid):
 
     This is <0...0| O |0...0> and the final reduction of the Clifford
     simulator (cf. symmer circuit_symmerlator.py:158-166).
-    Returns (re, im).
+    Returns (re, im) -- scalars in plain mode, (2,) double-float pairs in
+    extended mode (compensated tree reduction, jx_df.df_sum).
     """
     T = x.shape[0]
     is_diag = jnp.all(x == 0, axis=1) & (jnp.arange(T) < n_valid)
-    return (
-        jnp.sum(jnp.where(is_diag, cr, 0)),
-        jnp.sum(jnp.where(is_diag, ci, 0)),
-    )
+    c, df = c_lanes(cr, ci)
+    c = c_where(is_diag, c, c_zeros(c))
+    if df:
+        re = jx_df.df_sum(c[0], c[1])
+        im = jx_df.df_sum(c[2], c[3])
+        return jnp.stack(re), jnp.stack(im)
+    return jnp.sum(c[0]), jnp.sum(c[1])

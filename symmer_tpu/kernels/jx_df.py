@@ -1,0 +1,132 @@
+"""Double-float ("double-word") arithmetic for TPU coefficient planes.
+
+TPU has no native float64 (XLA rewrites 64-bit element types to 32-bit
+pairs), yet BASELINE.md demands 1e-10 energy parity ON the chip.  The
+TPU-native answer is error-free transformations: every coefficient is carried
+as an unevaluated sum hi + lo of two float32s (~49 effective mantissa bits,
+unit roundoff ~2^-48 ≈ 3.6e-15), and the kernels use the classical
+TwoSum / Veltkamp-split / TwoProd algorithms (Dekker 1971, Knuth TAOCP v2) so
+no information is lost to cancellation.  All operations are branch-free
+elementwise float ops -- pure VPU work, ~4x the flops of plain f32 on kernels
+that are HBM-bandwidth-bound anyway.
+
+Layout convention at the kernel boundary: a double-float plane has a trailing
+axis of length 2, ``a[..., 0] = hi``, ``a[..., 1] = lo``; plain planes are
+1-D.  Kernels switch on ``ndim`` at trace time (static shapes), so the same
+jitted entry points serve both precisions.
+
+The error-free property requires IEEE-faithful f32 add/sub/mul, which the TPU
+VPU provides; XLA's default algebraic simplifier does not reassociate floats,
+so the transformations survive compilation (validated on hardware by
+``bench.py --check`` at 1e-12 tolerance).
+
+Reference bar: f64 coefficient semantics of symmer ``operators/base.py:64-74``.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def two_sum(a, b):
+    """Error-free a + b = s + e (Knuth-Moller, 6 flops, no branch)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """Error-free a + b = s + e, REQUIRES |a| >= |b| (or a == 0)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+def _split_factor(dtype):
+    # Veltkamp: 2^ceil(p/2) + 1 with p the mantissa width (f32: 24 -> 2^12+1)
+    return 4097.0 if jnp.dtype(dtype).itemsize == 4 else 134217729.0
+
+
+def split(a):
+    """Veltkamp split: a = hi + lo with hi, lo each on half the mantissa."""
+    c = a * jnp.asarray(_split_factor(a.dtype), a.dtype)
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Error-free a * b = p + e via Dekker splitting (no FMA required)."""
+    p = a * b
+    ah, al = split(a)
+    bh, bl = split(b)
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def df_add(ah, al, bh, bl):
+    """(ah+al) + (bh+bl) -> renormalised (h, l).
+
+    Accurate variant (Joldes-Muller-Popescu AccurateDWPlusDW, 20 flops):
+    relative error <= 3u^2 EVEN under catastrophic cancellation -- the sloppy
+    11-flop variant loses the low-order sum bits and degrades to ~u^2 |a|+|b|
+    absolute, which breaks the cleanup's cancellation detection."""
+    sh, se = two_sum(ah, bh)
+    th, te = two_sum(al, bl)
+    c = se + th
+    vh, vl = fast_two_sum(sh, c)
+    w = te + vl
+    return fast_two_sum(vh, w)
+
+
+def df_neg(ah, al):
+    return -ah, -al
+
+
+def df_sub(ah, al, bh, bl):
+    return df_add(ah, al, -bh, -bl)
+
+
+def df_mul(ah, al, bh, bl):
+    """(ah+al) * (bh+bl) -> renormalised (h, l)."""
+    ph, pe = two_prod(ah, bh)
+    pe = pe + (ah * bl + al * bh)
+    return fast_two_sum(ph, pe)
+
+
+def df_sum(lanes_h, lanes_l):
+    """Accurate reduction of a df vector: pairwise tree of df adds.
+
+    jnp.sum on the hi lane alone accumulates O(n eps32) error; the tree keeps
+    the compensated representation at every level (log2(n) rounds).
+    """
+    h, l = lanes_h, lanes_l
+    n = h.shape[0]
+    while n > 1:
+        half = (n + 1) // 2
+        pad = half * 2 - n
+        if pad:
+            h = jnp.concatenate([h, jnp.zeros(pad, h.dtype)])
+            l = jnp.concatenate([l, jnp.zeros(pad, l.dtype)])
+        h, l = df_add(h[:half], l[:half], h[half:], l[half:])
+        n = half
+    return h[0], l[0]
+
+
+# ---------------------------------------------------------------------------
+# host-side conversions (numpy)
+# ---------------------------------------------------------------------------
+
+def host_split_f64(x):
+    """float64 host array -> (hi, lo) float32 pair representing it exactly
+    to ~2^-48 relative (numpy)."""
+    import numpy as np
+
+    hi = np.asarray(x, np.float64).astype(np.float32)
+    lo = (np.asarray(x, np.float64) - hi.astype(np.float64)).astype(np.float32)
+    return hi, lo
+
+
+def host_merge_f64(hi, lo):
+    import numpy as np
+
+    return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)

@@ -312,8 +312,10 @@ def _effective_host_threshold(zero_threshold, *coeff_vecs) -> float:
 
     Keep the floor rule in lockstep with jx_core.effective_threshold --
     a change applied to only one of the two desynchronizes the sharded and
-    single-device cleanup semantics."""
-    fl = float(_rel_floor())
+    single-device cleanup semantics.  The sharded drivers run PLAIN
+    coefficient planes (df=False) until the exchange kernels learn the
+    double-float layout."""
+    fl = float(_rel_floor(df=False))
     if fl == 0.0 or zero_threshold is None:
         return zero_threshold if zero_threshold is not None else 0.0
     m = max(float(np.max(np.abs(cv))) if len(cv) else 0.0 for cv in coeff_vecs)
