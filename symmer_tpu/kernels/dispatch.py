@@ -536,8 +536,18 @@ def clifford_rotate_project(
     """
     import jax.numpy as jnp
 
-    kernel_stats.record("clifford_rotate_project", device=True)
     T, W64 = x.shape
+    if config.mesh is not None and T >= config.mesh_threshold:
+        from ..parallel import sharded
+
+        out = sharded.clifford_rotate_project(
+            x, z, c, rotations, stab_x, stab_z, stab_signs,
+            free_qubit_mask, zero_threshold, config.mesh,
+        )
+        if out is not None:
+            kernel_stats.record("clifford_rotate_project", device=True, mesh=True)
+            return out
+    kernel_stats.record("clifford_rotate_project", device=True)
     Tp = _next_bucket(T)
     dt = _coeff_dtype()
     rxs, rzs, ms = [], [], []

@@ -327,6 +327,81 @@ def _rotate_nc_jit(mesh: Mesh, axis_name: str, n_rounds: int):
     )
 
 
+def _local_clifford_project(x, z, cr, ci, n_local, rx, rz, rm,
+                            stab_x, stab_z, neg_x, neg_z, col_keep, zt,
+                            n_rounds, axis_name):
+    """Per-shard body of the distributed fused projection: Clifford scan +
+    stabilizer filter + eigenvalue sign flips + column masking + local merge
+    (threshold-free -- a term's coefficient can be split across shards), then
+    the hash-routed exchange applies the threshold once every duplicate is
+    co-resident.  One scatter in, one gather out for the whole flagship
+    projection (reference projection/base.py:44-124 runs these as separate
+    host passes)."""
+    n_local = n_local[0]
+    xo, zo, cro, cio, n = jx_core.clifford_project_cleanup(
+        x, z, cr, ci, n_local, rx, rz, rm,
+        stab_x, stab_z, neg_x, neg_z, col_keep, None,
+    )
+    xo, zo, cro, cio, n_out, ovf = exchange_merge(
+        xo, zo, cro, cio, n, n_rounds, zt, axis_name
+    )
+    return xo, zo, cro, cio, n_out[None], ovf[None]
+
+
+@lru_cache(maxsize=None)
+def _clifford_project_jit(mesh: Mesh, axis_name: str, n_rounds: int):
+    spec_rows = P(axis_name, None)
+    spec_vec = P(axis_name)
+    return jax.jit(
+        jax.shard_map(
+            partial(_local_clifford_project, n_rounds=n_rounds,
+                    axis_name=axis_name),
+            mesh=mesh,
+            in_specs=(spec_rows, spec_rows, spec_vec, spec_vec, spec_vec,
+                      P(), P(), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=(spec_rows, spec_rows, spec_vec, spec_vec,
+                       spec_vec, spec_vec),
+        )
+    )
+
+
+def distributed_clifford_project(
+    x, z, cr, ci, n_valid_per_shard,
+    rx, rz, rm, stab_x, stab_z, neg_x, neg_z, col_keep,
+    mesh: Mesh, zero_threshold, capacity_factor: int = 2,
+    axis_name: str = "terms",
+):
+    """Fused stabilizer-subspace projection with the term axis sharded.
+
+    Same argument semantics as jx_core.clifford_project_cleanup, with the
+    operator planes sharded over ``mesh`` (x row count divisible by the mesh
+    size; per-shard buffers padded to ``capacity_factor`` x the shard size by
+    the caller).  Returns the usual sharded sextet incl. overflow flags.
+    """
+    n_dev = mesh.devices.size
+    if n_dev & (n_dev - 1):
+        raise ValueError(f"mesh size must be a power of two, got {n_dev}")
+    n_rounds = n_dev.bit_length() - 1
+    T = x.shape[0]
+    if T % n_dev:
+        raise ValueError(f"term axis {T} not divisible by mesh size {n_dev}")
+    fn = _clifford_project_jit(mesh, axis_name, n_rounds)
+    sh_rows = NamedSharding(mesh, P(axis_name, None))
+    sh_vec = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    zt = jnp.asarray(zero_threshold, cr.dtype)
+    return fn(
+        jax.device_put(x, sh_rows), jax.device_put(z, sh_rows),
+        jax.device_put(cr, sh_vec), jax.device_put(ci, sh_vec),
+        jax.device_put(jnp.asarray(n_valid_per_shard, jnp.int32), sh_vec),
+        jax.device_put(rx, repl), jax.device_put(rz, repl),
+        jax.device_put(rm, repl),
+        jax.device_put(stab_x, repl), jax.device_put(stab_z, repl),
+        jax.device_put(neg_x, repl), jax.device_put(neg_z, repl),
+        jax.device_put(col_keep, repl), jax.device_put(zt, repl),
+    )
+
+
 def _local_clifford(x, z, cr, ci, rx, rz, rm):
     """Per-shard Clifford scan: purely term-parallel, no exchange needed
     (a Clifford rotation is a bijection on terms -- a duplicate-free sharded

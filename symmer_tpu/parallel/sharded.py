@@ -234,6 +234,71 @@ def perform_rotations(
     return _gather(xo, zo, cro, cio, ns_o)
 
 
+def clifford_rotate_project(
+    x, z, c,
+    rotations,
+    stab_x, stab_z, stab_signs,
+    free_qubit_mask: np.ndarray,
+    zero_threshold: float,
+    mesh, axis_name: str = "terms",
+) -> Optional[Planes]:
+    """Mesh-sharded fused flagship projection (taper / CS-VQE): Clifford
+    rotations + stabilizer filter + sign flips + column masking + cross-shard
+    merge in ONE scatter and ONE gather.  None -> caller falls back to the
+    single-device fused path (reference flow projection/base.py:44-124).
+    """
+    if not _usable(mesh):
+        return None
+    n_dev = int(mesh.devices.size)
+    T = x.shape[0]
+    Tp = -(-T // n_dev) * n_dev
+    L = Tp // n_dev
+
+    rxs, rzs, ms = [], [], []
+    for xr, zr, angle in rotations:
+        m = is_clifford_angle(angle)
+        assert m is not None, "sharded fused projection requires Clifford angles"
+        rxs.append(pack.to_u32(xr.reshape(1, -1))[0])
+        rzs.append(pack.to_u32(zr.reshape(1, -1))[0])
+        ms.append(m)
+    W32 = 2 * x.shape[1]
+    rx = np.asarray(rxs, np.uint32).reshape(len(rxs), W32)
+    rz = np.asarray(rzs, np.uint32).reshape(len(rzs), W32)
+    signs = np.real(np.asarray(stab_signs))
+    neg = signs < 0
+    W64 = x.shape[1]
+    neg_x = np.bitwise_or.reduce(stab_x[neg], axis=0) if neg.any() else np.zeros(W64, np.uint64)
+    neg_z = np.bitwise_or.reduce(stab_z[neg], axis=0) if neg.any() else np.zeros(W64, np.uint64)
+    col_keep = pack.pack_bits(free_qubit_mask.reshape(1, -1))[0]
+    row32 = lambda a: pack.to_u32(a.reshape(1, -1))[0]
+
+    th = _effective_host_threshold(zero_threshold, c)
+    ns = np.minimum(np.maximum(T - L * np.arange(n_dev), 0), L).astype(np.int32)
+    import jax.numpy as jnp
+
+    for capacity_factor in (2, 4):
+        C = capacity_factor * L
+        x32 = _interleave(pack.to_u32(_pad_rows(x, Tp)), n_dev, L, C)
+        z32 = _interleave(pack.to_u32(_pad_rows(z, Tp)), n_dev, L, C)
+        cr, ci = _split_c(_pad_rows(c, Tp))
+        cr = _interleave(cr, n_dev, L, C)
+        ci = _interleave(ci, n_dev, L, C)
+        xo, zo, cro, cio, ns_o, ovf = distributed.distributed_clifford_project(
+            jnp.asarray(x32), jnp.asarray(z32),
+            jnp.asarray(cr), jnp.asarray(ci), ns,
+            jnp.asarray(rx), jnp.asarray(rz),
+            jnp.asarray(np.asarray(ms, np.int32)),
+            jnp.asarray(pack.to_u32(stab_x)), jnp.asarray(pack.to_u32(stab_z)),
+            jnp.asarray(row32(neg_x)), jnp.asarray(row32(neg_z)),
+            jnp.asarray(row32(col_keep)),
+            mesh, zero_threshold=th, capacity_factor=capacity_factor,
+            axis_name=axis_name,
+        )
+        if not np.asarray(ovf).any():
+            return _gather(xo, zo, cro, cio, ns_o)
+    return None
+
+
 def expval(x, z, c, s_pack, amps, mesh, axis_name: str = "terms"):
     """Mesh-sharded <psi|O|psi>: term axis split across devices, one psum.
 

@@ -101,11 +101,10 @@ class S3Projection:
         """True when the one-round-trip device projection applies: a large
         operator, Clifford-only stabilizer rotations (always the case for
         tapering; CS-VQE applies its non-Clifford UP rotations before calling
-        here), at least one free qubit, and no term-sharding mesh configured
-        (the mesh path keeps its own exchange machinery)."""
+        here), and at least one free qubit.  Under ``use_mesh`` the dispatch
+        layer routes through the term-sharded fused projection
+        (parallel/distributed.distributed_clifford_project)."""
         if not config.use_device(operator.n_terms * operator.n_words):
-            return False
-        if config.mesh is not None and operator.n_terms >= config.mesh_threshold:
             return False
         if len(self.free_qubit_indices) == 0:
             return False

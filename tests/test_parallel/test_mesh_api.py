@@ -137,3 +137,33 @@ def test_mesh_sharded_expval_matches_single_device():
         config.mesh_threshold = old
     assert kernel_stats.mesh_calls["expval"] >= 1, "sharded expval not taken"
     assert abs(shard - single) < 1e-10 * max(abs(single), 1.0)
+
+
+def test_mesh_fused_taper_projection_parity():
+    """Full taper flow under use_mesh routes through the term-sharded fused
+    projection (distributed_clifford_project) and matches the single-device
+    result exactly (VERDICT r2 item 2)."""
+    from symmer_tpu import QubitTapering
+
+    rng = np.random.default_rng(9)
+    nq, T, n_sym = 32, 2000, 2
+    block = nq // n_sym
+    xb = rng.integers(0, 2, (T, nq)).astype(bool)
+    zb = rng.integers(0, 2, (T, nq)).astype(bool)
+    for k in range(n_sym):
+        parity = xb[:, k * block : (k + 1) * block].sum(axis=1) & 1
+        xb[parity == 1, k * block] ^= True
+    coeffs = (rng.integers(-8, 9, T) + 1j * rng.integers(-8, 9, T)).astype(complex)
+    H = PauliwordOp(np.hstack([xb, zb]), coeffs).cleanup()
+    ref = np.zeros(nq, dtype=int)
+
+    config.backend = "device"
+    single = QubitTapering(H).taper_it(ref_state=ref)
+    kernel_stats.reset()
+    with symmer_tpu.use_mesh():
+        shard = QubitTapering(H).taper_it(ref_state=ref)
+    config.backend = "auto"
+    assert kernel_stats.mesh_calls["clifford_rotate_project"] >= 1, (
+        "sharded fused projection not taken"
+    )
+    assert shard == single, "sharded fused projection != single-device"
