@@ -491,9 +491,126 @@ def sweep():
     }))
 
 
+def mesh_bench():
+    """Sharded-vs-single-device wall times on whatever mesh is reachable.
+
+    Runs the five sharded product paths (cleanup / square / rotations /
+    fused taper / nu-search) under ``symmer_tpu.use_mesh`` and reports each
+    next to its single-device time.  With one real chip today this measures
+    the virtual-CPU mesh (set ``XLA_FLAGS=--xla_force_host_platform_device_count=N
+    JAX_PLATFORMS=cpu``); the same command produces the multi-chip scaling
+    table the moment more devices are attached.
+    """
+    import jax
+
+    # honour JAX_PLATFORMS even if a sitecustomize hook pre-registered a TPU
+    # platform before this process saw the env var
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        try:
+            if jax.default_backend() != want.split(",")[0]:
+                jax.config.update("jax_platforms", want)
+                import jax.extend.backend as _jeb
+
+                _jeb.clear_backends()
+        except Exception:
+            pass
+
+    devs = jax.devices()
+    n_dev = 1 << (len(devs).bit_length() - 1)  # largest power of two
+    if n_dev < 2:
+        print(
+            "# only one device visible: run under JAX_PLATFORMS=cpu "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8 for a "
+            "virtual mesh, or attach more chips",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "mesh_bench_devices", "value": 1,
+            "unit": "devices", "vs_baseline": 0.0,
+        }))
+        return 0
+
+    import symmer_tpu
+    from symmer_tpu import PauliwordOp, QubitTapering
+    from symmer_tpu.config import config
+    from symmer_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh(n_dev)
+    print(
+        f"# mesh bench: {n_dev} x {devs[0].platform} devices", file=sys.stderr
+    )
+    rng = np.random.default_rng(0)
+    config.mesh_threshold = 1024
+
+    def timed(fn):
+        fn()  # warm / compile
+        t0 = time.perf_counter()
+        fn()
+        return (time.perf_counter() - t0) * 1e3
+
+    rows = {}
+
+    def both(name, fn):
+        config.backend = "device"
+        t_single = timed(fn)
+        with symmer_tpu.use_mesh(mesh):
+            t_mesh = timed(fn)
+        config.backend = "auto"
+        rows[name] = (t_single, t_mesh)
+        print(
+            f"# {name}: single {t_single:.1f} ms | mesh[{n_dev}] {t_mesh:.1f} ms",
+            file=sys.stderr,
+        )
+
+    def dup_heavy(nq, T, n_distinct):
+        base = PauliwordOp.random(nq, n_distinct, density=0.5)
+        idx = rng.integers(0, base.n_terms, T)
+        c = rng.normal(size=T) + 1j * rng.normal(size=T)
+        return PauliwordOp.from_planes(base.x_pack[idx], base.z_pack[idx], c, nq)
+
+    big = dup_heavy(128, 1 << 18, 1 << 16)
+    both("cleanup_2e18", lambda: big.cleanup())
+
+    H = dup_heavy(128, 1 << 9, 1 << 9)
+    both("square_2e9_terms", lambda: (H * H).cleanup())
+
+    op = dup_heavy(128, 1 << 14, 1 << 13)
+    rots = []
+    for k in range(6):
+        p = PauliwordOp.random(128, 1)
+        p.coeff_vec[:] = 1
+        rots.append((p, None if k % 2 else 0.25 + 0.1 * k))
+    both("rotations_2e14", lambda: op.perform_rotations(rots))
+
+    H_t = _synthetic_taper_operator(n_qubits=100, n_terms=50_000, n_sym=4, seed=0)
+    ref = np.zeros(H_t.n_qubits, dtype=int)
+    both("fused_taper_100q_50k", lambda: QubitTapering(H_t).taper_it(ref_state=ref))
+
+    from symmer_tpu.operators import NoncontextualOp
+    from symmer_tpu.operators.noncontextual_op import NoncontextualSolver
+
+    np.random.seed(1)
+    nc = NoncontextualOp.random(10, n_cliques=2, n_commuting_terms=40)
+    solver = NoncontextualSolver(nc)
+    n_free = int(np.sum(~solver.fixed_ev_mask))
+    both("nu_search_brute_force", lambda: solver._brute_force_device(n_free))
+
+    speedups = [s / m for s, m in rows.values() if m > 0]
+    print(json.dumps({
+        "metric": "mesh_bench_median_speedup",
+        "value": round(float(np.median(speedups)), 3),
+        "unit": f"x_single_device_{n_dev}dev",
+        "vs_baseline": round(float(np.median(speedups)), 3),
+    }))
+    return 0
+
+
 if __name__ == "__main__":
     if "--check" in sys.argv:
         sys.exit(check())
     if "--sweep" in sys.argv:
         sys.exit(sweep())
+    if "--mesh" in sys.argv:
+        sys.exit(mesh_bench())
     main()

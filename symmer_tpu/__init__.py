@@ -7,6 +7,7 @@ __version__ = "0.1.0"
 
 from .config import config, enable_x64, use_mesh  # noqa: F401
 from .parallel import process  # noqa: F401
+from .parallel.mesh import distributed_init  # noqa: F401
 from .operators import PauliwordOp, QuantumState  # noqa: F401
 try:  # projection layer lands in M3
     from .projection import (  # noqa: F401

@@ -55,3 +55,61 @@ def mesh_context(n_devices: Optional[int] = None, axis_name: str = "terms"):
     mesh = get_mesh(n_devices, axis_name)
     with mesh:
         yield mesh
+
+
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> int:
+    """Initialise multi-host (DCN) execution; returns the global device count.
+
+    The multi-host analog of the reference's Ray/SLURM cluster recipe
+    (``/root/reference/docs/source/HPC.rst``): one Python process per host,
+    each seeing its local chips; after initialisation ``jax.devices()``
+    spans every host and ``symmer_tpu.use_mesh()`` builds the global mesh, so
+    the sharded kernels run unchanged with the exchange collectives riding
+    ICI within a slice and DCN across slices.
+
+    On managed TPU pods (GKE/queued resources) every argument is discovered
+    from the environment -- call ``symmer_tpu.distributed_init()`` with no
+    arguments at the top of the per-host script.  For manual clusters pass
+    ``coordinator_address='host0:8476'``, ``num_processes`` and
+    ``process_id`` explicitly (forwarded to ``jax.distributed.initialize``,
+    which this wraps).  Single-process environments (no coordinator, one
+    host) skip initialisation and return the local device count -- the call
+    is safe to leave in single-host scripts.
+    """
+    import jax
+
+    explicit = coordinator_address is not None or (num_processes or 1) > 1
+    if explicit or _multihost_env():
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+                **kwargs,
+            )
+        except Exception:
+            if explicit:
+                raise  # a requested cluster that cannot form is an error
+            # auto-detection found launcher-ish env vars but no usable
+            # coordinator: treat as single-process (safe no-op contract)
+    get_mesh.cache_clear()  # meshes must span the (possibly new) device set
+    return len(jax.devices())
+
+
+def _multihost_env() -> bool:
+    """True when a managed multi-host launcher's env is present."""
+    import os
+
+    return any(
+        os.environ.get(k)
+        for k in (
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+        )
+    )

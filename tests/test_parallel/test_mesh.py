@@ -113,3 +113,18 @@ def test_process_mp_backend():
     finally:
         process.method = "vectorised"
     assert out == [i * 2 + 7 for i in range(23)]
+
+
+def test_distributed_init_single_process_noop():
+    """distributed_init is a safe no-op without a coordinator: returns the
+    local device count and leaves use_mesh functional (docs/scaling.md)."""
+    import symmer_tpu
+
+    n = symmer_tpu.distributed_init()
+    import jax
+
+    assert n == len(jax.devices())
+    from symmer_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh()
+    assert int(mesh.devices.size) == n
