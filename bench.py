@@ -37,9 +37,12 @@ def _amortized_time(fn, fetch, K=10):
     device stream) and report the marginal per-op cost.
     """
     fetch(fn())  # warmup/compile
-    t0 = time.perf_counter()
-    fetch(fn())
-    t1 = time.perf_counter() - t0
+    t1 = None
+    for _ in range(2):  # min of two: a single noisy fetch skews the subtraction
+        t0 = time.perf_counter()
+        fetch(fn())
+        t = time.perf_counter() - t0
+        t1 = t if t1 is None else min(t1, t)
     t0 = time.perf_counter()
     out = None
     for _ in range(K):

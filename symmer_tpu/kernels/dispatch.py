@@ -198,6 +198,17 @@ def _merge_coeff_host(crh, cih) -> np.ndarray:
     return crh.astype(np.float64) + 1j * cih.astype(np.float64)
 
 
+def _scalar_from_dev(re, im) -> complex:
+    """Device scalar pair -> complex; (2,) arrays are double-float pairs."""
+    re = np.asarray(re)
+    im = np.asarray(im)
+    if re.ndim == 1:
+        return complex(
+            float(re[0]) + float(re[1]), float(im[0]) + float(im[1])
+        )
+    return complex(float(re), float(im))
+
+
 def _planes_from_dev(x, z, cr, ci, n_out: int) -> Planes:
     """Download result planes in ONE batched fetch.
 
@@ -238,7 +249,11 @@ def cleanup(x, z, c, zero_threshold: Optional[float]) -> Planes:
         )
         if out is not None:
             return out
-    if not config.use_device(T * W):
+    row_bytes = 16 * W + 16
+    if not config.use_device_io(
+        T * W / config.host_cleanup_rate,
+        up_bytes=T * row_bytes, down_bytes=T * row_bytes, n_syncs=2,
+    ):
         kernel_stats.record("cleanup", device=False)
         return np_core.cleanup(x, z, c, zero_threshold)
     kernel_stats.record("cleanup", device=True)
@@ -273,7 +288,14 @@ def multiply_cleanup(x1, z1, c1, x2, z2, c2, zero_threshold: Optional[float]) ->
         )
         if out is not None:
             return out
-    if not config.use_device(M1 * M2 * W):
+    row_bytes = 16 * W + 16
+    P = M1 * M2
+    if not config.use_device_io(
+        P * W / config.host_cleanup_rate,
+        up_bytes=(M1 + M2) * row_bytes,
+        down_bytes=P * row_bytes,  # upper bound (pre-dedup product rows)
+        n_syncs=2,
+    ):
         kernel_stats.record("multiply", device=False)
         out = np_core.multiply(x1, z1, c1, x2, z2, c2)
         return np_core.cleanup(*out, zero_threshold)
@@ -392,7 +414,20 @@ def perform_rotations(
         )
         if out is not None:
             return out
-    use_dev = config.use_device(T * W * max(1, len(rotations)) // 4)
+    # transport-aware: the sequence uploads the operator once and downloads
+    # the survivors once; each non-Clifford step adds a bucket-resize sync
+    R = max(1, len(rotations))
+    n_nc = sum(
+        1 for _, _, a in rotations if is_clifford_angle(a) is None
+    )
+    row_bytes = 16 * W + 16
+    host_s = (
+        R * T * W / config.host_rotate_rate + T * W / config.host_cleanup_rate
+    )
+    use_dev = config.use_device_io(
+        host_s, up_bytes=T * row_bytes, down_bytes=T * row_bytes,
+        n_syncs=2 + n_nc,
+    )
     kernel_stats.record("perform_rotations", device=use_dev)
     if not use_dev:
         for xr, zr, angle in rotations:
@@ -484,7 +519,10 @@ def is_noncontextual(x, z) -> Optional[bool]:
     # wins once the O(M^2) host adjacency work itself is the bottleneck
     # (an explicit backend='device' honors smaller operators)
     min_rows = 1024 if config.backend == "device" else 4096
-    if M < min_rows or not config.use_device(M * M * W // 8):
+    if M < min_rows or not config.use_device_io(
+        M * M * W / config.host_adjacency_rate,
+        up_bytes=M * (16 * W), down_bytes=8, n_syncs=2,
+    ):
         return None
     kernel_stats.record("is_noncontextual", device=True)
     xd, zd = _to_dev(x), _to_dev(z)
@@ -596,7 +634,11 @@ def expval(x, z, c, s_pack, amps) -> complex:
         if out is not None:
             kernel_stats.record("expval", device=True, mesh=True)
             return out
-    if not config.use_device(T * B * W):
+    row_bytes = 16 * W + 16
+    if not config.use_device_io(
+        T * B * W / config.host_cleanup_rate,
+        up_bytes=(T + B) * row_bytes, down_bytes=64, n_syncs=1,
+    ):
         kernel_stats.record("expval", device=False)
         return state_core.expval(x, z, c, s_pack, amps)
     kernel_stats.record("expval", device=True)
@@ -608,27 +650,25 @@ def expval(x, z, c, s_pack, amps) -> complex:
     max_elems = 1 << 25
     if T * B > max_elems:
         Tc = max(1, max_elems // max(B, 1))
-        ar, ai = _coeff_to_dev(amps, df=False)
+        ar, ai = _coeff_to_dev(amps)
         sd = _to_dev(s_pack)
         parts = []
         for t0 in range(0, T, Tc):
             t1 = min(T, t0 + Tc)
-            cr, ci = _coeff_to_dev(c[t0:t1], df=False)
+            cr, ci = _coeff_to_dev(c[t0:t1])
             parts.append(_jitted_expval()(
                 _to_dev(x[t0:t1]), _to_dev(z[t0:t1]), cr, ci, sd, ar, ai, B
             ))
         host = jax.device_get(parts)
-        return complex(
-            float(sum(p[0] for p in host)), float(sum(p[1] for p in host))
-        )
+        return sum(_scalar_from_dev(p[0], p[1]) for p in host)
 
-    cr, ci = _coeff_to_dev(c, df=False)
-    ar, ai = _coeff_to_dev(amps, df=False)
+    cr, ci = _coeff_to_dev(c)
+    ar, ai = _coeff_to_dev(amps)
     re, im = _jitted_expval()(
         _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, B
     )
     re_h, im_h = jax.device_get((re, im))
-    return complex(float(re_h), float(im_h))
+    return _scalar_from_dev(re_h, im_h)
 
 
 @functools.lru_cache(maxsize=None)
@@ -690,13 +730,17 @@ def apply_bra(s_pack, amps, x, z, c, zero_threshold):
 
     T, W = x.shape
     B = s_pack.shape[0]
-    if not config.use_device(T * B * W):
+    row_bytes = 16 * W + 16
+    if not config.use_device_io(
+        T * B * W / config.host_cleanup_rate,
+        up_bytes=(T + B) * row_bytes, down_bytes=T * B * row_bytes, n_syncs=2,
+    ):
         kernel_stats.record("apply_bra", device=False)
         bits, out = state_core.apply_to_bra(s_pack, amps, x, z, c)
         return state_core.cleanup_state(bits, out, zero_threshold)
     kernel_stats.record("apply_bra", device=True)
-    cr, ci = _coeff_to_dev(c, df=False)
-    ar, ai = _coeff_to_dev(amps, df=False)
+    cr, ci = _coeff_to_dev(c)
+    ar, ai = _coeff_to_dev(amps)
     th = np.asarray(zero_threshold, _coeff_dtype())
     b_o, ar_o, ai_o, n = _jitted_apply_bra()(
         _to_dev(s_pack), ar, ai, _to_dev(x), _to_dev(z), cr, ci, th, _rel_floor()
@@ -706,8 +750,7 @@ def apply_bra(s_pack, amps, x, z, c, zero_threshold):
 
     b_h, ar_h, ai_h = jax.device_get((b_o[:n], ar_o[:n], ai_o[:n]))
     bits = pack.from_u32(np.asarray(b_h))
-    out = np.asarray(ar_h) + 1j * np.asarray(ai_h)
-    return bits, out
+    return bits, _merge_coeff_host(ar_h, ai_h)
 
 
 def inner_product(s_bra, amp_bra, s_ket, amp_ket) -> complex:
@@ -721,15 +764,15 @@ def inner_product(s_bra, amp_bra, s_ket, amp_ket) -> complex:
         kernel_stats.record("inner_product", device=False)
         return state_core.inner_product(s_bra, amp_bra, s_ket, amp_ket)
     kernel_stats.record("inner_product", device=True)
-    a1r, a1i = _coeff_to_dev(amp_bra, df=False)
-    a2r, a2i = _coeff_to_dev(amp_ket, df=False)
+    a1r, a1i = _coeff_to_dev(amp_bra)
+    a2r, a2i = _coeff_to_dev(amp_ket)
     re, im = _jitted_inner_product()(
         _to_dev(s_bra), a1r, a1i, _to_dev(s_ket), a2r, a2i
     )
     import jax
 
     re_h, im_h = jax.device_get((re, im))
-    return complex(float(re_h), float(im_h))
+    return _scalar_from_dev(re_h, im_h)
 
 
 def apply_state(x, z, c, s_pack, amps, zero_threshold):
@@ -740,7 +783,11 @@ def apply_state(x, z, c, s_pack, amps, zero_threshold):
 
     T, W = x.shape
     B = s_pack.shape[0]
-    if not config.use_device(T * B * W):
+    row_bytes = 16 * W + 16
+    if not config.use_device_io(
+        T * B * W / config.host_cleanup_rate,
+        up_bytes=(T + B) * row_bytes, down_bytes=T * B * row_bytes, n_syncs=2,
+    ):
         kernel_stats.record("apply_state", device=False)
         bits, out = state_core.apply_to_ket(x, z, c, s_pack, amps)
         return state_core.cleanup_state(bits, out, zero_threshold)
@@ -749,8 +796,8 @@ def apply_state(x, z, c, s_pack, amps, zero_threshold):
 
     from . import jx_state
 
-    cr, ci = _coeff_to_dev(c, df=False)
-    ar, ai = _coeff_to_dev(amps, df=False)
+    cr, ci = _coeff_to_dev(c)
+    ar, ai = _coeff_to_dev(amps)
     th = np.asarray(zero_threshold, _coeff_dtype())
     b_o, ar_o, ai_o, n = _jitted_apply_state()(
         _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, th, _rel_floor()
@@ -760,5 +807,4 @@ def apply_state(x, z, c, s_pack, amps, zero_threshold):
 
     b_h, ar_h, ai_h = jax.device_get((b_o[:n], ar_o[:n], ai_o[:n]))
     bits = pack.from_u32(np.asarray(b_h))
-    out = np.asarray(ar_h) + 1j * np.asarray(ai_h)
-    return bits, out
+    return bits, _merge_coeff_host(ar_h, ai_h)

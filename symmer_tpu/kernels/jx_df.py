@@ -94,12 +94,12 @@ def df_mul(ah, al, bh, bl):
 
 
 def df_sum(lanes_h, lanes_l):
-    """Accurate reduction of a df vector: pairwise tree of df adds.
+    """Accurate reduction of a df array (flattened): pairwise tree of df adds.
 
     jnp.sum on the hi lane alone accumulates O(n eps32) error; the tree keeps
     the compensated representation at every level (log2(n) rounds).
     """
-    h, l = lanes_h, lanes_l
+    h, l = lanes_h.reshape(-1), lanes_l.reshape(-1)
     n = h.shape[0]
     while n > 1:
         half = (n + 1) // 2

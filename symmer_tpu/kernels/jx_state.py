@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from . import jx_core
+from . import jx_core, jx_df
 
 
 def apply_to_ket(x, z, cr, ci, s, ar, ai):
@@ -32,12 +32,18 @@ def apply_to_ket(x, z, cr, ci, s, ar, ai):
     par = (
         jnp.sum(jx_core.pc(bits.reshape(T, B, W) & z[:, None, :]), axis=-1) & 1
     )  # (T, B)
-    # (-i)^y * c  then * (-1)^par, outer with state amplitudes
-    pr, pi = jx_core.apply_i_pow(-y_cnt, cr, ci)  # (-i)^y == i^(-y)
-    sign = (1 - 2 * par).astype(cr.dtype)
-    out_r = (pr[:, None] * ar[None, :] - pi[:, None] * ai[None, :]) * sign
-    out_i = (pr[:, None] * ai[None, :] + pi[:, None] * ar[None, :]) * sign
-    return bits, out_r.reshape(T * B), out_i.reshape(T * B)
+    # (-i)^y * c  then * (-1)^par, outer with state amplitudes (lane-generic:
+    # coefficient/amplitude planes may be (.., 2) double-float pairs)
+    c, df = jx_core.c_lanes(cr, ci)
+    a, _ = jx_core.c_lanes(ar, ai)
+    p = jx_core.c_ipow(-y_cnt, c, df)  # (-i)^y == i^(-y)
+    sign = (1 - 2 * par).astype(c[0].dtype)
+    prod = jx_core.c_mul(
+        tuple(l[:, None] for l in p), tuple(l[None, :] for l in a), df
+    )
+    prod = jx_core.c_scale_exact(prod, sign)
+    out_r, out_i = jx_core.c_pack(tuple(l.reshape(T * B) for l in prod), df)
+    return bits, out_r, out_i
 
 
 def apply_to_bra(s, ar, ai, x, z, cr, ci):
@@ -54,11 +60,16 @@ def apply_to_bra(s, ar, ai, x, z, cr, ci):
     par = (
         jnp.sum(jx_core.pc(s[:, None, :] & z[None, :, :]), axis=-1) & 1
     )  # (B, T)
-    pr, pi = jx_core.apply_i_pow(-y_cnt, cr, ci)  # (-i)^y * c per term
-    sign = (1 - 2 * par).astype(cr.dtype)
-    out_r = (ar[:, None] * pr[None, :] - ai[:, None] * pi[None, :]) * sign
-    out_i = (ar[:, None] * pi[None, :] + ai[:, None] * pr[None, :]) * sign
-    return bits, out_r.reshape(B * T), out_i.reshape(B * T)
+    c, df = jx_core.c_lanes(cr, ci)
+    a, _ = jx_core.c_lanes(ar, ai)
+    p = jx_core.c_ipow(-y_cnt, c, df)  # (-i)^y * c per term
+    sign = (1 - 2 * par).astype(c[0].dtype)
+    prod = jx_core.c_mul(
+        tuple(l[:, None] for l in a), tuple(l[None, :] for l in p), df
+    )
+    prod = jx_core.c_scale_exact(prod, sign)
+    out_r, out_i = jx_core.c_pack(tuple(l.reshape(B * T) for l in prod), df)
+    return bits, out_r, out_i
 
 
 def cleanup_state(bits, ar, ai, n_valid, zero_threshold=None, rel_floor=None):
@@ -87,8 +98,9 @@ def inner_product_sorted(s1, a1r, a1i, n1, s2, a2r, a2i, n2):
     valid = jnp.concatenate(
         [jnp.arange(T1) < n1, jnp.arange(T2) < n2]
     )
-    ar = jnp.concatenate([a1r, a2r])
-    ai = jnp.concatenate([a1i, a2i])
+    c1, df = jx_core.c_lanes(a1r, a1i)
+    c2, _ = jx_core.c_lanes(a2r, a2i)
+    amp = tuple(jnp.concatenate([l1, l2]) for l1, l2 in zip(c1, c2))
 
     h1, h2 = jx_core.row_hashes(rows, jnp.zeros_like(rows))
     # sort by (validity, h1, h2, origin): equal rows land adjacent, bra first
@@ -98,17 +110,22 @@ def inner_product_sorted(s1, a1r, a1i, n1, s2, a2r, a2i, n2):
     rs = rows[perm]
     os_ = origin[perm]
     vs = valid[perm]
-    ars = jnp.where(vs, ar[perm], 0)
-    ais = jnp.where(vs, ai[perm], 0)
+    amps = jx_core.c_where(
+        vs, tuple(l[perm] for l in amp),
+        tuple(jnp.zeros_like(l) for l in amp),
+    )
 
     eq = jnp.all(rs[1:] == rs[:-1], axis=-1) & vs[1:] & vs[:-1]
     pair = eq & (os_[:-1] == 0) & (os_[1:] == 1)
-    pr = ars[:-1] * ars[1:] - ais[:-1] * ais[1:]
-    pi = ars[:-1] * ais[1:] + ais[:-1] * ars[1:]
-    return (
-        jnp.sum(jnp.where(pair, pr, 0)),
-        jnp.sum(jnp.where(pair, pi, 0)),
+    prod = jx_core.c_mul(
+        tuple(l[:-1] for l in amps), tuple(l[1:] for l in amps), df
     )
+    prod = jx_core.c_where(pair, prod, jx_core.c_zeros(prod))
+    if df:
+        re = jx_df.df_sum(prod[0], prod[1])
+        im = jx_df.df_sum(prod[2], prod[3])
+        return jnp.stack(re), jnp.stack(im)
+    return jnp.sum(prod[0]), jnp.sum(prod[1])
 
 
 def expval(x, z, cr, ci, s, ar, ai, n_basis):
@@ -138,7 +155,10 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
     T, W = x.shape
     B = s.shape[0]
     WINDOW = min(4, B)  # > B would wrap the roll fully around and re-visit rows
-    fdt = cr.dtype
+    c, df = jx_core.c_lanes(cr, ci)
+    a, df_a = jx_core.c_lanes(ar, ai)
+    assert df == df_a, "operator/state precision mismatch"
+    fdt = c[0].dtype
 
     # state-row hashes: lane 1 is the lookup key; all lanes compared on match
     hs = _row_hashes3(s)
@@ -165,10 +185,10 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
         return par + jx_core.pc(word & z[:, w, None])
 
     par = lax.fori_loop(0, W, par_body, par) & 1
-    pr, pi = jx_core.apply_i_pow(-y_cnt, cr, ci)
+    p = jx_core.c_ipow(-y_cnt, c, df)  # (-i)^y * c per term
     sign = (1 - 2 * par).astype(fdt)
-    tr = pr[:, None] * sign  # (T, B) phase * c_t, real
-    ti = pi[:, None] * sign
+    # (T, B) phase * c_t lanes (sign multiply is exact per lane)
+    t_lanes = tuple(l[:, None] * sign for l in p)
 
     basis_valid = jnp.arange(B) < n_basis
 
@@ -186,20 +206,21 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
         lo, hi = halves(hs[lane][order])
         cols.append(jnp.where(valid_sorted, lo, sentinel))
         cols.append(jnp.where(valid_sorted, hi, sentinel))
-    cols.append(jnp.where(valid_sorted, ar[order], 0))
-    cols.append(jnp.where(valid_sorted, ai[order], 0))
-    table = jnp.stack(cols, axis=1)  # (B, 8)
+    for l in a:  # amplitude lanes: 2 plain, 4 double-float
+        cols.append(jnp.where(valid_sorted, l[order], 0))
+    ncols = len(cols)  # 6 hash halves + amplitude lanes
+    table = jnp.stack(cols, axis=1)  # (B, ncols)
     # candidate k = row (pos + k) mod B: pre-roll the table per window slot
     table_wide = jnp.concatenate(
         [jnp.roll(table, -k, axis=0) for k in range(WINDOW)], axis=1
-    )  # (B, 8 * WINDOW)
+    )  # (B, ncols * WINDOW)
 
     th_halves = []
     for lane in range(3):
         lo, hi = halves(th[lane])
         th_halves.append((lo, hi))
 
-    ab_r, ab_i = ar[None, :], ai[None, :]
+    ab = tuple(l[None, :] for l in a)
     bvalid = basis_valid[None, :]
     # one-hot fetch + match + contribution, blocked over the term axis so the
     # (Tb, B, B) one-hot stays bounded.  The one-hot itself is built from a
@@ -215,11 +236,11 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
 
     th0_p = pad_t(th[0])
     th_p = [(pad_t(lo), pad_t(hi)) for lo, hi in th_halves]
-    tr_p, ti_p = pad_t(tr), pad_t(ti)
+    t_p = tuple(pad_t(l) for l in t_lanes)
+    n_lanes = len(a)
 
     def block(carry, i):
-        total_r, total_i = carry
-        sl = lambda a: lax.dynamic_slice(a, (i * Tb, 0), (Tb, B))
+        sl = lambda a_: lax.dynamic_slice(a_, (i * Tb, 0), (Tb, B))
         ge = hs1_sorted[None, None, :] >= sl(th0_p)[:, :, None]  # (Tb, B, B)
         # keys sorted => ge monotone in c; the first True is the candidate
         oh = (ge & ~jnp.pad(ge[:, :, :-1], ((0, 0), (0, 0), (1, 0)))).astype(fdt)
@@ -232,30 +253,42 @@ def expval(x, z, cr, ci, s, ar, ai, n_basis):
             "abc,cf->abf", oh, table_wide,
             preferred_element_type=fdt,
             precision=lax.Precision.HIGHEST,
-        )  # (Tb, B, 8 * WINDOW)
-        trb, tib = sl(tr_p), sl(ti_p)
+        )  # (Tb, B, ncols * WINDOW)
+        tb = tuple(sl(l) for l in t_p)
+        m1 = jx_core.c_mul(tb, ab, df)  # phase * c_t * a_b, window-invariant
+        out = carry
         for k in range(WINDOW):
-            v = vals[:, :, 8 * k : 8 * (k + 1)]
+            v = vals[:, :, ncols * k : ncols * (k + 1)]
             match = bvalid
             for lane in range(3):
                 lo, hi = th_p[lane]
                 match = match & (sl(lo) == v[:, :, 2 * lane]) & (
                     sl(hi) == v[:, :, 2 * lane + 1]
                 )
-            ac_r, ac_i = v[:, :, 6], -v[:, :, 7]
-            m1r = trb * ab_r - tib * ab_i
-            m1i = trb * ab_i + tib * ab_r
-            cr_ = m1r * ac_r - m1i * ac_i
-            ci_ = m1r * ac_i + m1i * ac_r
-            total_r = total_r + jnp.sum(jnp.where(match, cr_, 0))
-            total_i = total_i + jnp.sum(jnp.where(match, ci_, 0))
-        return (total_r, total_i), 0
+            # conj of the fetched amplitude: negate the imaginary lanes
+            if df:
+                ac = (v[:, :, 6], v[:, :, 7], -v[:, :, 8], -v[:, :, 9])
+            else:
+                ac = (v[:, :, 6], -v[:, :, 7])
+            cf = jx_core.c_mul(m1, ac, df)
+            cf = jx_core.c_where(match, cf, jx_core.c_zeros(cf))
+            if df:
+                rr = jx_df.df_sum(cf[0], cf[1])
+                ii = jx_df.df_sum(cf[2], cf[3])
+                out = (
+                    jx_df.df_add(out[0], out[1], rr[0], rr[1])
+                    + jx_df.df_add(out[2], out[3], ii[0], ii[1])
+                )
+            else:
+                out = (out[0] + jnp.sum(cf[0]), out[1] + jnp.sum(cf[1]))
+        return out, 0
 
-    zero_vary = jnp.sum(cr[:1]) * 0  # varying-consistent scalar zero
-    (total_r, total_i), _ = lax.scan(
-        block, (zero_vary, zero_vary), jnp.arange(n_blocks)
-    )
-    return total_r, total_i
+    zero_vary = jnp.sum(c[0][:1]) * 0  # varying-consistent scalar zero
+    init = (zero_vary,) * (4 if df else 2)
+    total, _ = lax.scan(block, init, jnp.arange(n_blocks))
+    if df:
+        return jnp.stack([total[0], total[1]]), jnp.stack([total[2], total[3]])
+    return total[0], total[1]
 
 
 _HASH3_MULT = (0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D)

@@ -73,17 +73,28 @@ def profile() -> TransportProfile:
     jax.device_get(f(small))  # warm the compile cache
     sync = min(_timed(lambda: jax.device_get(f(small))) for _ in range(3))
 
-    nbytes = 1 << 20
-    host_buf = __import__("numpy").zeros(nbytes // 4, dtype="float32")
-    dev_buf = jax.device_put(host_buf)
-    dev_buf.block_until_ready()
+    # Download probe subtleties (all observed on the axon relay):
+    #   - the buffer must be device-COMPUTED: uploaded buffers are served
+    #     back from a host-side cache at memory speed;
+    #   - a buffer may only be fetched ONCE: repeat fetches hit the cache;
+    #   - block_until_ready can resolve before remote execution completes,
+    #     so the computation is synced via a prior fetch of a sibling buffer.
+    nbytes_up, nbytes_down = 1 << 20, 1 << 22
+    np_ = __import__("numpy")
+    host_buf = np_.zeros(nbytes_up // 4, dtype="float32")
     up = min(
         _timed(lambda: jax.device_put(host_buf).block_until_ready())
         for _ in range(2)
     )
-    down = min(_timed(lambda: jax.device_get(dev_buf)) for _ in range(2))
-    up_bps = nbytes / max(up - sync, 1e-6)
-    down_bps = nbytes / max(down - sync, 1e-6)
+    g = jax.jit(lambda v, s: v + s)
+    total = jax.jit(lambda v: v.sum())
+    base = jax.device_put(np_.zeros(nbytes_down // 4, dtype="float32"))
+    jax.device_get(total(g(base, 1.0)))  # compile + true execution sync
+    fresh = g(base, 2.0)
+    jax.device_get(total(fresh))  # scalar fetch syncs fresh's execution
+    down = _timed(lambda: jax.device_get(fresh))
+    up_bps = nbytes_up / max(up - sync, 1e-6)
+    down_bps = nbytes_down / max(down - sync, 1e-6)
     return TransportProfile(
         sync if sync_ms is None else sync_ms / 1e3,
         up_bps if up_mbps is None else up_mbps * 1e6,

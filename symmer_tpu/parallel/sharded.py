@@ -319,6 +319,18 @@ def expval(x, z, c, s_pack, amps, mesh, axis_name: str = "terms"):
     n_dev = int(mesh.devices.size)
     if n_dev < 2:
         return None
+    # the state replicates to every device: a large-support reference state
+    # would multiply HBM by n_dev -- fall back to the single-device path
+    # (which holds one copy) rather than risk OOM across the mesh
+    state_bytes = s_pack.nbytes + 2 * amps.nbytes
+    if state_bytes * n_dev > (1 << 30):
+        import warnings
+
+        warnings.warn(
+            f"mesh expval skipped: replicating a {state_bytes >> 20} MiB state "
+            f"across {n_dev} devices; using the single-device path"
+        )
+        return None
     T = x.shape[0]
     Tp = -(-T // n_dev) * n_dev
     # padding rows carry zero coefficients: every (term, basis) contribution

@@ -44,26 +44,36 @@ class S3Projection:
         commutes_all = np.all(
             operator.commutes_termwise(self.rotated_stabilizers), axis=1
         )
-        op_symp = operator.symp_matrix[commutes_all]
+        x_keep = operator.x_pack[commutes_all]
+        z_keep = operator.z_pack[commutes_all]
         op_coef = operator.coeff_vec[commutes_all]
 
-        # sign flips from the +/-1 eigenvalue assignment
-        stab_symp_indices = np.where(self.rotated_stabilizers.symp_matrix)[1]
-        eigval_assignment = (
-            op_symp[:, stab_symp_indices] * self.rotated_stabilizers.coeff_vec
-        )
-        eigval_assignment[eigval_assignment == 0] = 1
-        coeff_sign_flip = op_coef * (np.prod(eigval_assignment, axis=1)).T
+        # sign flips from the +/-1 eigenvalue assignment: each (single-qubit)
+        # rotated stabilizer tests ONE symplectic bit, so the product of the
+        # -1 assignments is a parity over the OR of their bit masks (a 0
+        # assignment behaves as +1, reference base.py:67-72)
+        rot = self.rotated_stabilizers
+        neg = np.real(np.asarray(rot.coeff_vec)) < 0
+        if neg.any():
+            neg_x = np.bitwise_or.reduce(rot.x_pack[neg], axis=0)
+            neg_z = np.bitwise_or.reduce(rot.z_pack[neg], axis=0)
+            parity = (
+                np.bitwise_count(x_keep & neg_x).sum(axis=1)
+                + np.bitwise_count(z_keep & neg_z).sum(axis=1)
+            ).astype(np.int64) & 1
+            op_coef = op_coef * (1 - 2 * parity)
 
-        # delete the stabilised qubit columns
-        unfixed_XZ = np.hstack(
-            [self.free_qubit_indices, self.free_qubit_indices + operator.n_qubits]
-        )
-        projected_symplectic = op_symp[:, unfixed_XZ]
-
-        if projected_symplectic.shape[1]:
-            return PauliwordOp(projected_symplectic, coeff_sign_flip).cleanup()
-        return PauliwordOp(np.array([], dtype=bool), [np.sum(coeff_sign_flip)])
+        # delete the stabilised qubit columns (packed byte-LUT pext)
+        free_mask = np.zeros(operator.n_qubits, dtype=bool)
+        free_mask[self.free_qubit_indices] = True
+        n_free = len(self.free_qubit_indices)
+        if n_free:
+            return PauliwordOp.from_planes(
+                pack.select_columns(x_keep, free_mask),
+                pack.select_columns(z_keep, free_mask),
+                op_coef, n_free,
+            ).cleanup()
+        return PauliwordOp(np.array([], dtype=bool), [np.sum(op_coef)])
 
     def perform_projection(
         self,
@@ -104,13 +114,23 @@ class S3Projection:
         here), and at least one free qubit.  Under ``use_mesh`` the dispatch
         layer routes through the term-sharded fused projection
         (parallel/distributed.distributed_clifford_project)."""
-        if not config.use_device(operator.n_terms * operator.n_words):
-            return False
         if len(self.free_qubit_indices) == 0:
             return False
-        return all(
+        if not all(
             dispatch.is_clifford_angle(angle) is not None
             for _, angle in rotations
+        ):
+            return False
+        # transport-aware: the fused projection moves the operator once each
+        # way; through a slow tunnel the packed host path can win outright
+        T, W = operator.n_terms, operator.n_words
+        row_bytes = 16 * W + 16  # u32-viewed planes + [hi, lo] coefficients
+        host_s = (
+            max(1, len(rotations)) * T * W / config.host_rotate_rate
+            + T * W / config.host_cleanup_rate
+        )
+        return config.use_device_io(
+            host_s, up_bytes=T * row_bytes, down_bytes=T * row_bytes, n_syncs=2
         )
 
     def _perform_projection_device(
@@ -140,11 +160,12 @@ class S3Projection:
             return PauliwordOp(
                 np.zeros((1, 2 * len(free)), dtype=bool), [0]
             )
-        projected_symplectic = np.hstack([
-            pack.unpack_bits(x, operator.n_qubits)[:, free],
-            pack.unpack_bits(z, operator.n_qubits)[:, free],
-        ])
-        return PauliwordOp(projected_symplectic, c)
+        # packed column deletion (byte-LUT pext) -- no boolean round trip
+        return PauliwordOp.from_planes(
+            pack.select_columns(x, free_mask),
+            pack.select_columns(z, free_mask),
+            c, len(free),
+        )
 
     def _project_state(self, state: QuantumState) -> QuantumState:
         """Project a state into the stabilizer subspace (reference :126-159)."""

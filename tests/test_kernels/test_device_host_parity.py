@@ -233,3 +233,24 @@ def test_device_noncontextual_check_matches_host():
             assert dev == host, label
     finally:
         config.backend = old
+
+
+def test_select_columns_matches_boolean_slice():
+    from symmer_tpu.kernels import pack
+
+    rng = np.random.default_rng(3)
+    for nq, T in [(5, 7), (64, 20), (100, 50), (130, 33)]:
+        p = rng.integers(0, 2**63, (T, pack.n_words_for(nq)), dtype=np.uint64)
+        # zero the bits beyond nq (invariant of real planes)
+        bits = pack.unpack_bits(p, nq)
+        p = pack.pack_bits(bits, nq)
+        keep = rng.random(nq) < 0.6
+        got = pack.select_columns(p, keep)
+        want = pack.pack_bits(bits[:, keep], int(keep.sum()))
+        assert got.shape == want.shape
+        assert np.array_equal(got, want), (nq, T)
+        # edge: keep nothing / keep all
+        assert np.array_equal(
+            pack.select_columns(p, np.ones(nq, bool)), p
+        )
+        assert pack.select_columns(p, np.zeros(nq, bool)).shape == (T, 1)
