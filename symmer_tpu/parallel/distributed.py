@@ -100,12 +100,16 @@ def _exchange_round(k: int, state, axis_name):
     # append received rows at offset n_keep
     dest = jnp.where(jnp.arange(C) < n_recv, jnp.arange(C) + n_keep, C)
     ovf = n_keep + n_recv > C
-    pad_row = jnp.zeros((1, x.shape[1]), x.dtype)
-    x_new = jnp.concatenate([xk, pad_row], axis=0).at[dest].set(xr)[:C]
-    z_new = jnp.concatenate([zk, pad_row], axis=0).at[dest].set(zr)[:C]
-    h_new = jnp.concatenate([hk, jnp.zeros(1, UINT)]).at[dest].set(hr)[:C]
-    cr_new = jnp.concatenate([crk, jnp.zeros(1, cr.dtype)]).at[dest].set(crr)[:C]
-    ci_new = jnp.concatenate([cik, jnp.zeros(1, ci.dtype)]).at[dest].set(cir)[:C]
+
+    def _append(kept, recv):
+        pad = jnp.zeros((1,) + kept.shape[1:], kept.dtype)
+        return jnp.concatenate([kept, pad], axis=0).at[dest].set(recv)[:C]
+
+    x_new = _append(xk, xr)
+    z_new = _append(zk, zr)
+    h_new = _append(hk, hr)
+    cr_new = _append(crk, crr)  # coefficient planes may carry a [hi, lo] axis
+    ci_new = _append(cik, cir)
     n_new = jnp.minimum(n_keep + n_recv, C)
     return x_new, z_new, cr_new, ci_new, n_new, h_new, ovf
 
@@ -127,6 +131,11 @@ def exchange_merge(x, z, cr, ci, n_local, n_rounds, zero_threshold, axis_name):
         x, z, cr, ci, n_local, zero_threshold
     )
     return x, z, cr, ci, n_out, ovf_any
+
+
+def _coef_spec(df: bool, axis_name: str):
+    """PartitionSpec for a coefficient plane: (T,) plain or (T, 2) double-float."""
+    return P(axis_name, None) if df else P(axis_name)
 
 
 def _local_shard_cleanup(x, z, cr, ci, n_local, zt, n_rounds, has_threshold, axis_name):
@@ -189,27 +198,30 @@ def distributed_cleanup(
             [z.reshape(n_dev, T_local, W),
              jnp.zeros((n_dev, C - T_local, W), z.dtype)], axis=1
         ).reshape(n_dev * C, W)
-        cr = jnp.concatenate(
-            [cr.reshape(n_dev, T_local),
-             jnp.zeros((n_dev, C - T_local), cr.dtype)], axis=1
-        ).reshape(n_dev * C)
-        ci = jnp.concatenate(
-            [ci.reshape(n_dev, T_local),
-             jnp.zeros((n_dev, C - T_local), ci.dtype)], axis=1
-        ).reshape(n_dev * C)
+        def _pad_c(a):
+            tail = a.shape[1:]
+            return jnp.concatenate(
+                [a.reshape((n_dev, T_local) + tail),
+                 jnp.zeros((n_dev, C - T_local) + tail, a.dtype)], axis=1
+            ).reshape((n_dev * C,) + tail)
+
+        cr = _pad_c(cr)
+        ci = _pad_c(ci)
 
     has_threshold = zero_threshold is not None
-    zt = jnp.asarray(zero_threshold if has_threshold else 0.0, cr.dtype)
+    df = hasattr(cr, "ndim") and cr.ndim == 2
+    zt = jnp.asarray(zero_threshold if has_threshold else 0.0, jnp.asarray(cr).dtype)
 
-    fn = _cleanup_jit(mesh, axis_name, n_rounds, has_threshold)
+    fn = _cleanup_jit(mesh, axis_name, n_rounds, has_threshold, df)
     sh_rows = NamedSharding(mesh, P(axis_name, None))
-    sh_vec = NamedSharding(mesh, P(axis_name))
-    x = jax.device_put(x, sh_rows)
-    z = jax.device_put(z, sh_rows)
+    sh_vec = NamedSharding(mesh, _coef_spec(df, axis_name))
+    x = jax.device_put(x, NamedSharding(mesh, P(axis_name, None)))
+    z = jax.device_put(z, NamedSharding(mesh, P(axis_name, None)))
     cr = jax.device_put(cr, sh_vec)
     ci = jax.device_put(ci, sh_vec)
     n_valid_per_shard = jax.device_put(
-        jnp.asarray(n_valid_per_shard, jnp.int32), sh_vec
+        jnp.asarray(n_valid_per_shard, jnp.int32),
+        NamedSharding(mesh, P(axis_name)),
     )
     return fn(x, z, cr, ci, n_valid_per_shard, zt)
 
@@ -234,16 +246,17 @@ def _local_multiply(x1, z1, cr1, ci1, x2, z2, cr2, ci2, zt, n_rounds, axis_name)
 
 
 @lru_cache(maxsize=None)
-def _multiply_jit(mesh: Mesh, axis_name: str, n_rounds: int):
+def _multiply_jit(mesh: Mesh, axis_name: str, n_rounds: int, df: bool = False):
     spec_rows = P(axis_name, None)
     spec_vec = P(axis_name)
+    spec_c = _coef_spec(df, axis_name)
     return jax.jit(
         jax.shard_map(
             partial(_local_multiply, n_rounds=n_rounds, axis_name=axis_name),
             mesh=mesh,
-            in_specs=(spec_rows, spec_rows, spec_vec, spec_vec,
+            in_specs=(spec_rows, spec_rows, spec_c, spec_c,
                       P(), P(), P(), P(), P()),
-            out_specs=(spec_rows, spec_rows, spec_vec, spec_vec,
+            out_specs=(spec_rows, spec_rows, spec_c, spec_c,
                        spec_vec, spec_vec),
         )
     )
@@ -274,32 +287,34 @@ def distributed_multiply_cleanup(
     T1 = x1.shape[0]
     if T1 % n_dev:
         raise ValueError(f"term axis {T1} not divisible by mesh size {n_dev}")
-    fn = _multiply_jit(mesh, axis_name, n_rounds)
+    df = hasattr(cr1, "ndim") and jnp.asarray(cr1).ndim == 2
+    fn = _multiply_jit(mesh, axis_name, n_rounds, df)
     sh_rows = NamedSharding(mesh, P(axis_name, None))
-    sh_vec = NamedSharding(mesh, P(axis_name))
+    sh_c = NamedSharding(mesh, _coef_spec(df, axis_name))
     repl = NamedSharding(mesh, P())
-    zt = jnp.asarray(zero_threshold, cr1.dtype)
+    zt = jnp.asarray(zero_threshold, jnp.asarray(cr1).dtype)
     return fn(
         jax.device_put(x1, sh_rows), jax.device_put(z1, sh_rows),
-        jax.device_put(cr1, sh_vec), jax.device_put(ci1, sh_vec),
+        jax.device_put(cr1, sh_c), jax.device_put(ci1, sh_c),
         jax.device_put(x2, repl), jax.device_put(z2, repl),
         jax.device_put(cr2, repl), jax.device_put(ci2, repl),
         zt,
     )
 
 
-def _local_rotate_nc(x, z, cr, ci, n_local, xr, zr, angle, zt,
+def _local_rotate_nc(x, z, cr, ci, n_local, xr, zr, tc, ts, zt,
                      n_rounds, axis_name):
     """Per-shard body: fused non-Clifford rotation+cleanup (buffer doubles to
     2C), hash-routed exchange+merge at 2C, then compact back into the C-row
     buffer (overflow-flagged) so the sequence keeps a constant shape.
 
     As in _local_multiply, the local cleanup is threshold-free; the threshold
-    applies only after the exchange has co-located every duplicate."""
+    applies only after the exchange has co-located every duplicate.  cos/sin
+    arrive precomputed (double-float pairs in extended mode)."""
     n_local = n_local[0]
     C = x.shape[0]
     xo, zo, cro, cio, n = jx_core.rotate_nonclifford_cleanup(
-        x, z, cr, ci, xr, zr, angle, n_local, None
+        x, z, cr, ci, xr, zr, None, n_local, None, trig=(tc, ts)
     )
     xo, zo, cro, cio, n_out, ovf = exchange_merge(
         xo, zo, cro, cio, n, n_rounds, zt, axis_name
@@ -312,16 +327,17 @@ def _local_rotate_nc(x, z, cr, ci, n_local, xr, zr, angle, zt,
 
 
 @lru_cache(maxsize=None)
-def _rotate_nc_jit(mesh: Mesh, axis_name: str, n_rounds: int):
+def _rotate_nc_jit(mesh: Mesh, axis_name: str, n_rounds: int, df: bool = False):
     spec_rows = P(axis_name, None)
     spec_vec = P(axis_name)
+    spec_c = _coef_spec(df, axis_name)
     return jax.jit(
         jax.shard_map(
             partial(_local_rotate_nc, n_rounds=n_rounds, axis_name=axis_name),
             mesh=mesh,
-            in_specs=(spec_rows, spec_rows, spec_vec, spec_vec, spec_vec,
-                      P(), P(), P(), P()),
-            out_specs=(spec_rows, spec_rows, spec_vec, spec_vec,
+            in_specs=(spec_rows, spec_rows, spec_c, spec_c, spec_vec,
+                      P(), P(), P(), P(), P()),
+            out_specs=(spec_rows, spec_rows, spec_c, spec_c,
                        spec_vec, spec_vec),
         )
     )
@@ -349,17 +365,19 @@ def _local_clifford_project(x, z, cr, ci, n_local, rx, rz, rm,
 
 
 @lru_cache(maxsize=None)
-def _clifford_project_jit(mesh: Mesh, axis_name: str, n_rounds: int):
+def _clifford_project_jit(mesh: Mesh, axis_name: str, n_rounds: int,
+                          df: bool = False):
     spec_rows = P(axis_name, None)
     spec_vec = P(axis_name)
+    spec_c = _coef_spec(df, axis_name)
     return jax.jit(
         jax.shard_map(
             partial(_local_clifford_project, n_rounds=n_rounds,
                     axis_name=axis_name),
             mesh=mesh,
-            in_specs=(spec_rows, spec_rows, spec_vec, spec_vec, spec_vec,
+            in_specs=(spec_rows, spec_rows, spec_c, spec_c, spec_vec,
                       P(), P(), P(), P(), P(), P(), P(), P(), P()),
-            out_specs=(spec_rows, spec_rows, spec_vec, spec_vec,
+            out_specs=(spec_rows, spec_rows, spec_c, spec_c,
                        spec_vec, spec_vec),
         )
     )
@@ -385,14 +403,16 @@ def distributed_clifford_project(
     T = x.shape[0]
     if T % n_dev:
         raise ValueError(f"term axis {T} not divisible by mesh size {n_dev}")
-    fn = _clifford_project_jit(mesh, axis_name, n_rounds)
+    df = hasattr(cr, "ndim") and jnp.asarray(cr).ndim == 2
+    fn = _clifford_project_jit(mesh, axis_name, n_rounds, df)
     sh_rows = NamedSharding(mesh, P(axis_name, None))
+    sh_c = NamedSharding(mesh, _coef_spec(df, axis_name))
     sh_vec = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
-    zt = jnp.asarray(zero_threshold, cr.dtype)
+    zt = jnp.asarray(zero_threshold, jnp.asarray(cr).dtype)
     return fn(
         jax.device_put(x, sh_rows), jax.device_put(z, sh_rows),
-        jax.device_put(cr, sh_vec), jax.device_put(ci, sh_vec),
+        jax.device_put(cr, sh_c), jax.device_put(ci, sh_c),
         jax.device_put(jnp.asarray(n_valid_per_shard, jnp.int32), sh_vec),
         jax.device_put(rx, repl), jax.device_put(rz, repl),
         jax.device_put(rm, repl),
@@ -410,25 +430,27 @@ def _local_clifford(x, z, cr, ci, rx, rz, rm):
 
 
 @lru_cache(maxsize=None)
-def _clifford_jit(mesh: Mesh, axis_name: str):
+def _clifford_jit(mesh: Mesh, axis_name: str, df: bool = False):
     spec_rows = P(axis_name, None)
-    spec_vec = P(axis_name)
+    spec_c = _coef_spec(df, axis_name)
     return jax.jit(
         jax.shard_map(
             _local_clifford,
             mesh=mesh,
-            in_specs=(spec_rows, spec_rows, spec_vec, spec_vec, P(), P(), P()),
-            out_specs=(spec_rows, spec_rows, spec_vec, spec_vec),
+            in_specs=(spec_rows, spec_rows, spec_c, spec_c, P(), P(), P()),
+            out_specs=(spec_rows, spec_rows, spec_c, spec_c),
         )
     )
 
 
 @lru_cache(maxsize=None)
-def _cleanup_jit(mesh: Mesh, axis_name: str, n_rounds: int, has_threshold: bool):
+def _cleanup_jit(mesh: Mesh, axis_name: str, n_rounds: int, has_threshold: bool,
+                 df: bool = False):
     """Cached jitted shard_map for the distributed cleanup (re-building the
     wrapper per call would defeat jax.jit's trace cache)."""
     spec_rows = P(axis_name, None)
     spec_vec = P(axis_name)
+    spec_c = _coef_spec(df, axis_name)
     return jax.jit(
         jax.shard_map(
             partial(
@@ -438,7 +460,7 @@ def _cleanup_jit(mesh: Mesh, axis_name: str, n_rounds: int, has_threshold: bool)
                 axis_name=axis_name,
             ),
             mesh=mesh,
-            in_specs=(spec_rows, spec_rows, spec_vec, spec_vec, spec_vec, P()),
-            out_specs=(spec_rows, spec_rows, spec_vec, spec_vec, spec_vec, spec_vec),
+            in_specs=(spec_rows, spec_rows, spec_c, spec_c, spec_vec, P()),
+            out_specs=(spec_rows, spec_rows, spec_c, spec_c, spec_vec, spec_vec),
         )
     )

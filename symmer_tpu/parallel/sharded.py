@@ -21,14 +21,25 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..kernels import pack
-from ..kernels.dispatch import _coeff_dtype, _rel_floor, is_clifford_angle
+from ..kernels.dispatch import (
+    _coeff_dtype, _df_mode, _merge_coeff_host, _rel_floor, _trig_split,
+    is_clifford_angle,
+)
 from . import distributed
 
 Planes = Tuple[np.ndarray, np.ndarray, np.ndarray]
 
 
 def _split_c(c: np.ndarray):
+    """complex host coeffs -> (re, im) planes: (T,) plain or (T, 2)
+    double-float [hi, lo] in extended mode (jx_df)."""
     dt = _coeff_dtype()
+    if _df_mode():
+        from ..kernels import jx_df
+
+        rh, rl = jx_df.host_split_f64(np.ascontiguousarray(c.real, np.float64))
+        ih, il = jx_df.host_split_f64(np.ascontiguousarray(c.imag, np.float64))
+        return np.stack([rh, rl], axis=-1), np.stack([ih, il], axis=-1)
     return (
         np.ascontiguousarray(c.real, dtype=dt),
         np.ascontiguousarray(c.imag, dtype=dt),
@@ -69,10 +80,7 @@ def _gather(x32, z32, cr, ci, ns) -> Planes:
         n = int(ns[d])
         xs.append(x32[d * C : d * C + n])
         zs.append(z32[d * C : d * C + n])
-        cs.append(
-            cr[d * C : d * C + n].astype(np.float64)
-            + 1j * ci[d * C : d * C + n].astype(np.float64)
-        )
+        cs.append(_merge_coeff_host(cr[d * C : d * C + n], ci[d * C : d * C + n]))
     x64 = pack.from_u32(np.concatenate(xs, axis=0))
     z64 = pack.from_u32(np.concatenate(zs, axis=0))
     c = np.concatenate(cs)
@@ -176,19 +184,21 @@ def perform_rotations(
     ns = np.minimum(np.maximum(T - L * np.arange(n_dev), 0), L).astype(np.int32)
 
     sh_rows = NamedSharding(mesh, P(axis_name, None))
+    sh_c = NamedSharding(mesh, distributed._coef_spec(_df_mode(), axis_name))
     sh_vec = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
     dx = jax.device_put(jnp.asarray(x32), sh_rows)
     dz = jax.device_put(jnp.asarray(z32), sh_rows)
-    dcr = jax.device_put(jnp.asarray(cr), sh_vec)
-    dci = jax.device_put(jnp.asarray(ci), sh_vec)
+    dcr = jax.device_put(jnp.asarray(cr), sh_c)
+    dci = jax.device_put(jnp.asarray(ci), sh_c)
     dns = jax.device_put(jnp.asarray(ns), sh_vec)
     dt = _coeff_dtype()
     zt = jnp.asarray(th_val, dt)
     overflowed = False
 
-    clifford_fn = distributed._clifford_jit(mesh, axis_name)
-    rot_fn = distributed._rotate_nc_jit(mesh, axis_name, n_rounds)
+    df = _df_mode()
+    clifford_fn = distributed._clifford_jit(mesh, axis_name, df)
+    rot_fn = distributed._rotate_nc_jit(mesh, axis_name, n_rounds, df)
 
     i, n_rot = 0, len(rotations)
     while i < n_rot:
@@ -211,11 +221,12 @@ def perform_rotations(
             i = j
         else:
             xr, zr, angle = rotations[i]
+            tc, ts = _trig_split(angle)
             dx, dz, dcr, dci, dns, ovf = rot_fn(
                 dx, dz, dcr, dci, dns,
                 jax.device_put(jnp.asarray(pack.to_u32(xr.reshape(1, -1))[0]), repl),
                 jax.device_put(jnp.asarray(pack.to_u32(zr.reshape(1, -1))[0]), repl),
-                jax.device_put(jnp.asarray(float(complex(angle).real), dt), repl),
+                jax.device_put(tc, repl), jax.device_put(ts, repl),
                 zt,
             )
             if np.asarray(ovf).any():
@@ -340,20 +351,21 @@ def expval(x, z, c, s_pack, amps, mesh, axis_name: str = "terms"):
     cr, ci = _split_c(_pad_rows(c, Tp))
     s32 = pack.to_u32(s_pack)
     ar, ai = _split_c(amps)
+    df = cr.ndim == 2
 
     sh_rows = NamedSharding(mesh, P(axis_name, None))
-    sh_vec = NamedSharding(mesh, P(axis_name))
+    sh_c = NamedSharding(mesh, distributed._coef_spec(df, axis_name))
     repl = NamedSharding(mesh, P())
     dx = jax.device_put(jnp.asarray(x32), sh_rows)
     dz = jax.device_put(jnp.asarray(z32), sh_rows)
-    dcr = jax.device_put(jnp.asarray(cr), sh_vec)
-    dci = jax.device_put(jnp.asarray(ci), sh_vec)
+    dcr = jax.device_put(jnp.asarray(cr), sh_c)
+    dci = jax.device_put(jnp.asarray(ci), sh_c)
     ds = jax.device_put(jnp.asarray(s32), repl)
     dar = jax.device_put(jnp.asarray(ar), repl)
     dai = jax.device_put(jnp.asarray(ai), repl)
 
     @jax.jit
-    @partial_shard_map_expval(mesh, axis_name)
+    @partial_shard_map_expval(mesh, axis_name, df)
     def _shard(xs, zs, crs, cis, s, a_r, a_i):
         re, im = jx_state.expval(xs, zs, crs, cis, s, a_r, a_i, s.shape[0])
         return (
@@ -362,22 +374,25 @@ def expval(x, z, c, s_pack, amps, mesh, axis_name: str = "terms"):
         )
 
     re, im = _shard(dx, dz, dcr, dci, ds, dar, dai)
-    return complex(float(re), float(im))
+    from ..kernels.dispatch import _scalar_from_dev
+
+    return _scalar_from_dev(np.asarray(re), np.asarray(im))
 
 
-def partial_shard_map_expval(mesh, axis_name):
+def partial_shard_map_expval(mesh, axis_name, df=False):
     """shard_map decorator for the expval reduction (terms sharded, state
-    replicated, scalar out)."""
+    replicated, scalar out; coefficient planes may carry a [hi, lo] axis)."""
     from functools import partial
 
     import jax
     from jax.sharding import PartitionSpec as P
 
+    spec_c = distributed._coef_spec(df, axis_name)
     return partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(axis_name, None), P(axis_name, None), P(axis_name),
-                  P(axis_name), P(), P(), P()),
+        in_specs=(P(axis_name, None), P(axis_name, None), spec_c,
+                  spec_c, P(), P(), P()),
         out_specs=(P(), P()),
     )
 
@@ -389,10 +404,9 @@ def _effective_host_threshold(zero_threshold, *coeff_vecs) -> float:
 
     Keep the floor rule in lockstep with jx_core.effective_threshold --
     a change applied to only one of the two desynchronizes the sharded and
-    single-device cleanup semantics.  The sharded drivers run PLAIN
-    coefficient planes (df=False) until the exchange kernels learn the
-    double-float layout."""
-    fl = float(_rel_floor(df=False))
+    single-device cleanup semantics.  The sharded drivers follow the
+    configured device precision (double-float planes in extended mode)."""
+    fl = float(_rel_floor())
     if fl == 0.0 or zero_threshold is None:
         return zero_threshold if zero_threshold is not None else 0.0
     m = max(float(np.max(np.abs(cv))) if len(cv) else 0.0 for cv in coeff_vecs)
