@@ -1,0 +1,78 @@
+"""Extended-precision (double-float) device-path regression tests.
+
+The main suite runs with x64 enabled (device kernels get native f64, the
+double-float lanes stay dormant), so the df path is exercised here in a
+subprocess with x64 OFF -- the same configuration as a real TPU deployment.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from symmer_tpu.kernels import jx_df
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DRIVER = r"""
+import os, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    import jax.extend.backend as jeb; jeb.clear_backends()
+except Exception:
+    pass
+jax.config.update("jax_enable_x64", False)  # f32 backend -> df mode active
+import numpy as np
+from symmer_tpu import PauliwordOp
+from symmer_tpu.config import config
+
+assert config.device_precision == "extended"
+np.random.seed(4)
+H = PauliwordOp.random(50, 400)
+r1 = PauliwordOp.random(50, 1); r1.coeff_vec[:] = 1
+r2 = PauliwordOp.random(50, 1); r2.coeff_vec[:] = 1
+rots = [(r1, 0.3), (r2, None)]
+
+config.backend = "host"
+mh = (H * H).cleanup()
+rh = H.perform_rotations(rots)
+config.backend = "device"
+md = (H * H).cleanup()
+rd = H.perform_rotations(rots)
+
+def rel(a, b):
+    da, db = a.to_dictionary, b.to_dictionary
+    assert set(da) == set(db), f"term sets differ by {len(set(da) ^ set(db))}"
+    s = max(abs(v) for v in db.values())
+    return max(abs(da[k] - db[k]) for k in da) / s
+
+print(json.dumps({"mul": rel(mh, md), "rot": rel(rh, rd)}))
+"""
+
+
+def test_host_split_merge_roundtrip():
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=1000) * 10.0 ** rng.uniform(-10, 10, 1000)
+    hi, lo = jx_df.host_split_f64(v)
+    assert hi.dtype == np.float32 and lo.dtype == np.float32
+    back = jx_df.host_merge_f64(hi, lo)
+    assert np.max(np.abs((back - v) / v)) < 2 ** -45
+
+
+@pytest.mark.slow
+def test_double_float_device_path_subprocess():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = REPO
+    out = subprocess.run(
+        [sys.executable, "-c", DRIVER], capture_output=True, text=True,
+        env=env, timeout=900, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    errs = json.loads(out.stdout.strip().splitlines()[-1])
+    assert errs["mul"] < 1e-12, errs
+    assert errs["rot"] < 1e-12, errs
