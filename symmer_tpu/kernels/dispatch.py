@@ -436,19 +436,31 @@ def perform_rotations(
                 x, z, c = np_core.cleanup(x, z, c, zero_threshold)
         return np_core.cleanup(x, z, c, zero_threshold)
 
-    import jax.numpy as jnp
-
-    # Device-resident sequence: the planes are uploaded ONCE, every Clifford
-    # run and non-Clifford rotation+cleanup executes on device arrays, and the
-    # result is downloaded ONCE at the end.  After each non-Clifford step the
-    # buffers are re-bucketed by a device-side slice (only the scalar survivor
-    # count crosses to the host, to pick the static bucket shape).
-    jitted = _jitted()
-    dt = _coeff_dtype()
     Tp = _next_bucket(T)
     dx, dz = _to_dev(x, Tp), _to_dev(z, Tp)
     dcr, dci = _coeff_to_dev(c, Tp)
-    n_valid = T
+    dx, dz, dcr, dci, n_valid = device_rotation_loop(
+        dx, dz, dcr, dci, T, rotations, zero_threshold
+    )
+    return _planes_from_dev(dx, dz, dcr, dci, n_valid)
+
+
+def device_rotation_loop(dx, dz, dcr, dci, n_valid, rotations, zero_threshold):
+    """Device-resident rotation sequence on ALREADY-UPLOADED planes.
+
+    Every Clifford run executes as one lax.scan, every non-Clifford rotation
+    as a fused rotate+cleanup; after each non-Clifford step the buffers are
+    re-bucketed by a device-side slice (only the scalar survivor count
+    crosses to the host, to pick the static bucket shape).  A final cleanup
+    compacts the result.  Shared by the host-boundary dispatch and the
+    device-resident DeviceOperator pipeline.
+
+    Returns (dx, dz, dcr, dci, n_valid) device arrays + host count.
+    """
+    import jax.numpy as jnp
+
+    jitted = _jitted()
+    dt = _coeff_dtype()
     th = jnp.asarray(
         zero_threshold if zero_threshold is not None else 0.0, dt
     )
@@ -491,7 +503,9 @@ def perform_rotations(
         ox, oz, ocr, oci, n = jitted["cleanup"](dx, dz, dcr, dci, n_valid)
     else:
         ox, oz, ocr, oci, n = jitted["cleanup_t"](dx, dz, dcr, dci, n_valid, th, fl)
-    return _planes_from_dev(ox, oz, ocr, oci, int(n))
+    n_valid = int(n)
+    Tp = _next_bucket(max(n_valid, 1))
+    return ox[:Tp], oz[:Tp], ocr[:Tp], oci[:Tp], n_valid
 
 
 @functools.lru_cache(maxsize=None)

@@ -8,6 +8,7 @@ from .base import (  # noqa: F401
     get_ij_operator,
     single_term_expval,
 )
+from .device_op import DeviceOperator  # noqa: F401
 from .independent_op import IndependentOp  # noqa: F401
 from .anticommuting_op import AntiCommutingOp  # noqa: F401
 from .noncontextual_op import NoncontextualOp, NoncontextualSolver  # noqa: F401

@@ -94,6 +94,14 @@ class PauliwordOp:
     def symp_matrix(self) -> np.ndarray:
         return np.hstack([self.X_block, self.Z_block])
 
+    def to_device(self):
+        """Upload to a device-resident :class:`DeviceOperator` for pipelines
+        of large operations (one transfer in, one out -- see
+        operators/device_op.py)."""
+        from .device_op import DeviceOperator
+
+        return DeviceOperator.from_host(self)
+
     def set_processing_method(self, method: str) -> None:
         """Set the kernel execution backend: auto | host | device.
 

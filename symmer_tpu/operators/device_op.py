@@ -1,0 +1,170 @@
+"""Device-resident Pauli-operator pipelines.
+
+Every ``PauliwordOp`` operation dispatched to the device pays a full
+host->device->host round trip -- the right trade for an isolated call, but a
+pipeline of N large operations moves the operator across the transport 2N
+times.  On a remote-attached chip (30 ms sync, tens of MB/s) the transfers
+dominate everything.
+
+``DeviceOperator`` keeps the packed planes in HBM between operations: one
+upload at ``PauliwordOp.to_device()``, one download at ``.to_host()``, and in
+between each step costs kernel time plus at most one scalar sync (the
+survivor count, needed to pick the next static bucket shape).  Coefficients
+follow ``config.device_precision`` (double-float [hi, lo] planes by default,
+~1e-14 parity with host f64).
+
+    H_dev = H.to_device()
+    out = ((H_dev * H_dev).cleanup()
+           .perform_rotations(rotations)
+           .to_host())
+
+The reference has no counterpart (its accelerators are in-process); this is
+the TPU-native answer to "keep the data where the compute is".
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+from ..config import config
+from ..kernels import dispatch, pack
+
+
+class DeviceOperator:
+    """A Pauli sum resident on the JAX device.
+
+    Internal state: padded uint32 planes ``x32, z32`` (power-of-two bucket),
+    coefficient planes ``cr, ci`` (plain or [hi, lo] double-float, following
+    ``config.device_precision`` at upload time), a host-side valid-row count
+    and the qubit count.  Instances are immutable; every operation returns a
+    new ``DeviceOperator`` sharing no buffers.
+    """
+
+    __slots__ = ("x32", "z32", "cr", "ci", "n_valid", "n_qubits")
+
+    def __init__(self, x32, z32, cr, ci, n_valid: int, n_qubits: int):
+        self.x32 = x32
+        self.z32 = z32
+        self.cr = cr
+        self.ci = ci
+        self.n_valid = int(n_valid)
+        self.n_qubits = int(n_qubits)
+
+    # -- host boundary ------------------------------------------------------
+
+    @classmethod
+    def from_host(cls, op) -> "DeviceOperator":
+        """Upload a PauliwordOp (ONE transfer; bucket-padded planes)."""
+        T = op.n_terms
+        Tp = dispatch._next_bucket(T)
+        return cls(
+            dispatch._to_dev(op.x_pack, Tp),
+            dispatch._to_dev(op.z_pack, Tp),
+            *dispatch._coeff_to_dev(op.coeff_vec, Tp),
+            T, op.n_qubits,
+        )
+
+    def to_host(self):
+        """Download the valid rows as a PauliwordOp (ONE batched transfer)."""
+        from .base import PauliwordOp
+
+        x, z, c = dispatch._planes_from_dev(
+            self.x32, self.z32, self.cr, self.ci, self.n_valid
+        )
+        if x.shape[0] == 0:
+            return PauliwordOp.empty(self.n_qubits).cleanup()
+        W = pack.n_words_for(self.n_qubits)
+        return PauliwordOp.from_planes(x[:, :W], z[:, :W], c, self.n_qubits)
+
+    @property
+    def n_terms(self) -> int:
+        return self.n_valid
+
+    def __repr__(self) -> str:
+        return (
+            f"DeviceOperator(n_qubits={self.n_qubits}, n_terms={self.n_valid}, "
+            f"bucket={self.x32.shape[0]})"
+        )
+
+    # -- device-resident operations ----------------------------------------
+
+    def _rebucket(self, ox, oz, ocr, oci, n: int) -> "DeviceOperator":
+        n = max(int(n), 1)
+        Tp = dispatch._next_bucket(n)
+        return DeviceOperator(
+            ox[:Tp], oz[:Tp], ocr[:Tp], oci[:Tp], n, self.n_qubits
+        )
+
+    def cleanup(self, zero_threshold: Optional[float] = None) -> "DeviceOperator":
+        """Deduplicate terms on device (one scalar sync)."""
+        import jax.numpy as jnp
+
+        if zero_threshold is None:
+            zero_threshold = config.zero_threshold
+        out = dispatch._jitted()["cleanup_t"](
+            self.x32, self.z32, self.cr, self.ci, self.n_valid,
+            jnp.asarray(zero_threshold, dispatch._coeff_dtype()),
+            dispatch._rel_floor(),
+        )
+        return self._rebucket(*out)
+
+    def multiply(self, other: "DeviceOperator",
+                 zero_threshold: float = 1e-15) -> "DeviceOperator":
+        """Fused all-pairs product + cleanup on device (one scalar sync).
+
+        The padded rows carry zero coefficients, so their products fall
+        under the (required, nonzero) threshold and vanish.
+        """
+        import jax.numpy as jnp
+
+        assert self.n_qubits == other.n_qubits, "qubit-count mismatch"
+        assert zero_threshold is not None and zero_threshold > 0, (
+            "device-resident multiply requires a positive threshold "
+            "(padding rows are dropped by it)"
+        )
+        out = dispatch._jitted()["mul_cleanup"](
+            self.x32, self.z32, self.cr, self.ci,
+            other.x32, other.z32, other.cr, other.ci,
+            jnp.asarray(zero_threshold, dispatch._coeff_dtype()),
+            dispatch._rel_floor(),
+        )
+        return self._rebucket(*out)
+
+    def __mul__(self, other: "DeviceOperator") -> "DeviceOperator":
+        return self.multiply(other)
+
+    def perform_rotations(
+        self, rotations: Sequence[Tuple[object, Optional[float]]],
+        zero_threshold: Optional[float] = 1e-15,
+    ) -> "DeviceOperator":
+        """Apply a (PauliwordOp, angle) rotation sequence, staying on device.
+
+        Clifford runs execute as single lax.scans; each non-Clifford step
+        costs one scalar sync for the bucket re-size (dispatch.device_rotation_loop).
+        """
+        rot_planes = [
+            (r.x_pack[0], r.z_pack[0], angle) for r, angle in rotations
+        ]
+        dx, dz, dcr, dci, n = dispatch.device_rotation_loop(
+            self.x32, self.z32, self.cr, self.ci, self.n_valid,
+            rot_planes, zero_threshold,
+        )
+        return DeviceOperator(dx, dz, dcr, dci, n, self.n_qubits)
+
+    def expval_iz(self) -> complex:
+        """<0...0| O |0...0>: sum of I/Z-only coefficients (one scalar fetch
+        -- the Clifford-simulator reduction, no operator download)."""
+        re, im = _jitted_iz()(self.x32, self.cr, self.ci, self.n_valid)
+        import jax
+
+        re_h, im_h = jax.device_get((re, im))
+        return dispatch._scalar_from_dev(re_h, im_h)
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_iz():
+    import jax
+
+    from ..kernels import jx_core
+
+    return jax.jit(jx_core.expval_iz_sum)

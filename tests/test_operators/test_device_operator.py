@@ -1,0 +1,58 @@
+"""Device-resident operator pipeline (DeviceOperator) tests."""
+import numpy as np
+import pytest
+
+from symmer_tpu import PauliwordOp
+from symmer_tpu.operators import DeviceOperator
+
+
+def test_roundtrip_identity():
+    op = PauliwordOp.random(30, 100).cleanup()
+    back = op.to_device().to_host()
+    assert back == op
+
+
+def test_multiply_cleanup_pipeline_matches_host():
+    np.random.seed(2)
+    A = PauliwordOp.random(24, 60)
+    B = PauliwordOp.random(24, 40)
+    host = (A * B).cleanup()
+    dev = (A.to_device() * B.to_device()).cleanup().to_host()
+    assert dev == host
+
+
+def test_rotations_pipeline_matches_host():
+    np.random.seed(3)
+    op = PauliwordOp.random(20, 80)
+    r1 = PauliwordOp.random(20, 1); r1.coeff_vec[:] = 1
+    r2 = PauliwordOp.random(20, 1); r2.coeff_vec[:] = 1
+    rots = [(r1, 0.7), (r2, None)]
+    host = op.perform_rotations(rots)
+    dev = op.to_device().perform_rotations(rots).to_host()
+    assert dev == host
+
+
+def test_chained_pipeline_single_upload():
+    np.random.seed(4)
+    H = PauliwordOp.random(16, 50)
+    r = PauliwordOp.random(16, 1); r.coeff_vec[:] = 1
+    host = (H * H).cleanup().perform_rotations([(r, 0.3)])
+    Hd = H.to_device()
+    dev = (Hd * Hd).cleanup().perform_rotations([(r, 0.3)]).to_host()
+    assert dev == host
+
+
+def test_expval_iz_matches_host():
+    np.random.seed(5)
+    op = PauliwordOp.random(12, 40)
+    diag = ~np.any(op.X_block, axis=1)
+    want = complex(np.sum(op.coeff_vec[diag]))
+    got = op.to_device().expval_iz()
+    assert abs(got - want) < 1e-10 * max(abs(want), 1.0)
+
+
+def test_n_terms_and_repr():
+    op = PauliwordOp.random(10, 33).cleanup()
+    d = op.to_device()
+    assert d.n_terms == op.n_terms
+    assert "DeviceOperator" in repr(d)
