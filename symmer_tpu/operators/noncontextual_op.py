@@ -612,9 +612,19 @@ class NoncontextualSolver:
             )
         search_size = 2**free
         M = self.NC_op.n_terms
+        # transport-aware: the device search uploads only the small reduction
+        # matrices and downloads one (E, nu) pair, so it wins on compute --
+        # but pays ~3 dispatch syncs, which dominate small searches through a
+        # remote transport (free > 20 would exhaust host memory regardless)
         use_dev = config.backend != "host" and (
             free > 20
-            or (search_size >= 1024 and config.use_device(search_size * M // 64))
+            or (
+                search_size >= 1024
+                and config.use_device_io(
+                    search_size * M / config.host_dense_rate,
+                    up_bytes=M * 64, down_bytes=64, n_syncs=3,
+                )
+            )
         )
         if use_dev:
             return self._brute_force_device(free)
