@@ -26,13 +26,25 @@ import numpy as np
 from ..kernels import dense
 
 
-def _term_arrays(op, dtype):
-    """(x_int, z_int, phase_re, phase_im) per term; phase = (-i)^{|Y|} c."""
+def _term_arrays(op, dtype, df: bool = False):
+    """(x_int, z_int, phase_re, phase_im) per term; phase = (-i)^{|Y|} c.
+
+    With ``df`` the phase planes are (T, 2) double-float [hi, lo] pairs
+    (jx_df) so the dense engine carries chemistry precision on chip."""
     x_int = dense.plane_ints(op.x_pack, op.n_qubits)
     z_int = dense.plane_ints(op.z_pack, op.n_qubits)
     y_cnt = np.bitwise_count(op.x_pack & op.z_pack).sum(axis=1).astype(np.int64)
     phase = ((-1j) ** (y_cnt % 4)) * op.coeff_vec
     idt = np.int32 if op.n_qubits < 31 else np.int64
+    if df:
+        from ..kernels import jx_df
+
+        rh, rl = jx_df.host_split_f64(np.ascontiguousarray(phase.real, np.float64))
+        ih, il = jx_df.host_split_f64(np.ascontiguousarray(phase.imag, np.float64))
+        return (
+            x_int.astype(idt), z_int.astype(idt),
+            np.stack([rh, rl], axis=-1), np.stack([ih, il], axis=-1),
+        )
     return (
         x_int.astype(idt), z_int.astype(idt),
         np.ascontiguousarray(phase.real, dtype),
@@ -42,11 +54,18 @@ def _term_arrays(op, dtype):
 
 @functools.lru_cache(maxsize=32)
 def _jitted_engine(n_qubits: int, n_params: int, n_terms: int, f64: bool,
-                   mesh=None, axis_name: str = "terms"):
+                   df: bool = False, mesh=None, axis_name: str = "terms"):
     """(loss, grad) jitted for the given shape signature.
 
     Shapes (not values) key the cache, so an optimizer loop reuses one
     compilation; ADAPT recompiles once per added excitation bucket.
+
+    With ``df`` the statevector and all phases are double-float [hi, lo]
+    lane tuples (jx_df): the energy VALUE reaches ~1e-13 of an exact f64
+    statevector on an f32-only chip.  The gradient differentiates the hi
+    chain (the error-term expressions are algebraically zero under AD), so
+    its accuracy stays f32-level -- exactly what an optimizer needs: values
+    converge at chemistry precision, directions at float precision.
 
     With ``mesh``, the Hamiltonian-term axis shards across devices: the
     ansatz evolution runs replicated (cheap: one dense state), each device
@@ -58,12 +77,14 @@ def _jitted_engine(n_qubits: int, n_params: int, n_terms: int, f64: bool,
     import jax.numpy as jnp
     from jax import lax
 
+    from ..kernels import jx_core, jx_df
+
     cdt = jnp.complex128 if f64 else jnp.complex64
     fdt = jnp.float64 if f64 else jnp.float32
     idt = jnp.int32 if n_qubits < 31 else jnp.int64
     dim = 1 << n_qubits
 
-    def loss(x, p0r, p0i, gxi, gzi, gpr, gpi, hxi, hzi, hpr, hpi):
+    def loss_plain(x, p0r, p0i, gxi, gzi, gpr, gpi, hxi, hzi, hpr, hpi):
         rows = jnp.arange(dim, dtype=idt)
         psi0 = (p0r + 1j * p0i).astype(cdt)
 
@@ -88,6 +109,75 @@ def _jitted_engine(n_qubits: int, n_params: int, n_terms: int, f64: bool,
             return lax.psum(e.real, axis_name)
         return e.real
 
+    def loss_df(tc, ts, p0r, p0i, gxi, gzi, gpr, gpi, hxi, hzi, hpr, hpi):
+        """Returns the energy as a double-float (rh, rl) pair.
+
+        ``tc, ts``: (n_params, 2) double-float cos/sin of the parameters,
+        evaluated on HOST in f64 (device f32 trig of a traced angle caps the
+        whole engine at ~1e-7; the parameter enters the computation only
+        through its trig values, so shipping them exactly restores the df
+        budget).  dE/dx is assembled by the caller from grads w.r.t. tc/ts.
+        """
+        rows = jnp.arange(dim, dtype=idt)
+        psi = (p0r[:, 0], p0r[:, 1], p0i[:, 0], p0i[:, 1])
+
+        def evolve(psi, tpl):
+            tck, tsk, xi, zi, pr, pi = tpl  # (2,) df pairs
+            sgn = (1 - 2 * (lax.population_count(rows & zi) & 1)).astype(fdt)
+            perm = tuple(l[rows ^ xi] for l in psi)
+            ph = (pr[0], pr[1], pi[0], pi[1])
+            gpsi = jx_core.c_scale_exact(jx_core.c_mul(ph, perm, True), sgn)
+            new = jx_core.c_add(
+                jx_core.c_scale_df(psi, tck, True),
+                jx_core.c_ipow(1, jx_core.c_scale_df(gpsi, tsk, True), True),
+                True,
+            )
+            return new, None
+
+        psi, _ = lax.scan(evolve, psi, (tc, ts, gxi, gzi, gpr, gpi))
+        conj_psi = (psi[0], psi[1], -psi[2], -psi[3])
+
+        def hterm(acc, tpl):
+            xi, zi, pr, pi = tpl
+            sgn = (1 - 2 * (lax.population_count(rows & zi) & 1)).astype(fdt)
+            perm = tuple(l[rows ^ xi] for l in psi)
+            ph = (pr[0], pr[1], pi[0], pi[1])
+            y = jx_core.c_scale_exact(jx_core.c_mul(ph, perm, True), sgn)
+            prod = jx_core.c_mul(conj_psi, y, True)
+            rh, rl = jx_df.df_sum(prod[0], prod[1])
+            return jx_df.df_add(acc[0], acc[1], rh, rl), None
+
+        acc0 = (jnp.zeros((), fdt) + hpr[0, 0] * 0, jnp.zeros((), fdt))
+        (eh, el), _ = lax.scan(hterm, acc0, (hxi, hzi, hpr, hpi))
+        if mesh is not None:
+            # psum hi and lo lanes separately; the O(n_dev eps32) merge error
+            # is far below the df budget
+            return lax.psum(eh, axis_name), lax.psum(el, axis_name)
+        return eh, el
+
+    if df:
+        loss_pair = loss_df
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            rep = P()
+            loss_pair = jax.shard_map(
+                loss_pair, mesh=mesh,
+                in_specs=(rep,) * 8 + (P(axis_name),) * 2
+                + (P(axis_name, None),) * 2,
+                out_specs=(rep, rep),
+            )
+
+        def loss_scalar(*args):
+            eh, el = loss_pair(*args)
+            return eh + el
+
+        return (
+            jax.jit(loss_pair),
+            jax.jit(jax.grad(loss_scalar, argnums=(0, 1))),
+        )
+
+    loss = loss_plain
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -118,11 +208,16 @@ class DeviceVQEEngine:
             np.abs(generators.coeff_vec), 1
         ), "DeviceVQEEngine requires unit-modulus generator coefficients"
 
+        from ..kernels.dispatch import _df_mode
+
         self.f64 = bool(jax.config.jax_enable_x64) and jax.default_backend() != "tpu"
+        # extended precision on f32-only backends: double-float [hi, lo]
+        # phases and statevector lanes (config.device_precision)
+        self.df = (not self.f64) and _df_mode()
         fdt = np.float64 if self.f64 else np.float32
         self.n_qubits = observable.n_qubits
         self.n_params = generators.n_terms
-        gxi, gzi, gpr, gpi = _term_arrays(generators, fdt)
+        gxi, gzi, gpr, gpi = _term_arrays(generators, fdt, df=self.df)
         # pad the generator axis to a power-of-two bucket with identity
         # no-ops (x_int = z_int = 0, phase 1, parameter pinned to 0):
         # exp(i*0*I) is exact identity, its gradient entry is exactly 0, and
@@ -132,11 +227,19 @@ class DeviceVQEEngine:
         self._padded = max(1, 1 << (max(self.n_params, 1) - 1).bit_length())
         pad = self._padded - self.n_params
         if pad:
+            def _pad_phase(a, one):
+                fill = np.zeros((pad,) + a.shape[1:], a.dtype)
+                if one:
+                    fill[..., 0] = 1  # hi lane (or the plain value) = 1
+                return np.concatenate([a, fill]) if a.ndim > 1 else np.concatenate(
+                    [a, np.ones(pad, a.dtype) if one else np.zeros(pad, a.dtype)]
+                )
+
             gxi = np.concatenate([gxi, np.zeros(pad, gxi.dtype)])
             gzi = np.concatenate([gzi, np.zeros(pad, gzi.dtype)])
-            gpr = np.concatenate([gpr, np.ones(pad, gpr.dtype)])
-            gpi = np.concatenate([gpi, np.zeros(pad, gpi.dtype)])
-        hxi, hzi, hpr, hpi = _term_arrays(observable, fdt)
+            gpr = _pad_phase(gpr, one=True)
+            gpi = _pad_phase(gpi, one=False)
+        hxi, hzi, hpr, hpi = _term_arrays(observable, fdt, df=self.df)
         psi0 = ref_state.to_dense_matrix.reshape(-1)
 
         from ..config import config
@@ -150,19 +253,27 @@ class DeviceVQEEngine:
             Tp = -(-n_terms // n_dev) * n_dev
             padT = Tp - n_terms
             if padT:
-                hxi = np.concatenate([hxi, np.zeros(padT, hxi.dtype)])
-                hzi = np.concatenate([hzi, np.zeros(padT, hzi.dtype)])
-                hpr = np.concatenate([hpr, np.zeros(padT, hpr.dtype)])
-                hpi = np.concatenate([hpi, np.zeros(padT, hpi.dtype)])
+                def _padT0(a):
+                    return np.concatenate(
+                        [a, np.zeros((padT,) + a.shape[1:], a.dtype)]
+                    )
+
+                hxi, hzi, hpr, hpi = map(_padT0, (hxi, hzi, hpr, hpi))
             n_terms = Tp
         else:
             mesh = None
 
-        rep_args = (
-            np.ascontiguousarray(psi0.real, fdt),
-            np.ascontiguousarray(psi0.imag, fdt),
-            gxi, gzi, gpr, gpi,
-        )
+        if self.df:
+            from ..kernels import jx_df
+
+            prh, prl = jx_df.host_split_f64(np.ascontiguousarray(psi0.real, np.float64))
+            pih, pil = jx_df.host_split_f64(np.ascontiguousarray(psi0.imag, np.float64))
+            p0r = np.stack([prh, prl], axis=-1)
+            p0i = np.stack([pih, pil], axis=-1)
+        else:
+            p0r = np.ascontiguousarray(psi0.real, fdt)
+            p0i = np.ascontiguousarray(psi0.imag, fdt)
+        rep_args = (p0r, p0i, gxi, gzi, gpr, gpi)
         h_args = (hxi, hzi, hpr, hpi)
         if mesh is None:
             self._args = tuple(jnp.asarray(a) for a in rep_args + h_args)
@@ -170,13 +281,21 @@ class DeviceVQEEngine:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             rep = NamedSharding(mesh, P())
-            shd = NamedSharding(mesh, P(mesh.axis_names[0]))
+            ax = mesh.axis_names[0]
             self._args = tuple(
                 [jax.device_put(jnp.asarray(a), rep) for a in rep_args]
-                + [jax.device_put(jnp.asarray(a), shd) for a in h_args]
+                + [
+                    jax.device_put(
+                        jnp.asarray(a),
+                        NamedSharding(
+                            mesh, P(ax, None) if a.ndim == 2 else P(ax)
+                        ),
+                    )
+                    for a in h_args
+                ]
             )
         self._loss, self._grad = _jitted_engine(
-            self.n_qubits, self._padded, n_terms, self.f64,
+            self.n_qubits, self._padded, n_terms, self.f64, self.df,
             mesh=mesh, axis_name=mesh.axis_names[0] if mesh is not None else "terms",
         )
 
@@ -186,16 +305,50 @@ class DeviceVQEEngine:
             x = np.concatenate([x, np.zeros(self._padded - len(x))])
         return x
 
+    def _trig_args(self, x):
+        """(cos, sin) of the padded parameters as (n, 2) double-float pairs
+        from exact host-f64 evaluation."""
+        import jax.numpy as jnp
+
+        from ..kernels import jx_df
+
+        c64 = np.cos(x)
+        s64 = np.sin(x)
+        ch, cl = jx_df.host_split_f64(c64)
+        sh, sl = jx_df.host_split_f64(s64)
+        return (
+            jnp.asarray(np.stack([ch, cl], axis=-1)),
+            jnp.asarray(np.stack([sh, sl], axis=-1)),
+            c64, s64,
+        )
+
     def loss(self, x) -> float:
         import jax.numpy as jnp
 
-        return float(self._loss(jnp.asarray(self._pad_x(x)), *self._args))
+        xp = self._pad_x(x)
+        if self.df:
+            tc, ts, _, _ = self._trig_args(xp)
+            eh, el = self._loss(tc, ts, *self._args)
+            return float(np.asarray(eh)) + float(np.asarray(el))
+        return float(self._loss(jnp.asarray(xp), *self._args))
 
     def gradient(self, x) -> np.ndarray:
         import jax.numpy as jnp
 
+        xp = self._pad_x(x)
+        if self.df:
+            # dE/dx = dE/dcos * (-sin) + dE/dsin * cos, chain rule assembled
+            # on host with the exact f64 trig values.  Both [hi, lo] lanes
+            # enter the represented value ADDITIVELY, so each lane's partial
+            # already carries the full dE/dcos -- take the hi lane (summing
+            # would double-count)
+            tc, ts, c64, s64 = self._trig_args(xp)
+            g_tc, g_ts = self._grad(tc, ts, *self._args)
+            g_cos = np.asarray(g_tc, np.float64)[..., 0]
+            g_sin = np.asarray(g_ts, np.float64)[..., 0]
+            return (g_cos * (-s64) + g_sin * c64)[: self.n_params]
         return np.asarray(
-            self._grad(jnp.asarray(self._pad_x(x)), *self._args),
+            self._grad(jnp.asarray(xp), *self._args),
             dtype=np.float64,
         )[: self.n_params]
 
@@ -206,6 +359,7 @@ class DeviceVQEEngine:
 
         return (
             id(config.mesh),
+            config.device_precision,
             observable.x_pack.tobytes(), observable.z_pack.tobytes(),
             observable.coeff_vec.tobytes(),
             generators.x_pack.tobytes(), generators.z_pack.tobytes(),

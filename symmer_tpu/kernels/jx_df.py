@@ -20,6 +20,15 @@ VPU provides; XLA's default algebraic simplifier does not reassociate floats,
 so the transformations survive compilation (validated on hardware by
 ``bench.py --check`` at 1e-12 tolerance).
 
+Backend caveat: XLA:CPU's LLVM codegen may CONTRACT multiply-add chains into
+FMAs inside fused loops when scalar/broadcast operands are involved, which
+degrades df_mul's renormalisation to plain-f32 accuracy (~1e-7) in some
+graphs -- observed in the dense VQE engine's evolve step on the CPU-f32 test
+configuration; never observed on TPU (bench --check: 1e-13..1e-15), and the
+CPU-with-x64 path uses native f64 and is unaffected.  The split uses integer
+mantissa masking rather than the arithmetic Veltkamp form specifically to
+shrink this attack surface (two_prod is bit-exact on every backend tested).
+
 Reference bar: f64 coefficient semantics of symmer ``operators/base.py:64-74``.
 """
 from __future__ import annotations
@@ -42,15 +51,27 @@ def fast_two_sum(a, b):
     return s, e
 
 
-def _split_factor(dtype):
-    # Veltkamp: 2^ceil(p/2) + 1 with p the mantissa width (f32: 24 -> 2^12+1)
-    return 4097.0 if jnp.dtype(dtype).itemsize == 4 else 134217729.0
-
-
 def split(a):
-    """Veltkamp split: a = hi + lo with hi, lo each on half the mantissa."""
-    c = a * jnp.asarray(_split_factor(a.dtype), a.dtype)
-    hi = c - (c - a)
+    """Truncation split via mantissa masking: a = hi + lo EXACTLY, with both
+    halves narrow enough that their pairwise products are exact in the
+    working precision (f32: 12+12 significant bits; f64: 26+27).
+
+    Deliberately NOT the arithmetic Veltkamp split (c = a*(2^s+1);
+    hi = c - (c - a)): backend compilers may contract the multiply-subtract
+    chains into FMAs inside fused loops, which silently destroys the
+    error-free property (observed on XLA:CPU with scalar/broadcast operands;
+    f32 coefficient noise where 1e-14 was expected).  Integer masking is
+    opaque to floating-point rewrites."""
+    from jax import lax
+
+    if jnp.dtype(a.dtype).itemsize == 4:
+        bits = lax.bitcast_convert_type(a, jnp.uint32)
+        hi = lax.bitcast_convert_type(bits & jnp.uint32(0xFFFFF000), a.dtype)
+    else:
+        bits = lax.bitcast_convert_type(a, jnp.uint64)
+        hi = lax.bitcast_convert_type(
+            bits & jnp.uint64(0xFFFFFFFFF8000000), a.dtype
+        )
     return hi, a - hi
 
 
@@ -88,8 +109,14 @@ def df_sub(ah, al, bh, bl):
 
 def df_mul(ah, al, bh, bl):
     """(ah+al) * (bh+bl) -> renormalised (h, l)."""
+    from jax import lax
+
     ph, pe = two_prod(ah, bh)
     pe = pe + (ah * bl + al * bh)
+    # the renormalising add s = ph + pe must NOT contract with ph's producing
+    # multiply into an FMA (fast_two_sum's correction then measures against
+    # the wrong sum); the barrier materialises ph first
+    ph = lax.optimization_barrier(ph)
     return fast_two_sum(ph, pe)
 
 

@@ -43,6 +43,7 @@ rh = H.perform_rotations(rots)
 config.backend = "device"
 md = (H * H).cleanup()
 rd = H.perform_rotations(rots)
+config.backend = "auto"
 
 def rel(a, b):
     da, db = a.to_dictionary, b.to_dictionary
@@ -50,7 +51,36 @@ def rel(a, b):
     s = max(abs(v) for v in db.values())
     return max(abs(da[k] - db[k]) for k in da) / s
 
-print(json.dumps({"mul": rel(mh, md), "rot": rel(rh, rd)}))
+# df dense VQE engine vs exact statevector (CPU-f32 floor ~1e-7 from LLVM
+# FMA contraction, see jx_df docstring; the same engine measures 5e-14 on
+# real TPU hardware)
+from symmer_tpu import QuantumState
+from symmer_tpu.evolution.jx_vqe import DeviceVQEEngine
+import scipy.linalg as sl
+
+nqv = 5
+Hv = PauliwordOp.random(nqv, 20)
+Hv.coeff_vec = Hv.coeff_vec.real.astype(complex)
+gv = PauliwordOp.random(nqv, 4); gv.coeff_vec[:] = 1
+refv = QuantumState(np.eye(nqv, dtype=int)[:1]).normalize
+xv = np.random.randn(4) * 0.3
+eng = DeviceVQEEngine(Hv, gv, refv)
+assert eng.df
+ev = eng.loss(xv)
+gr = eng.gradient(xv)
+psi = refv.to_dense_matrix.reshape(-1).astype(complex)
+for k in range(4):
+    psi = sl.expm(1j * xv[k] * gv[k].to_sparse_matrix.toarray()) @ psi
+ev_exact = float(np.real(psi.conj() @ Hv.to_sparse_matrix.toarray() @ psi))
+h = 1e-3
+xp = xv.copy(); xp[0] += h
+xm = xv.copy(); xm[0] -= h
+fd = (eng.loss(xp) - eng.loss(xm)) / (2 * h)
+
+print(json.dumps({
+    "mul": rel(mh, md), "rot": rel(rh, rd),
+    "vqe": abs(ev - ev_exact), "vqe_grad": abs(fd - gr[0]),
+}))
 """
 
 
@@ -76,3 +106,5 @@ def test_double_float_device_path_subprocess():
     errs = json.loads(out.stdout.strip().splitlines()[-1])
     assert errs["mul"] < 1e-12, errs
     assert errs["rot"] < 1e-12, errs
+    assert errs["vqe"] < 1e-5, errs       # CPU-f32 contraction floor; 5e-14 on TPU
+    assert errs["vqe_grad"] < 1e-3, errs
