@@ -147,7 +147,10 @@ def _jitted_engine(n_qubits: int, n_params: int, n_terms: int, f64: bool,
             rh, rl = jx_df.df_sum(prod[0], prod[1])
             return jx_df.df_add(acc[0], acc[1], rh, rl), None
 
-        acc0 = (jnp.zeros((), fdt) + hpr[0, 0] * 0, jnp.zeros((), fdt))
+        # both carry lanes seeded from the (possibly device-varying) term
+        # arrays so the scan types check under shard_map's varying-axis rules
+        vary0 = hpr[0, 0] * 0
+        acc0 = (jnp.zeros((), fdt) + vary0, jnp.zeros((), fdt) + vary0)
         (eh, el), _ = lax.scan(hterm, acc0, (hxi, hzi, hpr, hpi))
         if mesh is not None:
             # psum hi and lo lanes separately; the O(n_dev eps32) merge error

@@ -108,3 +108,53 @@ def test_double_float_device_path_subprocess():
     assert errs["rot"] < 1e-12, errs
     assert errs["vqe"] < 1e-5, errs       # CPU-f32 contraction floor; 5e-14 on TPU
     assert errs["vqe_grad"] < 1e-3, errs
+
+
+MESH_DRIVER = r"""
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax
+jax.config.update("jax_platforms", "cpu")
+try:
+    import jax.extend.backend as jeb; jeb.clear_backends()
+except Exception:
+    pass
+jax.config.update("jax_enable_x64", False)
+import json
+import numpy as np
+import symmer_tpu
+from symmer_tpu import PauliwordOp, QuantumState
+from symmer_tpu.evolution.jx_vqe import DeviceVQEEngine
+
+np.random.seed(2)
+nq = 5
+H = PauliwordOp.random(nq, 24)
+H.coeff_vec = H.coeff_vec.real.astype(complex)
+gens = PauliwordOp.random(nq, 3); gens.coeff_vec[:] = 1
+ref = QuantumState(np.eye(nq, dtype=int)[:1]).normalize
+x = np.random.randn(3) * 0.3
+eng1 = DeviceVQEEngine(H, gens, ref)
+assert eng1.df
+e1 = eng1.loss(x); g1 = eng1.gradient(x)
+with symmer_tpu.use_mesh():
+    engm = DeviceVQEEngine(H, gens, ref)
+    em = engm.loss(x); gm = engm.gradient(x)
+print(json.dumps({"de": abs(e1 - em), "dg": float(np.max(np.abs(g1 - gm)))}))
+"""
+
+
+@pytest.mark.slow
+def test_double_float_mesh_vqe_subprocess():
+    """df VQE engine under an 8-device mesh agrees with single-device
+    (tolerance at the documented CPU-f32 contraction floor; exact on TPU)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO
+    out = subprocess.run(
+        [sys.executable, "-c", MESH_DRIVER], capture_output=True, text=True,
+        env=env, timeout=900, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    assert d["de"] < 1e-6, d
+    assert d["dg"] < 1e-5, d
