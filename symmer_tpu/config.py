@@ -102,6 +102,11 @@ class SymmerTPUConfig:
             return False
         if not self.transport_aware:
             return host_s > 5e-3
+        # cheap short-circuit: no transport is faster than ~50 us of dispatch
+        # latency, so a sub-millisecond host job never needs the (lazily
+        # probed, potentially JAX-initialising) transport profile at all
+        if host_s < n_syncs * 5e-5:
+            return False
         from .kernels import transport
 
         p = transport.profile()

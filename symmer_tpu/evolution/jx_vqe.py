@@ -39,12 +39,8 @@ def _term_arrays(op, dtype, df: bool = False):
     if df:
         from ..kernels import jx_df
 
-        rh, rl = jx_df.host_split_f64(np.ascontiguousarray(phase.real, np.float64))
-        ih, il = jx_df.host_split_f64(np.ascontiguousarray(phase.imag, np.float64))
-        return (
-            x_int.astype(idt), z_int.astype(idt),
-            np.stack([rh, rl], axis=-1), np.stack([ih, il], axis=-1),
-        )
+        pr, pi = jx_df.host_split_complex(phase)
+        return (x_int.astype(idt), z_int.astype(idt), pr, pi)
     return (
         x_int.astype(idt), z_int.astype(idt),
         np.ascontiguousarray(phase.real, dtype),
@@ -205,11 +201,13 @@ class DeviceVQEEngine:
             f"{observable.n_qubits} qubits exceeds the supported range"
         )
         # the evolve step computes cos(x)psi + i sin(x) c P psi, which equals
-        # exp(i x c P) only for |c| == 1 (VQE_Driver.prepare_for_evolution
-        # normalises; guard against direct callers that do not)
-        assert generators.n_terms == 0 or np.allclose(
-            np.abs(generators.coeff_vec), 1
-        ), "DeviceVQEEngine requires unit-modulus generator coefficients"
+        # exp(i x c P) only when c^2 == 1, i.e. c is REAL +-1 (complex
+        # unit-modulus c like i gives (cP)^2 = -I and a hyperbolic evolution).
+        # VQE_Driver.prepare_for_evolution normalises; guard direct callers.
+        assert generators.n_terms == 0 or (
+            np.allclose(generators.coeff_vec.imag, 0)
+            and np.allclose(np.abs(generators.coeff_vec.real), 1)
+        ), "DeviceVQEEngine requires real +-1 generator coefficients"
 
         from ..kernels.dispatch import _df_mode
 
@@ -269,10 +267,7 @@ class DeviceVQEEngine:
         if self.df:
             from ..kernels import jx_df
 
-            prh, prl = jx_df.host_split_f64(np.ascontiguousarray(psi0.real, np.float64))
-            pih, pil = jx_df.host_split_f64(np.ascontiguousarray(psi0.imag, np.float64))
-            p0r = np.stack([prh, prl], axis=-1)
-            p0i = np.stack([pih, pil], axis=-1)
+            p0r, p0i = jx_df.host_split_complex(psi0)
         else:
             p0r = np.ascontiguousarray(psi0.real, fdt)
             p0i = np.ascontiguousarray(psi0.imag, fdt)

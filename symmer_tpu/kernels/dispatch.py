@@ -106,18 +106,16 @@ def _df_mode() -> bool:
     return config.device_precision == "extended" and _coeff_dtype() == np.float32
 
 
-def _rel_floor(df: Optional[bool] = None):
+def _rel_floor():
     """Relative threshold floor for the device cleanup (0.0 disables).
 
     Nonzero only on float32 backends, where cancellation residue sits above
     the absolute threshold of the f64 host semantics: ~2e-6 relative in plain
     f32, ~1e-12 in extended (double-float) mode (see
     config.f32_threshold_rel_floor / extended_threshold_rel_floor and
-    jx_core.effective_threshold).  ``df`` pins the mode for callers that run
-    a fixed coefficient layout (e.g. the still-plain sharded drivers)."""
+    jx_core.effective_threshold)."""
     dt = _coeff_dtype()
-    if df is None:
-        df = _df_mode()
+    df = _df_mode()
     if dt != np.float32:
         fl = 0.0
     elif df:
@@ -150,10 +148,7 @@ def _coeff_to_dev(c: np.ndarray, pad_rows: int = 0, df: Optional[bool] = None):
     if df and dt == np.float32:
         from . import jx_df
 
-        rh, rl = jx_df.host_split_f64(np.ascontiguousarray(c.real, np.float64))
-        ih, il = jx_df.host_split_f64(np.ascontiguousarray(c.imag, np.float64))
-        cr = np.stack([rh, rl], axis=-1)
-        ci = np.stack([ih, il], axis=-1)
+        cr, ci = jx_df.host_split_complex(c)
         if pad_rows > c.shape[0]:
             cr = np.pad(cr, [(0, pad_rows - c.shape[0]), (0, 0)])
             ci = np.pad(ci, [(0, pad_rows - c.shape[0]), (0, 0)])
@@ -293,7 +288,10 @@ def multiply_cleanup(x1, z1, c1, x2, z2, c2, zero_threshold: Optional[float]) ->
     if not config.use_device_io(
         P * W / config.host_cleanup_rate,
         up_bytes=(M1 + M2) * row_bytes,
-        down_bytes=P * row_bytes,  # upper bound (pre-dedup product rows)
+        # the download moves the POST-cleanup rows; the true count is unknown
+        # before running, so assume a modest 4x dedup (pre-dedup P as the
+        # estimate made the device path unreachable over slow transports)
+        down_bytes=P * row_bytes // 4,
         n_syncs=2,
     ):
         kernel_stats.record("multiply", device=False)
@@ -602,33 +600,48 @@ def clifford_rotate_project(
     kernel_stats.record("clifford_rotate_project", device=True)
     Tp = _next_bucket(T)
     dt = _coeff_dtype()
-    rxs, rzs, ms = [], [], []
-    for xr, zr, angle in rotations:
-        m = is_clifford_angle(angle)
-        assert m is not None, "clifford_rotate_project requires Clifford angles"
-        rxs.append(pack.to_u32(xr.reshape(1, -1))[0])
-        rzs.append(pack.to_u32(zr.reshape(1, -1))[0])
-        ms.append(m)
-    W32 = 2 * W64
-    rx = np.array(rxs, np.uint32).reshape(len(rxs), W32)
-    rz = np.array(rzs, np.uint32).reshape(len(rzs), W32)
-    signs = np.real(np.asarray(stab_signs))
-    # only -1 assignments flip signs; a 0 assignment behaves as +1, matching
-    # the reference's eigval_assignment[assignment == 0] = 1 (base.py:67-72)
-    neg = signs < 0
-    neg_x = np.bitwise_or.reduce(stab_x[neg], axis=0) if neg.any() else np.zeros(W64, np.uint64)
-    neg_z = np.bitwise_or.reduce(stab_z[neg], axis=0) if neg.any() else np.zeros(W64, np.uint64)
-    col_keep = pack.pack_bits(free_qubit_mask.reshape(1, -1))[0]
+    rx, rz, ms, neg_x, neg_z, col_keep = projection_prep(
+        rotations, stab_x, stab_z, stab_signs, free_qubit_mask, W64
+    )
     jcr, jci = _coeff_to_dev(c, Tp)
     row = lambda a: _to_dev(a.reshape(1, -1))[0]
     ox, oz, ocr, oci, n = _jitted_project()(
         _to_dev(x, Tp), _to_dev(z, Tp), jcr, jci, T,
-        jnp.asarray(rx), jnp.asarray(rz), jnp.asarray(np.array(ms, np.int32)),
+        jnp.asarray(rx), jnp.asarray(rz), jnp.asarray(ms),
         _to_dev(stab_x), _to_dev(stab_z),
         row(neg_x), row(neg_z), row(col_keep),
         jnp.asarray(zero_threshold, dt), _rel_floor(),
     )
     return _planes_from_dev(ox, oz, ocr, oci, int(n))
+
+
+def projection_prep(rotations, stab_x, stab_z, stab_signs, free_qubit_mask, W64):
+    """Shared host-side prep for the fused projection (single-device and
+    mesh drivers MUST agree on these semantics -- dryrun asserts parity):
+    packed Clifford rotation planes + pi/2 multiples, the OR mask of
+    NEGATIVE-eigenvalue stabilizers for the sign-flip parity (a 0 assignment
+    behaves as +1, reference base.py:67-72), and the free-column bit mask."""
+    rxs, rzs, ms = [], [], []
+    for xr, zr, angle in rotations:
+        m = is_clifford_angle(angle)
+        assert m is not None, "fused projection requires Clifford angles"
+        rxs.append(pack.to_u32(xr.reshape(1, -1))[0])
+        rzs.append(pack.to_u32(zr.reshape(1, -1))[0])
+        ms.append(m)
+    W32 = 2 * W64
+    rx = np.asarray(rxs, np.uint32).reshape(len(rxs), W32)
+    rz = np.asarray(rzs, np.uint32).reshape(len(rzs), W32)
+    neg = np.real(np.asarray(stab_signs)) < 0
+    neg_x = (
+        np.bitwise_or.reduce(stab_x[neg], axis=0) if neg.any()
+        else np.zeros(W64, np.uint64)
+    )
+    neg_z = (
+        np.bitwise_or.reduce(stab_z[neg], axis=0) if neg.any()
+        else np.zeros(W64, np.uint64)
+    )
+    col_keep = pack.pack_bits(free_qubit_mask.reshape(1, -1))[0]
+    return rx, rz, np.asarray(ms, np.int32), neg_x, neg_z, col_keep
 
 
 def expval(x, z, c, s_pack, amps) -> complex:

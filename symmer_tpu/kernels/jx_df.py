@@ -109,15 +109,27 @@ def df_sub(ah, al, bh, bl):
 
 def df_mul(ah, al, bh, bl):
     """(ah+al) * (bh+bl) -> renormalised (h, l)."""
-    from jax import lax
-
     ph, pe = two_prod(ah, bh)
     pe = pe + (ah * bl + al * bh)
-    # the renormalising add s = ph + pe must NOT contract with ph's producing
-    # multiply into an FMA (fast_two_sum's correction then measures against
-    # the wrong sum); the barrier materialises ph first
-    ph = lax.optimization_barrier(ph)
+    if _needs_contraction_guard():
+        # XLA:CPU's LLVM codegen may contract the renormalising add
+        # s = ph + pe with ph's producing multiply into an FMA
+        # (fast_two_sum's correction then measures against the wrong sum);
+        # the barrier materialises ph first.  TPU codegen never contracts
+        # (bit-exact in testing) and the barrier only splits fusions there.
+        from jax import lax
+
+        ph = lax.optimization_barrier(ph)
     return fast_two_sum(ph, pe)
+
+
+def _needs_contraction_guard() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # pragma: no cover
+        return True
 
 
 def df_sum(lanes_h, lanes_l):
@@ -157,3 +169,18 @@ def host_merge_f64(hi, lo):
     import numpy as np
 
     return np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+
+
+def host_split_complex(c):
+    """complex host array -> ((..., 2) [hi, lo] re plane, (..., 2) im plane).
+
+    THE defining conversion for the (T, 2) double-float layout that kernels
+    detect by shape (jx_core.c_lanes) -- every boundary (dispatch, sharded
+    drivers, dense VQE engine) must go through here so the lane convention
+    has exactly one implementation.
+    """
+    import numpy as np
+
+    rh, rl = host_split_f64(np.ascontiguousarray(c.real, np.float64))
+    ih, il = host_split_f64(np.ascontiguousarray(c.imag, np.float64))
+    return np.stack([rh, rl], axis=-1), np.stack([ih, il], axis=-1)

@@ -122,20 +122,32 @@ def termwise_expval(
     B = s.shape[0]
     if M == 0 or B == 0:
         return np.zeros(M, complex)
-    index = {row.tobytes(): i for i, row in enumerate(s)}
     y_cnt = np.bitwise_count(x & z).sum(axis=1).astype(np.int64)
-    targets = s[None, :, :] ^ x[:, None, :]            # (M, B, W)
-    par = np.bitwise_count(targets & z[:, None, :]).sum(axis=2).astype(np.int64) & 1
+    targets = (s[None, :, :] ^ x[:, None, :]).reshape(M * B, W)  # (M*B, W)
+    par = (
+        np.bitwise_count(targets.reshape(M, B, W) & z[:, None, :])
+        .sum(axis=2).astype(np.int64) & 1
+    )
     phase = _MINUS_I_POW[y_cnt % 4][:, None] * (1 - 2 * par)
-    out = np.zeros(M, complex)
-    conj_amp = amp.conj()
-    for t in range(M):
-        tot = 0
-        rows = targets[t]
-        ph = phase[t]
-        for b in range(B):
-            j = index.get(rows[b].tobytes())
-            if j is not None:
-                tot += conj_amp[j] * ph[b] * amp[b]
-        out[t] = tot
-    return out
+
+    # match target rows against the support via a sorted structured-view join
+    # (vectorised; the former per-(term, row) dict loop was O(M B) interpreted
+    # iterations)
+    def _row_view(a):
+        a = np.ascontiguousarray(a)
+        return a.view([("", a.dtype)] * a.shape[1]).ravel()
+
+    sv = _row_view(s)
+    order = np.argsort(sv)
+    sv_sorted = sv[order]
+    tv = _row_view(targets)
+    pos = np.searchsorted(sv_sorted, tv)
+    pos_c = np.minimum(pos, B - 1)
+    matched = sv_sorted[pos_c] == tv
+    j = order[pos_c]
+    contrib = np.where(
+        matched,
+        amp.conj()[j] * phase.reshape(M * B) * np.tile(amp, M),
+        0,
+    )
+    return contrib.reshape(M, B).sum(axis=1)

@@ -89,8 +89,10 @@ class DeviceOperator:
     # -- device-resident operations ----------------------------------------
 
     def _rebucket(self, ox, oz, ocr, oci, n: int) -> "DeviceOperator":
-        n = max(int(n), 1)
-        Tp = dispatch._next_bucket(n)
+        # n may be 0 (fully cancelled); the BUFFER keeps at least one row but
+        # n_valid stays truthful so to_host() returns an empty operator
+        n = int(n)
+        Tp = dispatch._next_bucket(max(n, 1))
         return DeviceOperator(
             ox[:Tp], oz[:Tp], ocr[:Tp], oci[:Tp], n, self.n_qubits
         )

@@ -249,7 +249,12 @@ class NoncontextualOp(PauliwordOp):
         cls, H: PauliwordOp, stabilizers: IndependentOp, use_jordan_product=False
     ) -> "NoncontextualOp":
         symmetries = IndependentOp.symmetry_generators(stabilizers, commuting_override=True)
-        noncon = NoncontextualOp.from_hamiltonian(symmetries, strategy="DFS_magnitude")
+        # the symmetries are pairwise commuting by construction: skip the
+        # noncontextuality early-exit (it would warn and bypass the strategy)
+        noncon = NoncontextualOp.from_hamiltonian(
+            symmetries, strategy="DFS_magnitude",
+            override_noncontextuality_check=True,
+        )
         generators = noncon.symmetry_generators
         if noncon.clique_operator.n_terms > 0:
             generators += noncon.clique_operator

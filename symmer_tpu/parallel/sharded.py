@@ -37,9 +37,7 @@ def _split_c(c: np.ndarray):
     if _df_mode():
         from ..kernels import jx_df
 
-        rh, rl = jx_df.host_split_f64(np.ascontiguousarray(c.real, np.float64))
-        ih, il = jx_df.host_split_f64(np.ascontiguousarray(c.imag, np.float64))
-        return np.stack([rh, rl], axis=-1), np.stack([ih, il], axis=-1)
+        return jx_df.host_split_complex(c)
     return (
         np.ascontiguousarray(c.real, dtype=dt),
         np.ascontiguousarray(c.imag, dtype=dt),
@@ -265,22 +263,11 @@ def clifford_rotate_project(
     Tp = -(-T // n_dev) * n_dev
     L = Tp // n_dev
 
-    rxs, rzs, ms = [], [], []
-    for xr, zr, angle in rotations:
-        m = is_clifford_angle(angle)
-        assert m is not None, "sharded fused projection requires Clifford angles"
-        rxs.append(pack.to_u32(xr.reshape(1, -1))[0])
-        rzs.append(pack.to_u32(zr.reshape(1, -1))[0])
-        ms.append(m)
-    W32 = 2 * x.shape[1]
-    rx = np.asarray(rxs, np.uint32).reshape(len(rxs), W32)
-    rz = np.asarray(rzs, np.uint32).reshape(len(rzs), W32)
-    signs = np.real(np.asarray(stab_signs))
-    neg = signs < 0
-    W64 = x.shape[1]
-    neg_x = np.bitwise_or.reduce(stab_x[neg], axis=0) if neg.any() else np.zeros(W64, np.uint64)
-    neg_z = np.bitwise_or.reduce(stab_z[neg], axis=0) if neg.any() else np.zeros(W64, np.uint64)
-    col_keep = pack.pack_bits(free_qubit_mask.reshape(1, -1))[0]
+    from ..kernels.dispatch import projection_prep
+
+    rx, rz, ms, neg_x, neg_z, col_keep = projection_prep(
+        rotations, stab_x, stab_z, stab_signs, free_qubit_mask, x.shape[1]
+    )
     row32 = lambda a: pack.to_u32(a.reshape(1, -1))[0]
 
     th = _effective_host_threshold(zero_threshold, c)
@@ -297,8 +284,7 @@ def clifford_rotate_project(
         xo, zo, cro, cio, ns_o, ovf = distributed.distributed_clifford_project(
             jnp.asarray(x32), jnp.asarray(z32),
             jnp.asarray(cr), jnp.asarray(ci), ns,
-            jnp.asarray(rx), jnp.asarray(rz),
-            jnp.asarray(np.asarray(ms, np.int32)),
+            jnp.asarray(rx), jnp.asarray(rz), jnp.asarray(ms),
             jnp.asarray(pack.to_u32(stab_x)), jnp.asarray(pack.to_u32(stab_z)),
             jnp.asarray(row32(neg_x)), jnp.asarray(row32(neg_z)),
             jnp.asarray(row32(col_keep)),

@@ -56,3 +56,29 @@ def test_n_terms_and_repr():
     d = op.to_device()
     assert d.n_terms == op.n_terms
     assert "DeviceOperator" in repr(d)
+
+
+def test_fully_cancelled_cleanup_reports_empty():
+    """A fully-cancelled DeviceOperator must report 0 terms (code-review r3:
+    the survivor clamp made it report a phantom zero row)."""
+    op = PauliwordOp.from_list(["XZ", "XZ"], [1, -1])
+    d = op.to_device().cleanup()
+    assert d.n_terms == 0
+    host = d.to_host()
+    assert host == op.cleanup()
+
+
+def test_sectors_present_large_support_state():
+    """Vectorised termwise expvals on a wide-support state (code-review r3:
+    the dict loop was O(M B) interpreted iterations)."""
+    from symmer_tpu import QuantumState
+
+    rng = np.random.default_rng(0)
+    nq, B = 12, 300
+    psi = QuantumState.random(nq, B).normalize
+    sym = PauliwordOp.from_list(
+        ["Z" * nq, "Z" + "I" * (nq - 1), "I" * (nq - 1) + "Z"]
+    )
+    got = psi.sectors_present(sym)
+    want = [sym[i].expval(psi) for i in range(3)]
+    assert np.allclose(got, want, atol=1e-10)
