@@ -153,6 +153,22 @@ class DeviceOperator:
         )
         return DeviceOperator(dx, dz, dcr, dci, n, self.n_qubits)
 
+    def expval(self, psi) -> float:
+        """Re <psi|O|psi> against a (host) QuantumState: the operator planes
+        stay resident; only the state uploads and one scalar pair returns
+        (real part, matching PauliwordOp.expval / reference base.py:796-819)."""
+        import jax
+
+        ar, ai = dispatch._coeff_to_dev(psi._amps)
+        sd = dispatch._to_dev(psi._s_pack)
+        # padded buffer rows carry zero coefficients: exact 0 contribution
+        re, im = dispatch._jitted_expval()(
+            self.x32, self.z32, self.cr, self.ci, sd, ar, ai,
+            psi._s_pack.shape[0],
+        )
+        re_h, im_h = jax.device_get((re, im))
+        return dispatch._scalar_from_dev(re_h, im_h).real
+
     def expval_iz(self) -> complex:
         """<0...0| O |0...0>: sum of I/Z-only coefficients (one scalar fetch
         -- the Clifford-simulator reduction, no operator download)."""

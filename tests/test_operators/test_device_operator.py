@@ -82,3 +82,24 @@ def test_sectors_present_large_support_state():
     got = psi.sectors_present(sym)
     want = [sym[i].expval(psi) for i in range(3)]
     assert np.allclose(got, want, atol=1e-10)
+
+
+def test_device_expval_matches_host():
+    from symmer_tpu import QuantumState
+
+    rng = np.random.default_rng(1)
+    nq, B, T = 14, 32, 120
+    psi = QuantumState.random(nq, B).normalize
+    s = psi._s_pack
+    hop = rng.integers(0, len(s), (T // 2, 2))
+    x = np.vstack([
+        np.zeros((T - T // 2, s.shape[1]), np.uint64),
+        s[hop[:, 0]] ^ s[hop[:, 1]],
+    ])
+    z = PauliwordOp.random(nq, T, density=0.3).z_pack
+    op = PauliwordOp.from_planes(
+        x, z, rng.normal(size=T) + 1j * rng.normal(size=T), nq
+    )
+    got = op.to_device().expval(psi)
+    want = op.expval(psi)
+    assert abs(got - want) < 1e-9 * max(abs(want), 1.0)
