@@ -80,7 +80,7 @@ class SymmerTPUConfig:
     # overwrite the attributes directly)
     host_adjacency_rate: float = 4e8   # native qwc/anticommutes pair-words/s
     host_cleanup_rate: float = 3e7     # packed cleanup words/s
-    host_rotate_rate: float = 2e7      # rotate+cleanup words/s per rotation
+    host_rotate_rate: float = 4e7      # rotate+cleanup words/s per rotation (native C++)
     host_dense_rate: float = 5e8       # dense float contraction MACs/s (BLAS)
     # extra env-derived switches
     _x64_enabled: bool = field(default=False, repr=False)

@@ -203,6 +203,25 @@ def rotate_single(
         angle = np.pi / 2
     angle = complex(angle).real
 
+    multiple = angle * 2 / np.pi
+    int_part = round(multiple)
+    is_clifford = abs(int_part - multiple) <= clifford_threshold
+
+    if is_clifford:
+        from ..native import gf2core
+
+        if gf2core is not None:
+            # single in-place C++ pass (copies first: callers own the input
+            # planes); the numpy branch below re-stacks four row subsets and
+            # pays ~10x in temporaries
+            x_o = np.ascontiguousarray(x, np.uint64).copy()
+            z_o = np.ascontiguousarray(z, np.uint64).copy()
+            c_o = np.ascontiguousarray(c, np.complex128).copy()
+            gf2core.clifford_rotate_inplace(
+                x_o, z_o, c_o, xr, zr, int_part % 4
+            )
+            return (x_o, z_o, c_o), False
+
     ac = anticommutes_single(x, z, xr, zr)
     if not ac.any():
         return (x, z, c), False
@@ -210,9 +229,7 @@ def rotate_single(
     x_c, z_c, c_c = x[~ac], z[~ac], c[~ac]
     x_a, z_a, c_a = x[ac], z[ac], c[ac]
 
-    multiple = angle * 2 / np.pi
-    int_part = round(multiple)
-    if abs(int_part - multiple) <= clifford_threshold:
+    if is_clifford:
         m = int_part % 4
         if m == 0:
             x_n, z_n, c_n = x_a, z_a, c_a

@@ -59,6 +59,12 @@ class _GF2Core:
             ctypes.c_int64, u8p,
         ]
         lib.qwc_matrix.restype = None
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.clifford_rotate_inplace.argtypes = [
+            u64p, u64p, f64p, ctypes.c_int64, ctypes.c_int64,
+            u64p, u64p, ctypes.c_int64,
+        ]
+        lib.clifford_rotate_inplace.restype = None
 
     def rref_inplace(self, M: np.ndarray) -> None:
         assert M.dtype == np.uint64 and M.flags["C_CONTIGUOUS"]
@@ -82,6 +88,18 @@ class _GF2Core:
         out = np.zeros((n_cols, out_words), dtype=np.uint64)
         self._lib.transpose_bits(M, rows, in_words, n_cols, out, out_words)
         return out
+
+    def clifford_rotate_inplace(self, x, z, c, xr, zr, m4: int) -> None:
+        """In-place Clifford rotation (x, z uint64 planes; c complex128)."""
+        assert x.flags["C_CONTIGUOUS"] and z.flags["C_CONTIGUOUS"]
+        assert c.flags["C_CONTIGUOUS"] and c.dtype == np.complex128
+        n, W = x.shape
+        self._lib.clifford_rotate_inplace(
+            x, z, c.view(np.float64), n, W,
+            np.ascontiguousarray(xr.reshape(-1), np.uint64),
+            np.ascontiguousarray(zr.reshape(-1), np.uint64),
+            int(m4),
+        )
 
     def qwc_matrix(self, x1, z1, x2, z2) -> np.ndarray:
         """Termwise qubitwise-commutation adjacency -> bool[m1, m2]."""

@@ -112,6 +112,58 @@ void matmul_gf2(
     }
 }
 
+// In-place Clifford rotation by a single Pauli (xr, zr) with pi/2 multiple
+// m4 = m mod 4 (semantics of np_core.rotate_single's Clifford branch):
+//   m4 == 0: identity; terms commuting with the rotation are untouched;
+//   m4 == 2: anticommuting terms get c -> -c;
+//   m4 == 1/3: anticommuting terms map P -> -+ i P Q with the packed product
+//   phase sign * i^{3(y_in + y_r) + y_out} (cf. np_core.multiply_single).
+// coeffs is the interleaved (re, im) view of a complex128 buffer.
+void clifford_rotate_inplace(
+    uint64_t* x, uint64_t* z, double* coeffs,
+    int64_t n, int64_t W,
+    const uint64_t* xr, const uint64_t* zr, int64_t m4
+) {
+    if (m4 == 0) return;
+    int64_t y_r = 0;
+    for (int64_t k = 0; k < W; ++k) y_r += __builtin_popcountll(xr[k] & zr[k]);
+    const int64_t phase_shift = (m4 == 1) ? 3 : 1;  // *(-i) = i^3, *(+i) = i^1
+    for (int64_t i = 0; i < n; ++i) {
+        uint64_t* xi = x + i * W;
+        uint64_t* zi = z + i * W;
+        int64_t ac = 0;
+        for (int64_t k = 0; k < W; ++k) {
+            ac += __builtin_popcountll(xi[k] & zr[k])
+                + __builtin_popcountll(zi[k] & xr[k]);
+        }
+        if (!(ac & 1)) continue;
+        double re = coeffs[2 * i], im = coeffs[2 * i + 1];
+        if (m4 == 2) {
+            coeffs[2 * i] = -re;
+            coeffs[2 * i + 1] = -im;
+            continue;
+        }
+        int64_t y_in = 0, x1z2 = 0, y_out = 0;
+        for (int64_t k = 0; k < W; ++k) {
+            y_in += __builtin_popcountll(xi[k] & zi[k]);
+            x1z2 += __builtin_popcountll(xi[k] & zr[k]);
+            const uint64_t xo = xi[k] ^ xr[k];
+            const uint64_t zo = zi[k] ^ zr[k];
+            y_out += __builtin_popcountll(xo & zo);
+            xi[k] = xo;
+            zi[k] = zo;
+        }
+        const int64_t ip = (3 * (y_in + y_r) + y_out + phase_shift) % 4;
+        if (x1z2 & 1) { re = -re; im = -im; }
+        switch (ip) {
+            case 0: coeffs[2 * i] = re;  coeffs[2 * i + 1] = im;  break;
+            case 1: coeffs[2 * i] = -im; coeffs[2 * i + 1] = re;  break;
+            case 2: coeffs[2 * i] = -re; coeffs[2 * i + 1] = -im; break;
+            default: coeffs[2 * i] = im; coeffs[2 * i + 1] = -re; break;
+        }
+    }
+}
+
 // Qubitwise-commutation matrix on packed operands:
 // C[i,j] = 1 iff ((x1_i ^ x2_j) | (z1_i ^ z2_j)) & (x1_i | z1_i) & (x2_j | z2_j)
 // vanishes, i.e. on every qubit the terms agree or one acts trivially
