@@ -28,35 +28,60 @@ def plane_ints(pck: np.ndarray, n_qubits: int) -> np.ndarray:
     return bits @ weights
 
 
+def group_diagonals(x, z, c, n_qubits: int):
+    """Merge terms by X pattern: returns (ux, D) with ux the (G,) distinct
+    x_ints and D the (G, dim) complex diagonals
+
+        D[g, r] = sum_{t: x_t = ux[g]} (-i)^{|Y_t|} c_t (-1)^{par(r & z_t)}
+
+    so that H v = sum_g D[g] * v[r ^ ux[g]].  G << n_terms for molecular
+    operators (same-excitation terms share X support), which is what makes
+    both the CSR assembly and the device Lanczos matvec cheap."""
+    dim = 1 << n_qubits
+    x_int = plane_ints(x, n_qubits)
+    z_int = plane_ints(z, n_qubits)
+    y_cnt = np.bitwise_count(x & z).sum(axis=1).astype(np.int64)
+    minus_i_pow = np.array([1, -1j, -1, 1j])
+    phase_c = minus_i_pow[y_cnt % 4] * np.asarray(c, complex)
+    ux, gidx = np.unique(x_int, return_inverse=True)
+    # D[g] = H @ S[g] with S[g, z_t] = ph_t: a T-element scatter plus one
+    # fast Walsh-Hadamard butterfly pass per row block -- O(G 2^n n) with
+    # vectorised bodies (the naive (T, dim) parity broadcast with np.add.at
+    # measured 61 s for tapered N2; this runs in ~1 s)
+    vals = np.zeros((ux.shape[0], dim), dtype=complex)
+    np.add.at(vals, (gidx, z_int), phase_c)
+    h = 1
+    while h < dim:
+        vals = vals.reshape(ux.shape[0], dim // (2 * h), 2, h)
+        top = vals[:, :, 0, :].copy()
+        vals[:, :, 0, :] += vals[:, :, 1, :]
+        vals[:, :, 1, :] = top - vals[:, :, 1, :]
+        vals = vals.reshape(ux.shape[0], dim)
+        h *= 2
+    return ux, vals
+
+
 def to_sparse_matrix(x, z, c, n_qubits: int):
-    """scipy CSR matrix of the operator (n_qubits <= ~16 advisable)."""
+    """scipy CSR matrix of the operator (n_qubits <= ~16 advisable).
+
+    Terms sharing an X pattern hit identical (row, col) positions, so the
+    values are pre-merged per distinct x_int (``group_diagonals``) and the
+    CSR is assembled once from already-unique COO triples -- no duplicate-
+    summing sort, no repeated sparse adds.
+    """
     from scipy.sparse import csr_matrix
 
     if n_qubits == 0:
         return csr_matrix(np.array([[np.sum(c)]]))
     dim = 1 << n_qubits
-    x_int = plane_ints(x, n_qubits)
-    z_int = plane_ints(z, n_qubits)
-    y_cnt = np.bitwise_count(x & z).sum(axis=1).astype(np.int64)
+    ux, vals = group_diagonals(x, z, c, n_qubits)
+    G = ux.shape[0]
     rows = np.arange(dim, dtype=np.int64)
-    # chunk over terms to bound the (T, dim) intermediates
-    T = x.shape[0]
-    out = csr_matrix((dim, dim), dtype=complex)
-    step = max(1, (1 << 24) // dim)
-    minus_i_pow = np.array([1, -1j, -1, 1j])
-    for t0 in range(0, T, step):
-        t1 = min(T, t0 + step)
-        cols = rows[None, :] ^ x_int[t0:t1, None]
-        par = np.bitwise_count(rows[None, :] & z_int[t0:t1, None]).astype(np.int64) & 1
-        vals = (
-            (minus_i_pow[y_cnt[t0:t1] % 4] * c[t0:t1])[:, None]
-            * (1 - 2 * par)
-        )
-        row_idx = np.broadcast_to(rows, (t1 - t0, dim)).reshape(-1)
-        out = out + csr_matrix(
-            (vals.reshape(-1), (row_idx, cols.reshape(-1))), shape=(dim, dim)
-        )
-    return out
+    cols = (rows[None, :] ^ ux[:, None]).reshape(-1)
+    row_idx = np.broadcast_to(rows, (G, dim)).reshape(-1)
+    return csr_matrix(
+        (vals.reshape(-1), (row_idx, cols)), shape=(dim, dim)
+    )
 
 
 def matvec_host(x, z, c, n_qubits: int, v: np.ndarray) -> np.ndarray:

@@ -132,6 +132,32 @@ def _needs_contraction_guard() -> bool:
         return True
 
 
+def df_div(ah, al, bh, bl):
+    """(ah+al) / (bh+bl) -> renormalised (h, l), ~full double-word accuracy.
+
+    Long-division form: one working-precision quotient digit, an error-free
+    residual via two_prod, then a correction digit (Joldes-Muller-Popescu
+    DWDivDW2, relative error ~ 15u^2).  b == 0 yields inf/nan as IEEE does.
+    """
+    q1 = ah / bh
+    th, tl = two_prod(q1, bh)
+    rh, rl = df_add(ah, al, -th, -tl)
+    rh, rl = df_add(rh, rl, -(q1 * bl), jnp.zeros_like(bl))
+    q2 = rh / bh
+    return fast_two_sum(q1, q2)
+
+
+def df_sqrt(ah, al):
+    """sqrt(ah+al) -> renormalised (h, l) via one Karp-Markstein-style
+    Newton correction on the working-precision root.  Exact at 0; negative
+    inputs produce nan as IEEE sqrt does."""
+    s1 = jnp.sqrt(ah)
+    th, tl = two_prod(s1, s1)
+    rh, _ = df_add(ah, al, -th, -tl)
+    s2 = jnp.where(s1 > 0, rh / (s1 + s1), jnp.zeros_like(s1))
+    return fast_two_sum(s1, s2)
+
+
 def df_sum(lanes_h, lanes_l):
     """Accurate reduction of a df array (flattened): pairwise tree of df adds.
 

@@ -79,6 +79,68 @@ def exact_gs_energy_matrix_free(operator: PauliwordOp, n_eigs: int = 1):
     return exact_gs_energy(operator.matrix_free_linear_operator(), n_eigs=n_eigs)
 
 
+def exact_gs_energy_device(
+    operator: PauliwordOp,
+    n_eigs: int = 1,
+    k: int = 0,
+    initial_guess=None,
+    n_particles=None,
+    number_operator=None,
+) -> Tuple[float, QuantumState]:
+    """Ground-state energy and state via a fully fused device Lanczos.
+
+    Same contract as ``exact_gs_energy`` (reference ``utils.py:14-76``) but
+    the operator is never realised as a matrix: the whole Krylov iteration
+    runs as one jitted program of XOR-indexed gather matvecs on the
+    accelerator, in the package's extended (double-float) precision on f32
+    backends.  For a tapered N2/STO-3G (15 qubits, 2.2k terms) this replaces
+    ~9 minutes of host CSR construction + ARPACK with a few seconds on one
+    chip.  Degenerate partners within an eigenspace are not resolvable by a
+    single-vector Lanczos; for particle-number filtering across degenerate
+    multiplets prefer the host path.
+    """
+    from .kernels import jx_lanczos
+
+    n_ask = max(n_eigs, 6 if n_particles is not None else 1)
+    v0 = None
+    if initial_guess is not None:
+        v0 = np.asarray(initial_guess, complex).reshape(-1)
+    evals, evecs = jx_lanczos.lanczos_ground_state(
+        operator.x_pack,
+        operator.z_pack,
+        operator.coeff_vec,
+        operator.n_qubits,
+        k=k,
+        v0=v0,
+        n_eigs=n_ask,
+    )
+    if n_particles is None:
+        return evals[0], QuantumState.from_array(evecs[:, 0].reshape([-1, 1]))
+
+    assert number_operator is not None, "Must specify the number operator."
+    assert not np.any(number_operator.X_block), "Number operator not diagonal"
+    for evl, evc in zip(evals, evecs.T):
+        psi = QuantumState.from_array(evc.reshape([-1, 1])).cleanup(
+            zero_threshold=1e-5
+        )
+        expval_n_particle = 0
+        for Z_symp, Z_coeff in zip(
+            number_operator.Z_block, number_operator.coeff_vec
+        ):
+            sign = (-1) ** np.einsum(
+                "ij->i", np.bitwise_and(Z_symp, psi.state_matrix)
+            )
+            expval_n_particle += Z_coeff * np.sum(
+                sign * np.square(abs(psi._amps))
+            )
+        if np.round(expval_n_particle) == n_particles:
+            return evl, QuantumState.from_array(evc.reshape([-1, 1]))
+    raise RuntimeError(
+        "No eigenvector of the correct particle number was identified - "
+        "try increasing n_eigs."
+    )
+
+
 def get_entanglement_entropy(psi: QuantumState, qubits: List[int]) -> float:
     """Von Neumann entropy of the bipartition (reference utils.py:78-94)."""
     reduced = psi.get_rdm(qubits)

@@ -108,3 +108,77 @@ def test_matrix_allclose():
     assert matrix_allclose(csr_matrix(A), csr_matrix(A))
     assert matrix_allclose(A, A + 1e-16)
     assert not matrix_allclose(A, A + 1)
+
+
+# ---------------------------------------------------------------------------
+# device Lanczos (kernels/jx_lanczos.py, utils.exact_gs_energy_device)
+# ---------------------------------------------------------------------------
+
+def test_group_diagonals_reconstruct_dense():
+    from symmer_tpu.kernels import dense
+
+    op = _random_hermitian(5, 20)
+    ux, D = dense.group_diagonals(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits
+    )
+    dim = 1 << op.n_qubits
+    M = np.zeros((dim, dim), complex)
+    rows = np.arange(dim)
+    for g, xg in enumerate(ux):
+        M[rows, rows ^ xg] += D[g]
+    assert np.allclose(M, dense_op(op), atol=1e-12)
+
+
+def test_lanczos_ground_state_random():
+    from symmer_tpu.kernels import jx_lanczos
+
+    op = _random_hermitian(6, 24)
+    evals, evecs = jx_lanczos.lanczos_ground_state(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits
+    )
+    dense_evals, dense_evecs = np.linalg.eigh(dense_op(op))
+    assert abs(evals[0] - dense_evals[0]) < 1e-9
+    overlap = abs(dense_evecs[:, 0].conj() @ evecs[:, 0])
+    assert overlap > 1 - 1e-8
+
+
+def test_lanczos_excited_states_distinct():
+    from symmer_tpu.kernels import jx_lanczos
+
+    op = _random_hermitian(5, 16)
+    evals, evecs = jx_lanczos.lanczos_ground_state(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, n_eigs=3
+    )
+    dense_evals = np.linalg.eigvalsh(dense_op(op))
+    # the lowest Ritz value is exact; higher ones must be *distinct* true
+    # eigenvalues (ghost dedup), each matching some dense eigenvalue
+    assert abs(evals[0] - dense_evals[0]) < 1e-9
+    for e in evals[1:]:
+        assert np.min(np.abs(dense_evals - e)) < 1e-7
+    assert np.all(np.diff(evals) > 1e-9)
+
+
+def test_exact_gs_energy_device_h2(h2_fixture):
+    from symmer_tpu.utils import exact_gs_energy_device
+
+    H = PauliwordOp.from_dictionary(h2_fixture["H_dict"])
+    gs, psi = exact_gs_energy_device(H)
+    assert abs(gs - h2_fixture["fci_energy"]) < 1e-10
+    assert np.isclose(op_expval(H, psi), gs)
+
+
+def op_expval(H, psi):
+    return float(np.real(H.expval(psi.normalize)))
+
+
+def test_exact_gs_energy_device_particle_number(h2_fixture):
+    from symmer_tpu.utils import exact_gs_energy_device
+
+    H = PauliwordOp.from_dictionary(h2_fixture["H_dict"])
+    N_op = PauliwordOp.from_dictionary(
+        {"IIII": 2.0, "ZIII": -0.5, "IZII": -0.5, "IIZI": -0.5, "IIIZ": -0.5}
+    )
+    gs, psi = exact_gs_energy_device(
+        H, n_particles=2, number_operator=N_op, n_eigs=4
+    )
+    assert np.isclose(gs, h2_fixture["fci_energy"], atol=1e-8)
