@@ -28,6 +28,21 @@ def plane_ints(pck: np.ndarray, n_qubits: int) -> np.ndarray:
     return bits @ weights
 
 
+def group_scatter_inputs(x, z, c, n_qubits: int):
+    """Per-term scatter triples for the X-grouped diagonal representation:
+    (ux, gidx, z_int, phase_c) with ux the (G,) distinct x_ints, gidx the
+    (T,) group of each term, and phase_c = (-i)^{|Y_t|} c_t.  Since terms
+    are cleanup-unique in (x, z), the (gidx, z_int) pairs are unique: the
+    scatter has no collisions and is exact in any arithmetic."""
+    x_int = plane_ints(x, n_qubits)
+    z_int = plane_ints(z, n_qubits)
+    y_cnt = np.bitwise_count(x & z).sum(axis=1).astype(np.int64)
+    minus_i_pow = np.array([1, -1j, -1, 1j])
+    phase_c = minus_i_pow[y_cnt % 4] * np.asarray(c, complex)
+    ux, gidx = np.unique(x_int, return_inverse=True)
+    return ux, gidx, z_int, phase_c
+
+
 def group_diagonals(x, z, c, n_qubits: int):
     """Merge terms by X pattern: returns (ux, D) with ux the (G,) distinct
     x_ints and D the (G, dim) complex diagonals
@@ -38,12 +53,7 @@ def group_diagonals(x, z, c, n_qubits: int):
     operators (same-excitation terms share X support), which is what makes
     both the CSR assembly and the device Lanczos matvec cheap."""
     dim = 1 << n_qubits
-    x_int = plane_ints(x, n_qubits)
-    z_int = plane_ints(z, n_qubits)
-    y_cnt = np.bitwise_count(x & z).sum(axis=1).astype(np.int64)
-    minus_i_pow = np.array([1, -1j, -1, 1j])
-    phase_c = minus_i_pow[y_cnt % 4] * np.asarray(c, complex)
-    ux, gidx = np.unique(x_int, return_inverse=True)
+    ux, gidx, z_int, phase_c = group_scatter_inputs(x, z, c, n_qubits)
     # D[g] = H @ S[g] with S[g, z_t] = ph_t: a T-element scatter plus one
     # fast Walsh-Hadamard butterfly pass per row block -- O(G 2^n n) with
     # vectorised bodies (the naive (T, dim) parity broadcast with np.add.at

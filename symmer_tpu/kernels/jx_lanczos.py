@@ -47,6 +47,9 @@ from . import jx_df
 _D_BUDGET_BYTES = 2 << 30
 # max group rows gathered per scan step (bounds the (B, dim, L) intermediate)
 _BLOCK_BYTES = 256 << 20
+# above this, the diagonal table is scattered+FWHT'd on device (O(T) upload)
+# instead of built by the host FWHT and shipped whole
+_DEVICE_BUILD_BYTES = 4 << 20
 
 
 def _jnp():
@@ -213,8 +216,11 @@ def _build_D_fn(n_rows: int, dim: int, L: int, df: bool):
     jnp = _jnp()
 
     def run(gidx, z_t, ph):
+        # (gidx, z_t) pairs are unique (cleanup-unique terms) so the scatter
+        # is collision-free and exact; padded terms carry gidx == n_rows,
+        # out of bounds, and are dropped by the jitted scatter
         S = jnp.zeros((n_rows, dim, L), ph.dtype)
-        S = S.at[gidx, z_t].add(ph, unique_indices=True)
+        S = S.at[gidx, z_t].add(ph, mode="drop")
         h = 1
         while h < dim:
             S4 = S.reshape(n_rows, dim // (2 * h), 2, h, L)
@@ -379,8 +385,7 @@ def _ship_groups(ux, Dc, df, dt, idt):
     G, dim = Dc.shape
     L = 4 if df else 2
     itemsize = 4 if (df or dt == np.float32) else 8
-    B = max(1, min(G, _BLOCK_BYTES // max(1, dim * L * itemsize)))
-    nb = -(-G // B)
+    B, nb = _block_shape(G, dim, L, itemsize)
     pad = nb * B - G
     if df:
         rh, rl = jx_df.host_split_f64(np.ascontiguousarray(Dc.real))
@@ -398,6 +403,59 @@ def _ship_groups(ux, Dc, df, dt, idt):
     return (
         jnp.asarray(ux.astype(idt).reshape(nb, B)),
         jnp.asarray(Ds.reshape(nb, B, dim, L)),
+    )
+
+
+def _block_shape(G: int, dim: int, L: int, itemsize: int):
+    B = max(1, min(G, _BLOCK_BYTES // max(1, dim * L * itemsize)))
+    nb = -(-G // B)
+    return B, nb
+
+
+def _ship_groups_device(ux, gidx, z_int, phase_c, n_qubits, df, dt, idt):
+    """Build the (nb, B, dim, L) diagonal table ON DEVICE from the T-element
+    scatter triples (``_build_D_fn``): uploads O(T) instead of O(G * dim),
+    which on a remote-attached chip turns a multi-second table transfer into
+    microseconds.  T and the padded row count are rounded to powers of two so
+    the jitted build is shape-stable across operators of similar scale."""
+    import jax.numpy as jnp
+
+    dim = 1 << n_qubits
+    G = ux.shape[0]
+    L = 4 if df else 2
+    itemsize = 4 if (df or dt == np.float32) else 8
+    B, nb = _block_shape(G, dim, L, itemsize)
+    n_rows = nb * B
+    # pow2-pad the row count for compile-cache stability (zero rows are
+    # harmless: their diagonals vanish and their ux is the identity pattern)
+    n_rows = 1 << int(np.ceil(np.log2(max(1, n_rows))))
+    B, nb = _block_shape(n_rows, dim, L, itemsize)
+
+    T = gidx.shape[0]
+    Tp = 1 << int(np.ceil(np.log2(max(1, T))))
+    g_pad = np.full(Tp, n_rows, dtype=np.int64)  # OOB -> dropped
+    z_pad = np.zeros(Tp, dtype=np.int64)
+    g_pad[:T], z_pad[:T] = gidx, z_int
+    if df:
+        rh, rl = jx_df.host_split_f64(np.ascontiguousarray(phase_c.real))
+        ih, il = jx_df.host_split_f64(np.ascontiguousarray(phase_c.imag))
+        ph = np.stack([rh, rl, ih, il], axis=-1)
+    else:
+        ph = np.stack(
+            [phase_c.real.astype(dt), phase_c.imag.astype(dt)], axis=-1
+        )
+    ph_pad = np.zeros((Tp, L), ph.dtype)
+    ph_pad[:T] = ph
+    S = _build_D_fn(n_rows, dim, L, df)(
+        jnp.asarray(g_pad.astype(idt)),
+        jnp.asarray(z_pad.astype(idt)),
+        jnp.asarray(ph_pad),
+    )
+    ux_pad = np.zeros(n_rows, ux.dtype)
+    ux_pad[:G] = ux
+    return (
+        jnp.asarray(ux_pad.astype(idt).reshape(nb, B)),
+        S.reshape(nb, B, dim, L),
     )
 
 
@@ -451,23 +509,34 @@ def lanczos_ground_state(
     k = min(k, dim)
     chunk = max(1, min(chunk, k))
 
-    ux, Dc = dense.group_diagonals(x, z, c, n_qubits)
+    ux, gidx, z_int, phase_c = dense.group_scatter_inputs(x, z, c, n_qubits)
     idt = np.int32 if n_qubits < 31 else np.int64
-    if Dc.nbytes // 2 > _D_BUDGET_BYTES:
+    df = _df_mode()
+    dt = _coeff_dtype()
+    L = 4 if df else 2
+    itemsize = 4 if (df or dt == np.float32) else 8
+    table_bytes = ux.shape[0] * dim * L * itemsize
+    if table_bytes > _D_BUDGET_BYTES:
         raise MemoryError(
-            f"group-diagonal table ({Dc.nbytes >> 20} MiB host) exceeds the "
-            "device budget; use exact_gs_energy_matrix_free for this size"
+            f"group-diagonal table ({table_bytes >> 20} MiB device) exceeds "
+            "the budget; use exact_gs_energy_matrix_free for this size"
         )
     if v0 is None:
         rng = np.random.default_rng(7)
         v0 = rng.standard_normal(dim) + 0.25 * rng.standard_normal(dim) * 1j
     v0 = np.asarray(v0, complex).reshape(-1)
 
-    df = _df_mode()
-    dt = _coeff_dtype()
     import jax.numpy as jnp
 
-    ux_dev, D_dev = _ship_groups(ux, Dc, df, dt, idt)
+    if table_bytes > _DEVICE_BUILD_BYTES:
+        # big table: scatter + FWHT it on chip from the O(T) triples
+        ux_dev, D_dev = _ship_groups_device(
+            ux, gidx, z_int, phase_c, n_qubits, df, dt, idt
+        )
+    else:
+        # small table: host FWHT, one cheap upload, no extra compile
+        _, Dc = dense.group_diagonals(x, z, c, n_qubits)
+        ux_dev, D_dev = _ship_groups(ux, Dc, df, dt, idt)
     v0_dev = _ship_vec(v0, df, dt)
     sl = 2 if df else 1
     # one-hot XOR-permutation blocks, built once on device (vmapped over

@@ -182,3 +182,44 @@ def test_exact_gs_energy_device_particle_number(h2_fixture):
         H, n_particles=2, number_operator=N_op, n_eigs=4
     )
     assert np.isclose(gs, h2_fixture["fci_energy"], atol=1e-8)
+
+def test_ship_groups_device_matches_host():
+    """The on-chip scatter+FWHT diagonal build produces the same blocks as
+    the host FWHT + upload path (padding rows excluded)."""
+    from symmer_tpu.kernels import dense, jx_lanczos
+    from symmer_tpu.kernels.dispatch import _coeff_dtype, _df_mode
+
+    op = _random_hermitian(6, 40)
+    nq, dim = op.n_qubits, 1 << op.n_qubits
+    ux, gidx, z_int, ph = dense.group_scatter_inputs(
+        op.x_pack, op.z_pack, op.coeff_vec, nq
+    )
+    _, Dc = dense.group_diagonals(op.x_pack, op.z_pack, op.coeff_vec, nq)
+    df, dt = _df_mode(), _coeff_dtype()
+    ux_h, D_h = jx_lanczos._ship_groups(ux, Dc, df, dt, np.int32)
+    ux_d, D_d = jx_lanczos._ship_groups_device(
+        ux, gidx, z_int, ph, nq, df, dt, np.int32
+    )
+    G, L = ux.shape[0], D_h.shape[-1]
+    Dh = np.asarray(D_h, np.float64).reshape(-1, dim, L)[:G]
+    Dd = np.asarray(D_d, np.float64).reshape(-1, dim, L)[:G]
+    assert np.array_equal(
+        np.asarray(ux_h).reshape(-1)[:G], np.asarray(ux_d).reshape(-1)[:G]
+    )
+    assert np.allclose(Dh, Dd, atol=1e-12)
+    # padding rows of the device build must be exactly zero
+    tail = np.asarray(D_d, np.float64).reshape(-1, dim, L)[G:]
+    assert not tail.size or np.all(tail == 0)
+
+
+def test_lanczos_device_table_build_path(monkeypatch):
+    """End to end through the device-built diagonal table (threshold forced
+    to zero so the small test operator takes the big-table branch)."""
+    from symmer_tpu.kernels import jx_lanczos
+
+    monkeypatch.setattr(jx_lanczos, "_DEVICE_BUILD_BYTES", 0)
+    op = _random_hermitian(6, 24)
+    evals, _ = jx_lanczos.lanczos_ground_state(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits
+    )
+    assert abs(evals[0] - np.linalg.eigvalsh(dense_op(op))[0]) < 1e-9
