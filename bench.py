@@ -494,6 +494,77 @@ def sweep():
     }))
 
 
+def lanczos_bench():
+    """Device Lanczos vs host CSR+ARPACK on a 12-qubit, 400-term operator.
+
+    Warm wall time of ``exact_gs_energy_device``'s kernel path against the
+    reference-style host flow (``to_sparse_matrix`` + scipy ``eigsh``), with
+    a 1e-10 ground-energy parity gate.  First invocation pays the remote
+    compiles into ``.jax_cache``; report the second, warm, run.
+    """
+    import jax
+
+    # honour JAX_PLATFORMS even if a sitecustomize hook pre-registered a TPU
+    # platform before this process saw the env var
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want:
+        try:
+            if jax.default_backend() != want.split(",")[0]:
+                jax.config.update("jax_platforms", want)
+                import jax.extend.backend as _jeb
+
+                _jeb.clear_backends()
+        except Exception:
+            pass
+
+    from symmer_tpu.config import enable_compile_cache
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    enable_compile_cache(cache_dir)
+
+    from symmer_tpu import PauliwordOp
+    from symmer_tpu.kernels import jx_lanczos
+    from symmer_tpu.utils import exact_gs_energy
+
+    np.random.seed(11)
+    op = PauliwordOp.random(12, 400, complex_coeffs=False)
+    op = (op + op.dagger).cleanup()
+
+    def dev_solve():
+        return jx_lanczos.lanczos_ground_state(
+            op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits
+        )
+
+    t0 = time.perf_counter()
+    evals, _ = dev_solve()
+    cold_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    evals, _ = dev_solve()
+    warm_ms = (time.perf_counter() - t0) * 1e3
+
+    t0 = time.perf_counter()
+    gs_host, _ = exact_gs_energy(op.to_sparse_matrix)
+    host_ms = (time.perf_counter() - t0) * 1e3
+
+    err = abs(evals[0] - gs_host)
+    print(
+        f"# lanczos 12q/{op.n_terms}t: device warm {warm_ms:.0f} ms "
+        f"(cold {cold_s:.0f} s), host CSR+ARPACK {host_ms:.0f} ms, "
+        f"|dE| = {err:.2e}",
+        file=sys.stderr,
+    )
+    ok = err < 1e-10
+    print(json.dumps({
+        "metric": "device_lanczos_12q_400t_ms",
+        "value": round(warm_ms, 1),
+        "unit": "ms",
+        "vs_baseline": round(host_ms / warm_ms, 2) if ok else 0.0,
+    }))
+    return 0 if ok else 1
+
+
 def mesh_bench():
     """Sharded-vs-single-device wall times on whatever mesh is reachable.
 
@@ -614,6 +685,8 @@ if __name__ == "__main__":
         sys.exit(check())
     if "--sweep" in sys.argv:
         sys.exit(sweep())
+    if "--lanczos" in sys.argv:
+        sys.exit(lanczos_bench())
     if "--mesh" in sys.argv:
         sys.exit(mesh_bench())
     main()

@@ -151,5 +151,25 @@ def enable_x64(enable: bool = True) -> None:
     config._x64_enabled = enable
 
 
+def enable_compile_cache(cache_dir: str = None, min_compile_secs: float = 1.0) -> str:
+    """Point JAX's persistent compilation cache at ``cache_dir`` (default
+    ``~/.cache/symmer_tpu_jax``).  On remote-attached TPUs a cold compile of
+    the extended-precision kernels runs minutes; with the cache enabled every
+    subsequent process starts warm.  Returns the directory used.  Safe to
+    call at any time (affects compiles traced afterwards)."""
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "symmer_tpu_jax"
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs", min_compile_secs
+    )
+    return cache_dir
+
+
 if os.environ.get("SYMMER_TPU_X64", "0") == "1":  # pragma: no cover
     enable_x64(True)
