@@ -69,6 +69,11 @@ class SymmerTPUConfig:
     # leave O(u_df * |c|max) ~ 4e-15 relative residue; the floor drops it the
     # same way f32_threshold_rel_floor does for plain f32
     extended_threshold_rel_floor: float = 1e-12
+    # largest qubit count for which QubitSubspaceManager's auto-reference
+    # uses the exact on-chip Lanczos (utils.exact_gs_energy_device) instead
+    # of DMRG when an accelerator is attached; 18 qubits = a 1 MiB-amplitude
+    # statevector and a diagonal table comfortably inside the 2 GiB budget
+    lanczos_ref_max_qubits: int = 18
     # transport-aware auto dispatch: when True, host-in/host-out kernel calls
     # compare an estimated host time against measured device round-trip cost
     # (kernels/transport.py probe) instead of the fixed element-count

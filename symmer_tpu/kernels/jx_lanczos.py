@@ -240,7 +240,10 @@ def _build_D_fn(n_rows: int, dim: int, L: int, df: bool):
 def _matvec_grouped(perms, D, v, n_qubits, df):
     """H @ v with per-X-group diagonals.
 
-    perms: (A, Bm) one-hot blocks of shape (nb, B, H, H) / (nb, B, W, W);
+    perms: either a 2-tuple (A, Bm) of one-hot blocks, shapes
+    (nb, B, H, H) / (nb, B, W, W) — the MXU formulation — or a 1-tuple
+    (ux,) of (nb, B) XOR patterns for the gather formulation (CPU, where
+    row gathers beat dense one-hot matmuls by orders of magnitude);
     D:     (nb, B, dim, L) stacked diagonal lanes;
     v:     lane tuple of (dim,).  Returns a lane tuple of (dim,).
     """
@@ -251,11 +254,8 @@ def _matvec_grouped(perms, D, v, n_qubits, df):
     jnp = _jnp()
     dim = v[0].shape[0]
     vs = _stack_lanes(v)
-    A_all, B_all = perms
 
-    def block(carry, blk):
-        Ab, Bb, Db = blk
-        g = _xor_permute(Ab, Bb, vs, n_qubits)  # (B, dim, L), exact
+    def combine(carry, g, Db):
         gl = _lanes_from_stacked(g, df)
         dl = _lanes_from_stacked(Db, df)
         prod = jx_core.c_mul(dl, gl, df)  # (B, dim) lanes
@@ -263,7 +263,24 @@ def _matvec_grouped(perms, D, v, n_qubits, df):
         return _v_add(carry, part, df), None
 
     zero = tuple(jnp.zeros(dim, vs.dtype) for _ in range(vs.shape[-1]))
-    out, _ = lax.scan(block, zero, (A_all, B_all, D))
+    if len(perms) == 1:
+        r = jnp.arange(dim)
+
+        def block(carry, blk):
+            uxb, Db = blk
+            g = vs[r[None, :] ^ uxb[:, None]]  # (B, dim, L) row gather
+            return combine(carry, g, Db)
+
+        out, _ = lax.scan(block, zero, (perms[0], D))
+    else:
+        A_all, B_all = perms
+
+        def block(carry, blk):
+            Ab, Bb, Db = blk
+            g = _xor_permute(Ab, Bb, vs, n_qubits)  # (B, dim, L), exact
+            return combine(carry, g, Db)
+
+        out, _ = lax.scan(block, zero, (A_all, B_all, D))
     return out
 
 
@@ -293,12 +310,12 @@ def _tridiag_segment_fn(k: int, chunk: int, n_qubits: int, df: bool):
 
     jnp = _jnp()
 
-    def run(A_all, B_all, D, v_prev_s, v_cur_s, beta_s, alphas, betas, j0):
+    def run(perms, D, v_prev_s, v_cur_s, beta_s, alphas, betas, j0):
         sl = 2 if df else 1
 
         def step(j, carry):
             v_prev, v_cur, beta, alphas, betas = carry
-            w = _matvec_grouped((A_all, B_all), D, v_cur, n_qubits, df)
+            w = _matvec_grouped(perms, D, v_cur, n_qubits, df)
             w = _v_axpy(v_prev, tuple(-l for l in beta), w, df)
             alpha = _dot_real(v_cur, w, df)
             w = _v_axpy(v_cur, tuple(-l for l in alpha), w, df)
@@ -335,7 +352,7 @@ def _ritz_segment_fn(k: int, chunk: int, n_qubits: int, df: bool):
 
     jnp = _jnp()
 
-    def run(A_all, B_all, D, v_prev_s, v_cur_s, y, alphas, betas, s_stack, j0):
+    def run(perms, D, v_prev_s, v_cur_s, y, alphas, betas, s_stack, j0):
         n_eigs = s_stack.shape[1]
 
         def accum(y, v_cur_s, j):
@@ -351,7 +368,7 @@ def _ritz_segment_fn(k: int, chunk: int, n_qubits: int, df: bool):
             v_prev_s, v_cur_s, y = carry
             y = accum(y, v_cur_s, j)
             v_cur = _lanes_from_stacked(v_cur_s, df)
-            w = _matvec_grouped((A_all, B_all), D, v_cur, n_qubits, df)
+            w = _matvec_grouped(perms, D, v_cur, n_qubits, df)
             beta = tuple(betas[j - 1][i] for i in range(betas.shape[1]))
             beta = tuple(
                 jnp.where(j > 0, b, jnp.zeros_like(b)) for b in beta
@@ -539,13 +556,18 @@ def lanczos_ground_state(
         ux_dev, D_dev = _ship_groups(ux, Dc, df, dt, idt)
     v0_dev = _ship_vec(v0, df, dt)
     sl = 2 if df else 1
-    # one-hot XOR-permutation blocks, built once on device (vmapped over
-    # the nb block axis so shapes match the segment scans)
     import jax
 
-    A_dev, B_dev = jax.jit(
-        jax.vmap(lambda u: _onehot_perms(u, n_qubits, v0_dev.dtype))
-    )(ux_dev)
+    if jax.default_backend() == "cpu":
+        # CPU: row gathers beat dense one-hot matmuls by orders of magnitude
+        perms = (ux_dev,)
+    else:
+        # one-hot XOR-permutation blocks, built once on device (vmapped over
+        # the nb block axis so shapes match the segment scans)
+        A_dev, B_dev = jax.jit(
+            jax.vmap(lambda u: _onehot_perms(u, n_qubits, v0_dev.dtype))
+        )(ux_dev)
+        perms = (A_dev, B_dev)
 
     # ---- pass 1: tridiagonalisation in device-resident segments
     v_cur = _normalize_fn(df)(v0_dev)
@@ -557,7 +579,7 @@ def lanczos_ground_state(
         step_n = min(chunk, k - j0)
         seg_f = _tridiag_segment_fn(k, step_n, n_qubits, df)
         v_prev, v_cur, beta, alphas, betas = seg_f(
-            A_dev, B_dev, D_dev, v_prev, v_cur, beta, alphas, betas, j0
+            perms, D_dev, v_prev, v_cur, beta, alphas, betas, j0
         )
     al_host = _merge_scalar_rows(alphas, df)
     be_host = _merge_scalar_rows(betas, df)
@@ -596,7 +618,7 @@ def lanczos_ground_state(
         step_n = min(chunk, k - j0)
         rseg = _ritz_segment_fn(k, step_n, n_qubits, df)
         v_prev, v_cur, y = rseg(
-            A_dev, B_dev, D_dev, v_prev, v_cur, y, alphas, betas, S_dev, j0
+            perms, D_dev, v_prev, v_cur, y, alphas, betas, S_dev, j0
         )
     y = np.asarray(y, np.float64)  # (n_sel, dim, L)
     if df:

@@ -34,9 +34,11 @@ class QubitSubspaceManager:
         self.build_subspace_objects()
 
     def prepare_ref_state(self, ref_state=None) -> QuantumState:
-        """Auto reference: exact diagonalisation below 12 qubits, DMRG above.
-
-        (reference :54-86)
+        """Auto reference: exact diagonalisation below 12 qubits; up to
+        ``config.lanczos_ref_max_qubits`` the *exact* ground state still comes
+        cheaply from the on-chip Lanczos when an accelerator is attached
+        (the reference caps exact references at 12 qubits and falls straight
+        to DMRG, reference :54-86); DMRG beyond.
         """
         if ref_state is not None:
             if isinstance(ref_state, list):
@@ -49,18 +51,41 @@ class QubitSubspaceManager:
                 "No reference state supplied - trying to identify one via "
                 "alternative means."
             )
-            if self.hamiltonian.n_qubits <= 12:
-                _, ref_state = exact_gs_energy(self.hamiltonian.to_sparse_matrix)
-            else:
-                from ..approximate import find_groundstate_dmrg, get_MPO
-
-                mpo = get_MPO(self.hamiltonian, max_bond_dimension=30)
-                ref_state = find_groundstate_dmrg(
-                    mpo, bond_dims=[8, 16, 32], max_sweeps_per_dim=2
-                )
+            ref_state = self._auto_ref_state()
             self._aux_operator = ref_state.state_op
 
         return ref_state.cleanup(zero_threshold=1e-4).normalize
+
+    def _auto_ref_state(self) -> QuantumState:
+        from ..config import config
+
+        nq = self.hamiltonian.n_qubits
+        if nq <= 12:
+            return exact_gs_energy(self.hamiltonian.to_sparse_matrix)[1]
+        if nq <= config.lanczos_ref_max_qubits and self._device_lanczos_ok():
+            from ..utils import exact_gs_energy_device
+
+            try:
+                return exact_gs_energy_device(self.hamiltonian)[1]
+            except MemoryError:
+                pass  # diagonal table over budget: fall through to DMRG
+        from ..approximate import find_groundstate_dmrg, get_MPO
+
+        mpo = get_MPO(self.hamiltonian, max_bond_dimension=30)
+        return find_groundstate_dmrg(
+            mpo, bond_dims=[8, 16, 32], max_sweeps_per_dim=2
+        )
+
+    @staticmethod
+    def _device_lanczos_ok() -> bool:
+        """An accelerator is attached (CPU XLA gathers make the exact Lanczos
+        no better than DMRG for reference preparation)."""
+        try:
+            import jax
+
+            return jax.default_backend() != "cpu"
+        except Exception:  # pragma: no cover
+            return False
 
     def build_subspace_objects(self) -> None:
         """(reference :88-108)"""

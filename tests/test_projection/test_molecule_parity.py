@@ -242,3 +242,24 @@ def test_n2_contextual_subspace_flow():
         errs.append(abs(exact_gs_energy(H_cs.to_sparse_matrix)[0] - fci))
     assert errs[1] <= errs[0] + 1e-6
     assert errs[0] < 0.3
+
+
+@pytest.mark.slow
+def test_h2o_lanczos_auto_reference(monkeypatch):
+    """14-qubit H2O with the device-Lanczos auto-reference band forced on
+    (the production route when an accelerator is attached): the reference
+    state is the EXACT ground state, so the reduced-Hamiltonian error can
+    only improve on the DMRG-reference run above."""
+    from symmer_tpu.projection.qubit_subspace_manager import (
+        QubitSubspaceManager as QSMcls,
+    )
+
+    monkeypatch.setattr(QSMcls, "_device_lanczos_ok", staticmethod(lambda: True))
+    data = _load("H2O_STO-3G_SINGLET_JW.json")
+    H = PauliwordOp.from_dictionary(data["hamiltonian"])
+    fci = data["data"]["calculated_properties"]["FCI"]["energy"]
+    with pytest.warns(UserWarning):
+        QSM = QSMcls(H)
+    H_red = QSM.get_reduced_hamiltonian(4)
+    err = abs(exact_gs_energy(H_red.to_sparse_matrix)[0] - fci)
+    assert err < 0.1
