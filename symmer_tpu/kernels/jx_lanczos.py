@@ -284,6 +284,91 @@ def _matvec_grouped(perms, D, v, n_qubits, df):
     return out
 
 
+def _matvec_grouped_mesh(mesh, ux_all, D5, v, n_qubits, df):
+    """Mesh-sharded H @ v: the diagonal table is sharded over the row-block
+    (H) axis -- the dominant buffer scales 1/n_dev per device -- while v
+    stays replicated.  Each device builds the *rows it owns* of the one-hot
+    XOR permutations (global rows a = d*Hloc + i), contracts against the
+    full replicated V3 on its MXU, multiplies its D slice, and one tiled
+    ``all_gather`` per matvec reassembles the replicated result over ICI.
+
+    ux_all: (nb, B) replicated;  D5: (nb, B, H, W, L) sharded on axis 2;
+    v: lane tuple of (dim,) replicated.  Returns a replicated lane tuple.
+    """
+    from jax import lax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from . import jx_core
+
+    jnp = _jnp()
+    ax = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    H, W = _split_bits(n_qubits)
+    Hloc = H // n_dev
+    wbits = n_qubits - (n_qubits // 2)
+    vs = _stack_lanes(v)
+    L = vs.shape[-1]
+
+    def local(ux_r, D_loc, vs_r):
+        d = lax.axis_index(ax)
+        V3 = vs_r.reshape(H, W, L)
+        a_loc = jnp.arange(Hloc, dtype=ux_r.dtype) + d * Hloc
+        ar = jnp.arange(H, dtype=ux_r.dtype)
+        br = jnp.arange(W, dtype=ux_r.dtype)
+
+        def block(carry, blk):
+            uxb, Db = blk  # (B,), (B, Hloc, W, L)
+            xhi = uxb >> wbits
+            xlo = uxb & (W - 1)
+            A_loc = (
+                (a_loc[None, :, None] ^ xhi[:, None, None])
+                == ar[None, None, :]
+            ).astype(vs_r.dtype)  # (B, Hloc, H)
+            Bm = (
+                (br[None, :, None] ^ xlo[:, None, None])
+                == br[None, None, :]
+            ).astype(vs_r.dtype)  # (B, W, W)
+            t1 = jnp.einsum(
+                "gab,bwl->gawl", A_loc, V3, precision=lax.Precision.HIGHEST
+            )
+            g = jnp.einsum(
+                "gawl,gvw->gavl", t1, Bm, precision=lax.Precision.HIGHEST
+            )  # (B, Hloc, W, L)
+            gl = _lanes_from_stacked(g.reshape(-1, Hloc * W, L), df)
+            dl = _lanes_from_stacked(Db.reshape(-1, Hloc * W, L), df)
+            prod = jx_core.c_mul(dl, gl, df)
+            part = _tree_reduce0(prod, df)
+            return _v_add(carry, part, df), None
+
+        zero = tuple(
+            jnp.zeros(Hloc * W, vs_r.dtype) for _ in range(L)
+        )
+        out_loc, _ = lax.scan(block, zero, (ux_r, D_loc))
+        # global row r = a*W + w: device slices are contiguous row ranges,
+        # so a tiled gather in device order IS the full vector
+        out_s = jnp.stack(out_loc, axis=-1)
+        return lax.all_gather(out_s, ax, axis=0, tiled=True)
+
+    full = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, ax, None, None), P()),
+        out_specs=P(),
+        check_rep=False,
+    )(ux_all, D5, vs)
+    return _lanes_from_stacked(full, df)
+
+
+def _mesh_ok(mesh, n_qubits: int) -> bool:
+    """The row-block axis must split evenly over the mesh."""
+    if mesh is None:
+        return False
+    n_dev = int(mesh.devices.size)
+    H, _ = _split_bits(n_qubits)
+    return n_dev >= 2 and (n_dev & (n_dev - 1)) == 0 and H % n_dev == 0
+
+
 # ---------------------------------------------------------------------------
 # fused segment kernels (jitted; Krylov state stays in HBM between calls)
 # ---------------------------------------------------------------------------
@@ -302,8 +387,14 @@ def _normalize_fn(df: bool):
     return jax.jit(run)
 
 
+def _matvec_any(perms, D, v, n_qubits, df, mesh):
+    if mesh is not None:
+        return _matvec_grouped_mesh(mesh, perms[0], D, v, n_qubits, df)
+    return _matvec_grouped(perms, D, v, n_qubits, df)
+
+
 @lru_cache(maxsize=None)
-def _tridiag_segment_fn(k: int, chunk: int, n_qubits: int, df: bool):
+def _tridiag_segment_fn(k: int, chunk: int, n_qubits: int, df: bool, mesh=None):
     """Advance `chunk` Lanczos iterations starting at j0 (device-resident)."""
     import jax
     from jax import lax
@@ -315,7 +406,7 @@ def _tridiag_segment_fn(k: int, chunk: int, n_qubits: int, df: bool):
 
         def step(j, carry):
             v_prev, v_cur, beta, alphas, betas = carry
-            w = _matvec_grouped(perms, D, v_cur, n_qubits, df)
+            w = _matvec_any(perms, D, v_cur, n_qubits, df, mesh)
             w = _v_axpy(v_prev, tuple(-l for l in beta), w, df)
             alpha = _dot_real(v_cur, w, df)
             w = _v_axpy(v_cur, tuple(-l for l in alpha), w, df)
@@ -345,7 +436,7 @@ def _tridiag_segment_fn(k: int, chunk: int, n_qubits: int, df: bool):
 
 
 @lru_cache(maxsize=None)
-def _ritz_segment_fn(k: int, chunk: int, n_qubits: int, df: bool):
+def _ritz_segment_fn(k: int, chunk: int, n_qubits: int, df: bool, mesh=None):
     """Pass 2: rebuild v_j from stored (alpha, beta), accumulate Ritz vecs."""
     import jax
     from jax import lax
@@ -368,7 +459,7 @@ def _ritz_segment_fn(k: int, chunk: int, n_qubits: int, df: bool):
             v_prev_s, v_cur_s, y = carry
             y = accum(y, v_cur_s, j)
             v_cur = _lanes_from_stacked(v_cur_s, df)
-            w = _matvec_grouped(perms, D, v_cur, n_qubits, df)
+            w = _matvec_any(perms, D, v_cur, n_qubits, df, mesh)
             beta = tuple(betas[j - 1][i] for i in range(betas.shape[1]))
             beta = tuple(
                 jnp.where(j > 0, b, jnp.zeros_like(b)) for b in beta
@@ -505,6 +596,7 @@ def lanczos_ground_state(
     v0: np.ndarray | None = None,
     n_eigs: int = 1,
     chunk: int = 64,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Eigenvalues + eigenvectors of the packed operator, computed on device.
 
@@ -514,6 +606,13 @@ def lanczos_ground_state(
     convergence for molecular spectra is typically reached well before).
     The iteration runs in ``chunk``-sized jitted segments whose Krylov state
     stays on device (bounds single-program runtime on relay transports).
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the diagonal table -- the
+    dominant buffer -- is sharded over the row-block axis and each matvec
+    pays one tiled ICI all-gather (``_matvec_grouped_mesh``): the per-device
+    memory budget scales 1/n_dev, extending exact diagonalisation beyond
+    one chip's HBM.  Falls back to single-device when the row-block axis
+    does not split evenly.
     """
     from scipy.linalg import eigh_tridiagonal
 
@@ -526,6 +625,10 @@ def lanczos_ground_state(
     k = min(k, dim)
     chunk = max(1, min(chunk, k))
 
+    if mesh is not None and not _mesh_ok(mesh, n_qubits):
+        mesh = None
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+
     ux, gidx, z_int, phase_c = dense.group_scatter_inputs(x, z, c, n_qubits)
     idt = np.int32 if n_qubits < 31 else np.int64
     df = _df_mode()
@@ -533,7 +636,7 @@ def lanczos_ground_state(
     L = 4 if df else 2
     itemsize = 4 if (df or dt == np.float32) else 8
     table_bytes = ux.shape[0] * dim * L * itemsize
-    if table_bytes > _D_BUDGET_BYTES:
+    if table_bytes > _D_BUDGET_BYTES * n_dev:
         raise MemoryError(
             f"group-diagonal table ({table_bytes >> 20} MiB device) exceeds "
             "the budget; use exact_gs_energy_matrix_free for this size"
@@ -558,7 +661,20 @@ def lanczos_ground_state(
     sl = 2 if df else 1
     import jax
 
-    if jax.default_backend() == "cpu":
+    if mesh is not None:
+        # (nb, B, dim, L) -> (nb, B, H, W, L) sharded on the row-block axis
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        H, W = _split_bits(n_qubits)
+        nb, B = D_dev.shape[0], D_dev.shape[1]
+        D_dev = jax.device_put(
+            D_dev.reshape(nb, B, H, W, L),
+            NamedSharding(mesh, P(None, None, mesh.axis_names[0], None, None)),
+        )
+        ux_dev = jax.device_put(ux_dev, NamedSharding(mesh, P()))
+        v0_dev = jax.device_put(v0_dev, NamedSharding(mesh, P()))
+        perms = (ux_dev,)
+    elif jax.default_backend() == "cpu":
         # CPU: row gathers beat dense one-hot matmuls by orders of magnitude
         perms = (ux_dev,)
     else:
@@ -577,7 +693,7 @@ def lanczos_ground_state(
     betas = jnp.zeros((k, sl), v0_dev.dtype)
     for j0 in range(0, k, chunk):
         step_n = min(chunk, k - j0)
-        seg_f = _tridiag_segment_fn(k, step_n, n_qubits, df)
+        seg_f = _tridiag_segment_fn(k, step_n, n_qubits, df, mesh)
         v_prev, v_cur, beta, alphas, betas = seg_f(
             perms, D_dev, v_prev, v_cur, beta, alphas, betas, j0
         )
@@ -616,7 +732,7 @@ def lanczos_ground_state(
     y = jnp.zeros((len(sel), dim, v0_dev.shape[-1]), v0_dev.dtype)
     for j0 in range(0, k, chunk):
         step_n = min(chunk, k - j0)
-        rseg = _ritz_segment_fn(k, step_n, n_qubits, df)
+        rseg = _ritz_segment_fn(k, step_n, n_qubits, df, mesh)
         v_prev, v_cur, y = rseg(
             perms, D_dev, v_prev, v_cur, y, alphas, betas, S_dev, j0
         )

@@ -105,6 +105,8 @@ def exact_gs_energy_device(
     v0 = None
     if initial_guess is not None:
         v0 = np.asarray(initial_guess, complex).reshape(-1)
+    from .config import config
+
     evals, evecs = jx_lanczos.lanczos_ground_state(
         operator.x_pack,
         operator.z_pack,
@@ -113,6 +115,7 @@ def exact_gs_energy_device(
         k=k,
         v0=v0,
         n_eigs=n_ask,
+        mesh=config.mesh,
     )
     if n_particles is None:
         return evals[0], QuantumState.from_array(evecs[:, 0].reshape([-1, 1]))
