@@ -436,6 +436,25 @@ def check():
         if not ok:
             failures.append(f"{precision}:apply_state")
 
+    # device Lanczos eigensolver vs host ARPACK (extended-precision path;
+    # same operator as --lanczos so the compile cache is shared)
+    from symmer_tpu.kernels import jx_lanczos
+    from symmer_tpu.utils import exact_gs_energy
+
+    np.random.seed(11)
+    lop = PauliwordOp.random(12, 400, complex_coeffs=False)
+    lop = (lop + lop.dagger).cleanup()
+    evals, _ = jx_lanczos.lanczos_ground_state(
+        lop.x_pack, lop.z_pack, lop.coeff_vec, lop.n_qubits
+    )
+    gs_host = exact_gs_energy(lop.to_sparse_matrix)[0]
+    err = abs(evals[0] - gs_host) / max(abs(gs_host), 1.0)
+    ok = err <= 1e-10
+    print(f"# [extended] lanczos_gs: {'PASS' if ok else 'FAIL'} rel_err={err:.2e}",
+          file=sys.stderr)
+    if not ok:
+        failures.append("extended:lanczos_gs")
+
     print(json.dumps({
         "metric": "device_host_check_failures",
         "value": len(failures),

@@ -94,6 +94,29 @@ def to_sparse_matrix(x, z, c, n_qubits: int):
     )
 
 
+def expval_dense_state(x, z, c, n_qubits: int, s_pack, amps) -> complex:
+    """<psi|O|psi> for DENSE-support states via X-grouped diagonals: O(G 2^n).
+
+    The general expval kernels are built for sparse-support states (hash
+    joins / one-hot lookups cost O(T B) .. O(T B^2)); when the state covers
+    a large fraction of the basis it is cheaper to scatter the amplitudes
+    into a full statevector and contract against the G << T group diagonals
+    (``group_diagonals``):
+
+        <psi|O|psi> = sum_g sum_r conj(v[r]) D_g(r) v[r ^ x_g]
+    """
+    dim = 1 << n_qubits
+    v = np.zeros(dim, dtype=complex)
+    idx = plane_ints(s_pack, n_qubits)
+    np.add.at(v, idx, amps)  # duplicate basis rows accumulate
+    ux, D = group_diagonals(x, z, c, n_qubits)
+    rows = np.arange(dim, dtype=np.int64)
+    Hv = np.zeros(dim, dtype=complex)
+    for g, xg in enumerate(ux):
+        Hv += D[g] * v[rows ^ xg]
+    return complex(np.vdot(v, Hv))
+
+
 def matvec_host(x, z, c, n_qubits: int, v: np.ndarray) -> np.ndarray:
     """H @ v without materialising H (host)."""
     dim = 1 << n_qubits

@@ -517,8 +517,21 @@ class PauliwordOp:
 
         (reference base.py:796-819 splits into parallel per-term projector
         norms; the packed one-sparse action makes that unnecessary.)  Large
-        operator x state products run on the device kernels.
+        operator x state products run on the device kernels.  States whose
+        support covers a large fraction of the basis instead contract against
+        the X-grouped diagonals in O(G 2^n) (the sparse-support kernels cost
+        O(T B)..O(T B^2) and lose badly when B ~ 2^n).
         """
+        B = psi._s_pack.shape[0]
+        if (
+            self.n_qubits <= 26
+            and B >= 1024
+            and B * 8 >= (1 << self.n_qubits)
+        ):
+            return dense.expval_dense_state(
+                self.x_pack, self.z_pack, self.coeff_vec,
+                self.n_qubits, psi._s_pack, psi._amps,
+            ).real
         return dispatch.expval(
             self.x_pack, self.z_pack, self.coeff_vec, psi._s_pack, psi._amps
         ).real

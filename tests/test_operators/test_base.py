@@ -454,3 +454,17 @@ def test_clique_cover():
             assert np.all(clique.commutes_termwise(clique))
             n_total += clique.n_terms
         assert n_total >= op.n_terms  # identity padding may add terms
+
+
+def test_expval_dense_support_route():
+    """A state covering the full basis routes through the X-grouped-diagonal
+    expval (O(G 2^n); the sparse-support kernels are O(T B)..O(T B^2) and
+    pathological there) and agrees with the dense-matrix oracle."""
+    nq = 11
+    op = PauliwordOp.random(nq, 60, complex_coeffs=False)
+    op = (op + op.dagger).cleanup()
+    psi = QuantumState.haar_random(nq)  # support = 2^nq rows
+    assert psi._s_pack.shape[0] >= 1024
+    vec = psi.to_sparse_matrix.toarray().reshape(-1)
+    expect = float(np.real(vec.conj() @ (op.to_sparse_matrix @ vec)))
+    assert np.isclose(op.expval(psi), expect, atol=1e-10)
