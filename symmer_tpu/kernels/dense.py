@@ -71,7 +71,7 @@ def group_diagonals(x, z, c, n_qubits: int):
     return ux, vals
 
 
-def to_sparse_matrix(x, z, c, n_qubits: int):
+def to_sparse_matrix(x, z, c, n_qubits: int, grouped=None):
     """scipy CSR matrix of the operator (n_qubits <= ~16 advisable).
 
     Terms sharing an X pattern hit identical (row, col) positions, so the
@@ -84,7 +84,9 @@ def to_sparse_matrix(x, z, c, n_qubits: int):
     if n_qubits == 0:
         return csr_matrix(np.array([[np.sum(c)]]))
     dim = 1 << n_qubits
-    ux, vals = group_diagonals(x, z, c, n_qubits)
+    ux, vals = grouped if grouped is not None else group_diagonals(
+        x, z, c, n_qubits
+    )
     G = ux.shape[0]
     rows = np.arange(dim, dtype=np.int64)
     cols = (rows[None, :] ^ ux[:, None]).reshape(-1)
@@ -94,7 +96,7 @@ def to_sparse_matrix(x, z, c, n_qubits: int):
     )
 
 
-def expval_dense_state(x, z, c, n_qubits: int, s_pack, amps) -> complex:
+def expval_dense_state(x, z, c, n_qubits: int, s_pack, amps, grouped=None) -> complex:
     """<psi|O|psi> for DENSE-support states via X-grouped diagonals: O(G 2^n).
 
     The general expval kernels are built for sparse-support states (hash
@@ -109,7 +111,9 @@ def expval_dense_state(x, z, c, n_qubits: int, s_pack, amps) -> complex:
     v = np.zeros(dim, dtype=complex)
     idx = plane_ints(s_pack, n_qubits)
     np.add.at(v, idx, amps)  # duplicate basis rows accumulate
-    ux, D = group_diagonals(x, z, c, n_qubits)
+    if grouped is None:
+        grouped = group_diagonals(x, z, c, n_qubits)
+    ux, D = grouped
     rows = np.arange(dim, dtype=np.int64)
     Hv = np.zeros(dim, dtype=complex)
     for g, xg in enumerate(ux):

@@ -531,6 +531,7 @@ class PauliwordOp:
             return dense.expval_dense_state(
                 self.x_pack, self.z_pack, self.coeff_vec,
                 self.n_qubits, psi._s_pack, psi._amps,
+                grouped=self._x_grouped_diagonals,
             ).real
         return dispatch.expval(
             self.x_pack, self.z_pack, self.coeff_vec, psi._s_pack, psi._amps
@@ -773,9 +774,19 @@ class PauliwordOp:
         return generators
 
     @cached_property
+    def _x_grouped_diagonals(self):
+        """(ux, D) X-grouped diagonal form (kernels/dense.group_diagonals);
+        cached like to_sparse_matrix -- invalidated by construction of new
+        operators, which is how every algebraic op returns its result."""
+        return dense.group_diagonals(
+            self.x_pack, self.z_pack, self.coeff_vec, self.n_qubits
+        )
+
+    @cached_property
     def to_sparse_matrix(self):
         return dense.to_sparse_matrix(
-            self.x_pack, self.z_pack, self.coeff_vec, self.n_qubits
+            self.x_pack, self.z_pack, self.coeff_vec, self.n_qubits,
+            grouped=self._x_grouped_diagonals,
         )
 
     def to_dense_matrix(self) -> np.ndarray:
