@@ -140,11 +140,30 @@ def matvec_host(x, z, c, n_qubits: int, v: np.ndarray) -> np.ndarray:
     return out
 
 
-def make_linear_operator(x, z, c, n_qubits: int):
-    """scipy LinearOperator backed by the matrix-free matvec."""
+def make_linear_operator(x, z, c, n_qubits: int, grouped=None):
+    """scipy LinearOperator backed by the matrix-free matvec.
+
+    Below 24 qubits the (G, dim) grouped-diagonal table fits comfortably and
+    every matvec is O(G 2^n) (G << T); above, the table would dominate memory
+    and the per-term O(T 2^n) ``matvec_host`` streams instead.
+    """
     from scipy.sparse.linalg import LinearOperator
 
     dim = 1 << n_qubits
+    if n_qubits <= 24:
+        if grouped is None:
+            grouped = group_diagonals(x, z, c, n_qubits)
+        ux, D = grouped
+        rows = np.arange(dim, dtype=np.int64)
+
+        def mv(v):
+            v = np.asarray(v).reshape(-1)
+            out = np.zeros(dim, dtype=complex)
+            for g, xg in enumerate(ux):
+                out += D[g] * v[rows ^ xg]
+            return out
+
+        return LinearOperator((dim, dim), matvec=mv, dtype=complex)
     return LinearOperator(
         (dim, dim),
         matvec=lambda v: matvec_host(x, z, c, n_qubits, np.asarray(v).reshape(-1)),

@@ -795,7 +795,8 @@ class PauliwordOp:
     def matrix_free_linear_operator(self):
         """Matrix-free scipy LinearOperator (enables >30-qubit eigensolves)."""
         return dense.make_linear_operator(
-            self.x_pack, self.z_pack, self.coeff_vec, self.n_qubits
+            self.x_pack, self.z_pack, self.coeff_vec, self.n_qubits,
+            grouped=self._x_grouped_diagonals if self.n_qubits <= 24 else None,
         )
 
     # -- generator reconstruction -------------------------------------------
