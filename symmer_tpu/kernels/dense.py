@@ -28,6 +28,23 @@ def plane_ints(pck: np.ndarray, n_qubits: int) -> np.ndarray:
     return bits @ weights
 
 
+# largest (G, 2^n) complex128 host table the grouped fast paths may build
+_HOST_TABLE_BUDGET = 1 << 30
+
+
+def group_count(x, n_qubits: int) -> int:
+    """Number of distinct X patterns (G) -- O(T log T), no table built."""
+    return int(np.unique(plane_ints(x, n_qubits)).size)
+
+
+def group_table_fits(x, n_qubits: int) -> bool:
+    """True when the (G, 2^n) complex128 grouped-diagonal table is within
+    the host budget (the grouped fast paths lose their point beyond it)."""
+    if n_qubits > 26:
+        return False
+    return group_count(x, n_qubits) * (1 << n_qubits) * 16 <= _HOST_TABLE_BUDGET
+
+
 def group_scatter_inputs(x, z, c, n_qubits: int):
     """Per-term scatter triples for the X-grouped diagonal representation:
     (ux, gidx, z_int, phase_c) with ux the (G,) distinct x_ints, gidx the
@@ -143,14 +160,14 @@ def matvec_host(x, z, c, n_qubits: int, v: np.ndarray) -> np.ndarray:
 def make_linear_operator(x, z, c, n_qubits: int, grouped=None):
     """scipy LinearOperator backed by the matrix-free matvec.
 
-    Below 24 qubits the (G, dim) grouped-diagonal table fits comfortably and
-    every matvec is O(G 2^n) (G << T); above, the table would dominate memory
-    and the per-term O(T 2^n) ``matvec_host`` streams instead.
+    When the (G, dim) grouped-diagonal table fits the host budget
+    (``group_table_fits``), every matvec is O(G 2^n) (G << T); beyond it the
+    per-term O(T 2^n) ``matvec_host`` streams without building any table.
     """
     from scipy.sparse.linalg import LinearOperator
 
     dim = 1 << n_qubits
-    if n_qubits <= 24:
+    if grouped is not None or group_table_fits(x, n_qubits):
         if grouped is None:
             grouped = group_diagonals(x, z, c, n_qubits)
         ux, D = grouped

@@ -485,11 +485,9 @@ def _ritz_segment_fn(k: int, chunk: int, n_qubits: int, df: bool, mesh=None):
 # host driver
 # ---------------------------------------------------------------------------
 
-def _ship_groups(ux, Dc, df, dt, idt):
-    """Host (G,) patterns + (G, dim) complex f64 diagonals -> padded device
-    blocks (nb, B) / (nb, B, dim, L)."""
-    import jax.numpy as jnp
-
+def _group_blocks_np(ux, Dc, df, dt, idt):
+    """Host (G,) patterns + (G, dim) complex f64 diagonals -> padded NUMPY
+    blocks (nb, B) / (nb, B, dim, L) (caller chooses device placement)."""
     G, dim = Dc.shape
     L = 4 if df else 2
     itemsize = 4 if (df or dt == np.float32) else 8
@@ -508,10 +506,15 @@ def _ship_groups(ux, Dc, df, dt, idt):
             [Ds, np.zeros((pad,) + Ds.shape[1:], Ds.dtype)], axis=0
         )
         ux = np.concatenate([ux, np.zeros(pad, ux.dtype)])
-    return (
-        jnp.asarray(ux.astype(idt).reshape(nb, B)),
-        jnp.asarray(Ds.reshape(nb, B, dim, L)),
-    )
+    return ux.astype(idt).reshape(nb, B), Ds.reshape(nb, B, dim, L)
+
+
+def _ship_groups(ux, Dc, df, dt, idt):
+    """Blocks placed on the default device (single-device path)."""
+    import jax.numpy as jnp
+
+    ux_np, Ds_np = _group_blocks_np(ux, Dc, df, dt, idt)
+    return jnp.asarray(ux_np), jnp.asarray(Ds_np)
 
 
 def _block_shape(G: int, dim: int, L: int, itemsize: int):
@@ -635,45 +638,66 @@ def lanczos_ground_state(
     dt = _coeff_dtype()
     L = 4 if df else 2
     itemsize = 4 if (df or dt == np.float32) else 8
-    table_bytes = ux.shape[0] * dim * L * itemsize
-    if table_bytes > _D_BUDGET_BYTES * n_dev:
+    G = ux.shape[0]
+    table_bytes = G * dim * L * itemsize
+    use_device_build = mesh is None and table_bytes > _DEVICE_BUILD_BYTES
+    if use_device_build:
+        # the on-chip scatter+FWHT pow2-pads the rows and double-buffers the
+        # table inside the jitted build: budget what is actually allocated
+        B_, nb_ = _block_shape(G, dim, L, itemsize)
+        pad_rows = 1 << int(np.ceil(np.log2(max(1, nb_ * B_))))
+        effective_bytes = 2 * pad_rows * dim * L * itemsize
+    else:
+        effective_bytes = table_bytes
+    if effective_bytes > _D_BUDGET_BYTES * n_dev:
         raise MemoryError(
-            f"group-diagonal table ({table_bytes >> 20} MiB device) exceeds "
-            "the budget; use exact_gs_energy_matrix_free for this size"
+            f"group-diagonal table ({effective_bytes >> 20} MiB device) "
+            "exceeds the budget; use exact_gs_energy_matrix_free for this size"
         )
     if v0 is None:
         rng = np.random.default_rng(7)
         v0 = rng.standard_normal(dim) + 0.25 * rng.standard_normal(dim) * 1j
     v0 = np.asarray(v0, complex).reshape(-1)
 
+    import jax
     import jax.numpy as jnp
 
-    if table_bytes > _DEVICE_BUILD_BYTES:
+    sl = 2 if df else 1
+    if mesh is not None:
+        # Host-build the table, then ONE device_put with the NamedSharding:
+        # jax transfers each shard straight to its device -- the full table
+        # never stages on a single chip (per-device footprint = table/n_dev;
+        # the host holds it once, in RAM)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        _, Dc = dense.group_diagonals(x, z, c, n_qubits)
+        ux_np, Ds_np = _group_blocks_np(ux, Dc, df, dt, idt)
+        H, W = _split_bits(n_qubits)
+        nb, B = Ds_np.shape[0], Ds_np.shape[1]
+        ax = mesh.axis_names[0]
+        D_dev = jax.device_put(
+            Ds_np.reshape(nb, B, H, W, L),
+            NamedSharding(mesh, P(None, None, ax, None, None)),
+        )
+        ux_dev = jax.device_put(ux_np, NamedSharding(mesh, P()))
+        v0_dev = jax.device_put(
+            _ship_vec(v0, df, dt), NamedSharding(mesh, P())
+        )
+        perms = (ux_dev,)
+    elif use_device_build:
         # big table: scatter + FWHT it on chip from the O(T) triples
         ux_dev, D_dev = _ship_groups_device(
             ux, gidx, z_int, phase_c, n_qubits, df, dt, idt
         )
+        v0_dev = _ship_vec(v0, df, dt)
     else:
         # small table: host FWHT, one cheap upload, no extra compile
         _, Dc = dense.group_diagonals(x, z, c, n_qubits)
         ux_dev, D_dev = _ship_groups(ux, Dc, df, dt, idt)
-    v0_dev = _ship_vec(v0, df, dt)
-    sl = 2 if df else 1
-    import jax
+        v0_dev = _ship_vec(v0, df, dt)
 
     if mesh is not None:
-        # (nb, B, dim, L) -> (nb, B, H, W, L) sharded on the row-block axis
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        H, W = _split_bits(n_qubits)
-        nb, B = D_dev.shape[0], D_dev.shape[1]
-        D_dev = jax.device_put(
-            D_dev.reshape(nb, B, H, W, L),
-            NamedSharding(mesh, P(None, None, mesh.axis_names[0], None, None)),
-        )
-        ux_dev = jax.device_put(ux_dev, NamedSharding(mesh, P()))
-        v0_dev = jax.device_put(v0_dev, NamedSharding(mesh, P()))
-        perms = (ux_dev,)
+        pass  # perms set above
     elif jax.default_backend() == "cpu":
         # CPU: row gathers beat dense one-hot matmuls by orders of magnitude
         perms = (ux_dev,)

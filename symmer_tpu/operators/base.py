@@ -527,6 +527,10 @@ class PauliwordOp:
             self.n_qubits <= 26
             and B >= 1024
             and B * 8 >= (1 << self.n_qubits)
+            and (
+                "_x_grouped_diagonals" in self.__dict__
+                or dense.group_table_fits(self.x_pack, self.n_qubits)
+            )
         ):
             return dense.expval_dense_state(
                 self.x_pack, self.z_pack, self.coeff_vec,
@@ -796,7 +800,7 @@ class PauliwordOp:
         """Matrix-free scipy LinearOperator (enables >30-qubit eigensolves)."""
         return dense.make_linear_operator(
             self.x_pack, self.z_pack, self.coeff_vec, self.n_qubits,
-            grouped=self._x_grouped_diagonals if self.n_qubits <= 24 else None,
+            grouped=self.__dict__.get("_x_grouped_diagonals"),
         )
 
     # -- generator reconstruction -------------------------------------------

@@ -67,8 +67,13 @@ class QubitSubspaceManager:
 
             try:
                 return exact_gs_energy_device(self.hamiltonian)[1]
-            except MemoryError:
-                pass  # diagonal table over budget: fall through to DMRG
+            except (MemoryError, RuntimeError) as exc:
+                # table over budget (MemoryError) or a device RESOURCE_EXHAUSTED
+                # (XlaRuntimeError subclasses RuntimeError): fall back to DMRG
+                warnings.warn(
+                    f"device Lanczos reference failed ({exc!r}); "
+                    "falling back to DMRG"
+                )
         from ..approximate import find_groundstate_dmrg, get_MPO
 
         mpo = get_MPO(self.hamiltonian, max_bond_dimension=30)

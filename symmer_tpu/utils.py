@@ -49,11 +49,20 @@ def exact_gs_energy(
 
     if n_particles is None:
         return eigvals[0], QuantumState.from_array(eigvecs[:, 0].reshape([-1, 1]))
+    return _select_by_particle_number(
+        eigvals, eigvecs, n_particles, number_operator
+    )
 
+
+def _select_by_particle_number(
+    eigvals, eigvecs, n_particles, number_operator
+) -> Tuple[float, QuantumState]:
+    """First eigenpair whose <N> rounds to n_particles (reference
+    utils.py:53-69's sector scan, shared by the host and device solvers)."""
     assert number_operator is not None, "Must specify the number operator."
+    assert not np.any(number_operator.X_block), "Number operator not diagonal"
     for evl, evc in zip(eigvals, eigvecs.T):
         psi = QuantumState.from_array(evc.reshape([-1, 1])).cleanup(zero_threshold=1e-5)
-        assert not np.any(number_operator.X_block), "Number operator not diagonal"
         expval_n_particle = 0
         for Z_symp, Z_coeff in zip(number_operator.Z_block, number_operator.coeff_vec):
             sign = (-1) ** np.einsum(
@@ -119,29 +128,7 @@ def exact_gs_energy_device(
     )
     if n_particles is None:
         return evals[0], QuantumState.from_array(evecs[:, 0].reshape([-1, 1]))
-
-    assert number_operator is not None, "Must specify the number operator."
-    assert not np.any(number_operator.X_block), "Number operator not diagonal"
-    for evl, evc in zip(evals, evecs.T):
-        psi = QuantumState.from_array(evc.reshape([-1, 1])).cleanup(
-            zero_threshold=1e-5
-        )
-        expval_n_particle = 0
-        for Z_symp, Z_coeff in zip(
-            number_operator.Z_block, number_operator.coeff_vec
-        ):
-            sign = (-1) ** np.einsum(
-                "ij->i", np.bitwise_and(Z_symp, psi.state_matrix)
-            )
-            expval_n_particle += Z_coeff * np.sum(
-                sign * np.square(abs(psi._amps))
-            )
-        if np.round(expval_n_particle) == n_particles:
-            return evl, QuantumState.from_array(evc.reshape([-1, 1]))
-    raise RuntimeError(
-        "No eigenvector of the correct particle number was identified - "
-        "try increasing n_eigs."
-    )
+    return _select_by_particle_number(evals, evecs, n_particles, number_operator)
 
 
 def get_entanglement_entropy(psi: QuantumState, qubits: List[int]) -> float:
