@@ -600,6 +600,7 @@ def lanczos_ground_state(
     n_eigs: int = 1,
     chunk: int = 64,
     mesh=None,
+    _retry: int = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Eigenvalues + eigenvectors of the packed operator, computed on device.
 
@@ -623,6 +624,10 @@ def lanczos_ground_state(
     from .dispatch import _coeff_dtype, _df_mode
 
     dim = 1 << n_qubits
+    if _retry is None:
+        # auto-k gets two doubling retries on an unconverged residual;
+        # an explicit k is respected (warning only)
+        _retry = 2 if k <= 0 else 0
     if k <= 0:
         k = min(dim, 16 + 24 * n_qubits)
     k = min(k, dim)
@@ -741,6 +746,24 @@ def lanczos_ground_state(
         if len(sel) >= n_eigs:
             break
     sel = np.asarray(sel, int)
+
+    # Paige residual bound |H y_e - theta_e y_e| = |beta_{k_eff}| |S[-1, e]|:
+    # no silent unconverged energies.  Auto-k extends the Krylov space
+    # (doubling, up to two retries); an explicit k only warns.
+    resid = abs(be_host[k_eff - 1]) * np.abs(evecs[-1, sel])
+    if k_eff < dim and np.any(resid > 1e-9 * scale):
+        if _retry > 0 and k < dim:
+            return lanczos_ground_state(
+                x, z, c, n_qubits, k=min(dim, 2 * k), v0=v0,
+                n_eigs=n_eigs, chunk=chunk, mesh=mesh, _retry=_retry - 1,
+            )
+        import warnings
+
+        warnings.warn(
+            f"Lanczos residual {float(resid.max()):.2e} after k={k_eff} "
+            "iterations exceeds 1e-9 of the spectral scale; the returned "
+            "eigenpairs may be unconverged -- increase k"
+        )
 
     # ---- pass 2: Ritz vector accumulation
     S = np.zeros((k, len(sel), sl))

@@ -265,3 +265,24 @@ def test_lanczos_mesh_fallback_small_row_axis():
         op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, mesh=mesh
     )
     assert abs(evals[0] - np.linalg.eigvalsh(dense_op(op))[0]) < 1e-9
+
+
+def test_lanczos_residual_guard():
+    """An explicitly too-small Krylov space warns instead of silently
+    returning an unconverged energy; auto-k extends itself and converges."""
+    import warnings as _w
+
+    from symmer_tpu.kernels import jx_lanczos
+
+    op = _random_hermitian(8, 80)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        evals_small, _ = jx_lanczos.lanczos_ground_state(
+            op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, k=4
+        )
+    assert any("residual" in str(r.message) for r in rec), "no convergence warning"
+    evals_auto, _ = jx_lanczos.lanczos_ground_state(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits
+    )
+    d0 = np.linalg.eigvalsh(dense_op(op))[0]
+    assert abs(evals_auto[0] - d0) < 1e-9
