@@ -125,6 +125,63 @@ def _norm2(v, df):
     return _dot_real(v, v, df)
 
 
+def _dot_complex(u, v, df):
+    """<u, v> = sum conj(u) * v as (re, im) real lane-tuple scalars."""
+    jnp = _jnp()
+    if df:
+        p1 = jx_df.df_mul(u[0], u[1], v[0], v[1])
+        p2 = jx_df.df_mul(u[2], u[3], v[2], v[3])
+        re = jx_df.df_sum(*jx_df.df_add(*p1, *p2))
+        q1 = jx_df.df_mul(u[0], u[1], v[2], v[3])
+        q2 = jx_df.df_mul(u[2], u[3], v[0], v[1])
+        im = jx_df.df_sum(*jx_df.df_sub(*q1, *q2))
+        return re, im
+    return (
+        (jnp.sum(u[0] * v[0] + u[1] * v[1]),),
+        (jnp.sum(u[0] * v[1] - u[1] * v[0]),),
+    )
+
+
+def _v_caxpy(v, sr, si, w, df):
+    """w + (sr + i si) * v for real lane-tuple scalars sr, si."""
+    if df:
+        prr = jx_df.df_mul(v[0], v[1], sr[0], sr[1])
+        pii = jx_df.df_mul(v[2], v[3], si[0], si[1])
+        pr = jx_df.df_sub(*prr, *pii)
+        rh, rl = jx_df.df_add(w[0], w[1], *pr)
+        pri = jx_df.df_mul(v[2], v[3], sr[0], sr[1])
+        pir = jx_df.df_mul(v[0], v[1], si[0], si[1])
+        pi = jx_df.df_add(*pri, *pir)
+        ih, il = jx_df.df_add(w[2], w[3], *pi)
+        return (rh, rl, ih, il)
+    return (
+        w[0] + sr[0] * v[0] - si[0] * v[1],
+        w[1] + sr[0] * v[1] + si[0] * v[0],
+    )
+
+
+def _project_out(w, locked_s, df):
+    """w - sum_m y_m <y_m, w> — deflate the locked (orthonormal) subspace.
+
+    ``locked_s``: (m, dim, L) stacked lanes with a *static* m; the loop
+    unrolls at trace time (m is a handful of converged eigenvectors).
+    Projection after every matvec keeps the re-injected locked component at
+    the eps*|H| level, so a deflated run converges to the lowest eigenvalue
+    of the complement — degenerate partners become reachable one sweep at a
+    time (classic lock-and-deflate restarting)."""
+    for i in range(locked_s.shape[0]):
+        y = _lanes_from_stacked(locked_s[i], df)
+        cr, ci = _dot_complex(y, w, df)
+        w = _v_caxpy(
+            y,
+            tuple(-l for l in cr),
+            tuple(-l for l in ci),
+            w,
+            df,
+        )
+    return w
+
+
 def _lanes_from_stacked(a, df):
     """(..., L) stacked array -> lane tuple of (...,) arrays."""
     if df:
@@ -394,19 +451,26 @@ def _matvec_any(perms, D, v, n_qubits, df, mesh):
 
 
 @lru_cache(maxsize=None)
-def _tridiag_segment_fn(k: int, chunk: int, n_qubits: int, df: bool, mesh=None):
-    """Advance `chunk` Lanczos iterations starting at j0 (device-resident)."""
+def _tridiag_segment_fn(
+    k: int, chunk: int, n_qubits: int, df: bool, mesh=None, m: int = 0
+):
+    """Advance `chunk` Lanczos iterations starting at j0 (device-resident).
+
+    ``m`` locked vectors (deflation) are projected out of every matvec
+    result; m = 0 compiles to the plain recurrence."""
     import jax
     from jax import lax
 
     jnp = _jnp()
 
-    def run(perms, D, v_prev_s, v_cur_s, beta_s, alphas, betas, j0):
+    def run(perms, D, locked_s, v_prev_s, v_cur_s, beta_s, alphas, betas, j0):
         sl = 2 if df else 1
 
         def step(j, carry):
             v_prev, v_cur, beta, alphas, betas = carry
             w = _matvec_any(perms, D, v_cur, n_qubits, df, mesh)
+            if m:
+                w = _project_out(w, locked_s, df)
             w = _v_axpy(v_prev, tuple(-l for l in beta), w, df)
             alpha = _dot_real(v_cur, w, df)
             w = _v_axpy(v_cur, tuple(-l for l in alpha), w, df)
@@ -436,14 +500,19 @@ def _tridiag_segment_fn(k: int, chunk: int, n_qubits: int, df: bool, mesh=None):
 
 
 @lru_cache(maxsize=None)
-def _ritz_segment_fn(k: int, chunk: int, n_qubits: int, df: bool, mesh=None):
-    """Pass 2: rebuild v_j from stored (alpha, beta), accumulate Ritz vecs."""
+def _ritz_segment_fn(
+    k: int, chunk: int, n_qubits: int, df: bool, mesh=None, m: int = 0
+):
+    """Pass 2: rebuild v_j from stored (alpha, beta), accumulate Ritz vecs.
+
+    Must replicate pass 1's arithmetic exactly — including the deflation
+    projection — so the rebuilt v_j are bitwise the pass-1 iterates."""
     import jax
     from jax import lax
 
     jnp = _jnp()
 
-    def run(perms, D, v_prev_s, v_cur_s, y, alphas, betas, s_stack, j0):
+    def run(perms, D, locked_s, v_prev_s, v_cur_s, y, alphas, betas, s_stack, j0):
         n_eigs = s_stack.shape[1]
 
         def accum(y, v_cur_s, j):
@@ -460,6 +529,8 @@ def _ritz_segment_fn(k: int, chunk: int, n_qubits: int, df: bool, mesh=None):
             y = accum(y, v_cur_s, j)
             v_cur = _lanes_from_stacked(v_cur_s, df)
             w = _matvec_any(perms, D, v_cur, n_qubits, df, mesh)
+            if m:
+                w = _project_out(w, locked_s, df)
             beta = tuple(betas[j - 1][i] for i in range(betas.shape[1]))
             beta = tuple(
                 jnp.where(j > 0, b, jnp.zeros_like(b)) for b in beta
@@ -600,6 +671,7 @@ def lanczos_ground_state(
     n_eigs: int = 1,
     chunk: int = 64,
     mesh=None,
+    locked: np.ndarray | None = None,
     _retry: int = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Eigenvalues + eigenvectors of the packed operator, computed on device.
@@ -617,6 +689,13 @@ def lanczos_ground_state(
     memory budget scales 1/n_dev, extending exact diagonalisation beyond
     one chip's HBM.  Falls back to single-device when the row-block axis
     does not split evenly.
+
+    ``locked`` — (dim, m) orthonormal columns — deflates a converged
+    invariant subspace: every iterate is projected onto its orthogonal
+    complement (on device, in lane precision), so the recurrence converges
+    to the lowest eigenpair OF THE COMPLEMENT.  Used by
+    ``lanczos_lowest_eigsh`` to resolve degenerate multiplets that a
+    single-vector Krylov space cannot see.
     """
     from scipy.linalg import eigh_tridiagonal
 
@@ -663,6 +742,18 @@ def lanczos_ground_state(
         rng = np.random.default_rng(7)
         v0 = rng.standard_normal(dim) + 0.25 * rng.standard_normal(dim) * 1j
     v0 = np.asarray(v0, complex).reshape(-1)
+    m_lock = 0 if locked is None else int(locked.shape[1])
+    if m_lock:
+        # start strictly inside the deflated complement (host f64 is exact
+        # enough here; the per-step device projection handles drift)
+        v0 = v0 - locked @ (locked.conj().T @ v0)
+        nrm0 = np.linalg.norm(v0)
+        if nrm0 < 1e-8:
+            rng = np.random.default_rng(11 + m_lock)
+            v0 = rng.standard_normal(dim) + 0.25j * rng.standard_normal(dim)
+            v0 = v0 - locked @ (locked.conj().T @ v0)
+            nrm0 = np.linalg.norm(v0)
+        v0 = v0 / nrm0
 
     import jax
     import jax.numpy as jnp
@@ -689,6 +780,16 @@ def lanczos_ground_state(
             _ship_vec(v0, df, dt), NamedSharding(mesh, P())
         )
         perms = (ux_dev,)
+        if m_lock:
+            locked_s = jax.device_put(
+                _ship_vec(np.ascontiguousarray(locked.T), df, dt),
+                NamedSharding(mesh, P()),
+            )
+        else:
+            locked_s = jax.device_put(
+                jnp.zeros((0, dim, v0_dev.shape[-1]), v0_dev.dtype),
+                NamedSharding(mesh, P()),
+            )
     elif use_device_build:
         # big table: scatter + FWHT it on chip from the O(T) triples
         ux_dev, D_dev = _ship_groups_device(
@@ -701,6 +802,11 @@ def lanczos_ground_state(
         ux_dev, D_dev = _ship_groups(ux, Dc, df, dt, idt)
         v0_dev = _ship_vec(v0, df, dt)
 
+    if mesh is None:
+        if m_lock:
+            locked_s = _ship_vec(np.ascontiguousarray(locked.T), df, dt)
+        else:
+            locked_s = jnp.zeros((0, dim, v0_dev.shape[-1]), v0_dev.dtype)
     if mesh is not None:
         pass  # perms set above
     elif jax.default_backend() == "cpu":
@@ -722,9 +828,9 @@ def lanczos_ground_state(
     betas = jnp.zeros((k, sl), v0_dev.dtype)
     for j0 in range(0, k, chunk):
         step_n = min(chunk, k - j0)
-        seg_f = _tridiag_segment_fn(k, step_n, n_qubits, df, mesh)
+        seg_f = _tridiag_segment_fn(k, step_n, n_qubits, df, mesh, m_lock)
         v_prev, v_cur, beta, alphas, betas = seg_f(
-            perms, D_dev, v_prev, v_cur, beta, alphas, betas, j0
+            perms, D_dev, locked_s, v_prev, v_cur, beta, alphas, betas, j0
         )
     al_host = _merge_scalar_rows(alphas, df)
     be_host = _merge_scalar_rows(betas, df)
@@ -755,7 +861,8 @@ def lanczos_ground_state(
         if _retry > 0 and k < dim:
             return lanczos_ground_state(
                 x, z, c, n_qubits, k=min(dim, 2 * k), v0=v0,
-                n_eigs=n_eigs, chunk=chunk, mesh=mesh, _retry=_retry - 1,
+                n_eigs=n_eigs, chunk=chunk, mesh=mesh, locked=locked,
+                _retry=_retry - 1,
             )
         import warnings
 
@@ -779,9 +886,9 @@ def lanczos_ground_state(
     y = jnp.zeros((len(sel), dim, v0_dev.shape[-1]), v0_dev.dtype)
     for j0 in range(0, k, chunk):
         step_n = min(chunk, k - j0)
-        rseg = _ritz_segment_fn(k, step_n, n_qubits, df, mesh)
+        rseg = _ritz_segment_fn(k, step_n, n_qubits, df, mesh, m_lock)
         v_prev, v_cur, y = rseg(
-            perms, D_dev, v_prev, v_cur, y, alphas, betas, S_dev, j0
+            perms, D_dev, locked_s, v_prev, v_cur, y, alphas, betas, S_dev, j0
         )
     y = np.asarray(y, np.float64)  # (n_sel, dim, L)
     if df:
@@ -792,3 +899,64 @@ def lanczos_ground_state(
     nrm[nrm == 0] = 1.0
     vec = vec / nrm
     return evals[sel], vec.T
+
+
+def lanczos_lowest_eigsh(
+    x,
+    z,
+    c,
+    n_qubits: int,
+    n_vecs: int,
+    k: int = 0,
+    chunk: int = 64,
+    mesh=None,
+    v0: np.ndarray | None = None,
+    stop=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Lowest ``n_vecs`` eigenpairs WITH multiplicity via deflated restarts.
+
+    A single-vector Krylov space contains exactly one vector per distinct
+    eigenvalue — degenerate partners are invisible to ``lanczos_ground_state``
+    no matter how many iterations run.  Here each sweep locks the converged
+    eigenvectors and reruns the recurrence with the locked subspace
+    projected out of every iterate (``locked=``), so sweep m converges to
+    the m-th lowest eigenpair *counting multiplicity*.  Within an exactly
+    degenerate multiplet the returned vectors are an arbitrary orthonormal
+    basis of the eigenspace (as with any black-box eigensolver).
+
+    ``stop(evals, evecs)`` — called after each sweep with everything
+    collected so far ((s,) float64 ascending, (dim, s) complex128) — may
+    return True to end early (e.g. once a particle-number filter is
+    satisfied).  Returns (evals, evecs) of whatever was collected.
+    """
+    dim = 1 << n_qubits
+    n_vecs = max(1, min(n_vecs, dim))
+    vals: list = []
+    vecs: list = []
+    locked = None
+    for sweep in range(n_vecs):
+        if v0 is None or sweep > 0:
+            rng = np.random.default_rng(7 + 13 * sweep)
+            v_start = rng.standard_normal(dim) + 0.25j * rng.standard_normal(dim)
+        else:
+            v_start = v0
+        ev, Y = lanczos_ground_state(
+            x, z, c, n_qubits, k=k, v0=v_start, n_eigs=1,
+            chunk=chunk, mesh=mesh, locked=locked,
+        )
+        y = Y[:, 0]
+        if locked is not None:
+            # exact host re-orthogonalisation before locking (the device
+            # projection bounds drift at eps; this removes it entirely)
+            y = y - locked @ (locked.conj().T @ y)
+            nrm = np.linalg.norm(y)
+            if nrm < 1e-8:
+                break  # complement exhausted (deflated dim reached)
+            y = y / nrm
+        vals.append(float(ev[0]))
+        vecs.append(y)
+        locked = np.stack(vecs, axis=1)
+        if stop is not None and stop(np.asarray(vals), locked):
+            break
+    order = np.argsort(vals)
+    return np.asarray(vals)[order], locked[:, order]

@@ -54,24 +54,72 @@ def exact_gs_energy(
     )
 
 
+def _zdiag_vector(operator: PauliwordOp, dim: int) -> np.ndarray:
+    """Dense diagonal of a Z/I-only operator over the computational basis
+    (qubit 0 = most significant bit, matching ``QuantumState.from_array``)."""
+    n = operator.n_qubits
+    r = np.arange(dim, dtype=np.int64)
+    diag = np.zeros(dim, np.float64)
+    for Z_symp, cz in zip(operator.Z_block, operator.coeff_vec):
+        zmask = 0
+        for q in np.nonzero(Z_symp)[0]:
+            zmask |= 1 << (n - 1 - int(q))
+        v = r & np.int64(zmask)
+        for s in (32, 16, 8, 4, 2, 1):  # XOR parity fold
+            v = v ^ (v >> s)
+        diag += np.real(cz) * (1.0 - 2.0 * (v & 1))
+    return diag
+
+
+def _sector_rotate(eigvals, eigvecs, Nd, degeneracy_tol: float = 1e-8):
+    """Rotate each near-degenerate multiplet so the (diagonal) number
+    operator is diagonal within it.
+
+    Any black-box eigensolver returns an ARBITRARY orthonormal basis inside
+    a degenerate eigenspace, whose members generally are NOT particle-number
+    eigenstates — their <N> lands between sectors and a round() filter
+    misfires (a flaw the reference's sector scan, utils.py:53-69, inherits
+    from ARPACK).  Diagonalising N restricted to each multiplet recovers
+    exact sector eigenstates.  Returns (vals, vecs, <N> per column,
+    multiplet id per column), energies ascending.
+    """
+    eigvals = np.asarray(eigvals, np.float64)
+    order = np.argsort(eigvals)
+    eigvals, eigvecs = eigvals[order], np.asarray(eigvecs)[:, order]
+    scale = max(1.0, float(np.max(np.abs(eigvals))))
+    nvals = np.empty(len(eigvals))
+    group = np.empty(len(eigvals), int)
+    out = eigvecs.copy()
+    i = gid = 0
+    while i < len(eigvals):
+        j = i + 1
+        while (
+            j < len(eigvals)
+            and abs(eigvals[j] - eigvals[i]) <= degeneracy_tol * scale
+        ):
+            j += 1
+        Y = eigvecs[:, i:j]
+        Nsub = Y.conj().T @ (Nd[:, None] * Y)
+        w, U = np.linalg.eigh((Nsub + Nsub.conj().T) / 2)
+        out[:, i:j] = Y @ U
+        nvals[i:j] = w
+        group[i:j] = gid
+        i, gid = j, gid + 1
+    return eigvals, out, nvals, group
+
+
 def _select_by_particle_number(
     eigvals, eigvecs, n_particles, number_operator
 ) -> Tuple[float, QuantumState]:
     """First eigenpair whose <N> rounds to n_particles (reference
-    utils.py:53-69's sector scan, shared by the host and device solvers)."""
+    utils.py:53-69's sector scan, shared by the host and device solvers),
+    with degenerate multiplets sector-rotated first (``_sector_rotate``)."""
     assert number_operator is not None, "Must specify the number operator."
     assert not np.any(number_operator.X_block), "Number operator not diagonal"
-    for evl, evc in zip(eigvals, eigvecs.T):
-        psi = QuantumState.from_array(evc.reshape([-1, 1])).cleanup(zero_threshold=1e-5)
-        expval_n_particle = 0
-        for Z_symp, Z_coeff in zip(number_operator.Z_block, number_operator.coeff_vec):
-            sign = (-1) ** np.einsum(
-                "ij->i", np.bitwise_and(Z_symp, psi.state_matrix)
-            )
-            expval_n_particle += Z_coeff * np.sum(
-                sign * np.square(abs(psi._amps))
-            )
-        if np.round(expval_n_particle) == n_particles:
+    Nd = _zdiag_vector(number_operator, eigvecs.shape[0])
+    vals, vecs, nvals, _ = _sector_rotate(eigvals, eigvecs, Nd)
+    for evl, evc, nv in zip(vals, vecs.T, nvals):
+        if np.round(nv) == n_particles:
             return evl, QuantumState.from_array(evc.reshape([-1, 1]))
     raise RuntimeError(
         "No eigenvector of the correct particle number was identified - "
@@ -104,30 +152,59 @@ def exact_gs_energy_device(
     accelerator, in the package's extended (double-float) precision on f32
     backends.  For a tapered N2/STO-3G (15 qubits, 2.2k terms) this replaces
     ~9 minutes of host CSR construction + ARPACK with a few seconds on one
-    chip.  Degenerate partners within an eigenspace are not resolvable by a
-    single-vector Lanczos; for particle-number filtering across degenerate
-    multiplets prefer the host path.
+    chip.
+
+    With ``n_particles`` the low spectrum is resolved WITH multiplicity by
+    deflated Lanczos restarts (``jx_lanczos.lanczos_lowest_eigsh``), each
+    degenerate multiplet is sector-rotated to diagonalise the number
+    operator (``_sector_rotate``), and the lowest exact sector eigenstate is
+    returned — correct even when the sector state lives inside a degenerate
+    ground multiplet, a case both single-vector Lanczos and the reference's
+    ARPACK+round() scan (utils.py:53-69) can miss.  Sweeping stops early as
+    soon as a CLOSED multiplet (one with a strictly higher eigenvalue
+    already found above it) contains a match.
     """
+    from .config import config
     from .kernels import jx_lanczos
 
-    n_ask = max(n_eigs, 6 if n_particles is not None else 1)
     v0 = None
     if initial_guess is not None:
         v0 = np.asarray(initial_guess, complex).reshape(-1)
-    from .config import config
 
-    evals, evecs = jx_lanczos.lanczos_ground_state(
+    if n_particles is None:
+        evals, evecs = jx_lanczos.lanczos_ground_state(
+            operator.x_pack,
+            operator.z_pack,
+            operator.coeff_vec,
+            operator.n_qubits,
+            k=k,
+            v0=v0,
+            n_eigs=n_eigs,
+            mesh=config.mesh,
+        )
+        return evals[0], QuantumState.from_array(evecs[:, 0].reshape([-1, 1]))
+
+    assert number_operator is not None, "Must specify the number operator."
+    Nd = _zdiag_vector(number_operator, 1 << operator.n_qubits)
+
+    def _sector_match_in_closed_multiplet(vals, vecs) -> bool:
+        if len(vals) < 2:
+            return False
+        _, _, nvals, group = _sector_rotate(vals, vecs, Nd)
+        closed = group < group[-1]  # last multiplet may still be filling
+        return bool(np.any(closed & (np.round(nvals) == n_particles)))
+
+    evals, evecs = jx_lanczos.lanczos_lowest_eigsh(
         operator.x_pack,
         operator.z_pack,
         operator.coeff_vec,
         operator.n_qubits,
+        n_vecs=max(n_eigs, 6),
         k=k,
         v0=v0,
-        n_eigs=n_ask,
         mesh=config.mesh,
+        stop=_sector_match_in_closed_multiplet,
     )
-    if n_particles is None:
-        return evals[0], QuantumState.from_array(evecs[:, 0].reshape([-1, 1]))
     return _select_by_particle_number(evals, evecs, n_particles, number_operator)
 
 

@@ -183,6 +183,88 @@ def test_exact_gs_energy_device_particle_number(h2_fixture):
     )
     assert np.isclose(gs, h2_fixture["fci_energy"], atol=1e-8)
 
+def test_lanczos_lowest_eigsh_multiplicity():
+    """Deflated restarts resolve degenerate multiplets a single-vector
+    Krylov space cannot see: h (2q) tensor I doubles every eigenvalue."""
+    from symmer_tpu.kernels import jx_lanczos
+
+    op = _random_hermitian(2, 6).tensor(PauliwordOp.from_dictionary({"I": 1.0}))
+    evals, evecs = jx_lanczos.lanczos_lowest_eigsh(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, n_vecs=4
+    )
+    M = dense_op(op)
+    dense_evals = np.linalg.eigvalsh(M)
+    assert np.allclose(evals, dense_evals[:4], atol=1e-9)  # WITH multiplicity
+    # orthonormal basis of the eigenspaces, each column a true eigenvector
+    assert np.allclose(evecs.conj().T @ evecs, np.eye(4), atol=1e-8)
+    for e, y in zip(evals, evecs.T):
+        assert np.linalg.norm(M @ y - e * y) < 1e-8
+
+
+def test_lanczos_lowest_eigsh_stop_callback():
+    from symmer_tpu.kernels import jx_lanczos
+
+    op = _random_hermitian(4, 10)
+    calls = []
+
+    def stop(vals, vecs):
+        calls.append((len(vals), vecs.shape))
+        return len(vals) >= 2
+
+    evals, evecs = jx_lanczos.lanczos_lowest_eigsh(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, n_vecs=5, stop=stop
+    )
+    assert len(evals) == 2 and evecs.shape == (16, 2)
+    assert calls[-1] == (2, (16, 2))
+
+
+def test_zdiag_vector_matches_dense_diagonal():
+    from symmer_tpu.utils import _zdiag_vector
+
+    N_op = PauliwordOp.from_dictionary(
+        {"III": 1.5, "ZII": -0.5, "IZI": -0.5, "IIZ": -0.5, "ZZI": 0.25}
+    )
+    Nd = _zdiag_vector(N_op, 8)
+    assert np.allclose(Nd, np.diag(dense_op(N_op)).real, atol=1e-14)
+
+
+def test_select_by_particle_number_rotates_multiplets():
+    """An eigensolver returns an arbitrary basis inside a degenerate
+    eigenspace; the sector scan must rotate it onto exact number
+    eigenstates before filtering (the reference's round() scan misfires)."""
+    from symmer_tpu.utils import _select_by_particle_number
+
+    # ground multiplet of -Z0Z1: span{|00>, |11>}; hand it deliberately
+    # mixed combinations with <N> = 1 each (round() would reject both)
+    N_op = PauliwordOp.from_dictionary({"II": 1.0, "ZI": -0.5, "IZ": -0.5})
+    plus = np.array([1, 0, 0, 1]) / np.sqrt(2)
+    minus = np.array([1, 0, 0, -1]) / np.sqrt(2)
+    eigvals = np.array([-1.0, -1.0])
+    eigvecs = np.stack([plus, minus], axis=1)
+    evl, psi = _select_by_particle_number(eigvals, eigvecs, 2, N_op)
+    assert evl == -1.0
+    amps = psi.to_dense_matrix.reshape(-1)
+    assert abs(abs(amps[3]) - 1.0) < 1e-12  # exactly |11>
+    evl0, psi0 = _select_by_particle_number(eigvals, eigvecs, 0, N_op)
+    amps0 = psi0.to_dense_matrix.reshape(-1)
+    assert abs(abs(amps0[0]) - 1.0) < 1e-12  # exactly |00>
+
+
+def test_exact_gs_energy_device_degenerate_sector():
+    """n_particles filtering inside a degenerate ground multiplet: -Z0Z1
+    has ground space span{|00>, |11>}; the 2-particle answer is |11>."""
+    from symmer_tpu.utils import exact_gs_energy_device
+
+    H = PauliwordOp.from_dictionary({"ZZ": -1.0})
+    N_op = PauliwordOp.from_dictionary({"II": 1.0, "ZI": -0.5, "IZ": -0.5})
+    gs, psi = exact_gs_energy_device(
+        H, n_particles=2, number_operator=N_op
+    )
+    assert abs(gs - (-1.0)) < 1e-10
+    amps = psi.to_dense_matrix.reshape(-1)
+    assert abs(abs(amps[3]) - 1.0) < 1e-10
+
+
 def test_ship_groups_device_matches_host():
     """The on-chip scatter+FWHT diagonal build produces the same blocks as
     the host FWHT + upload path (padding rows excluded)."""
