@@ -455,6 +455,30 @@ def check():
     if not ok:
         failures.append("extended:lanczos_gs")
 
+    # deflated restarts: degenerate multiplet resolved WITH multiplicity
+    # (small op keeps the extra compiles cheap; h(2q) (x) I doubles levels)
+    np.random.seed(13)
+    dop = PauliwordOp.random(2, 6, complex_coeffs=False)
+    dop = (dop + dop.dagger).cleanup().tensor(
+        PauliwordOp.from_dictionary({"I": 1.0})
+    )
+    devals, dvecs = jx_lanczos.lanczos_lowest_eigsh(
+        dop.x_pack, dop.z_pack, dop.coeff_vec, dop.n_qubits, n_vecs=2
+    )
+    dense_pair = np.linalg.eigvalsh(
+        np.asarray(dop.to_sparse_matrix.todense())
+    )[:2]
+    err = float(np.max(np.abs(devals - dense_pair))) / max(
+        abs(dense_pair[0]), 1.0
+    )
+    orth = abs(np.vdot(dvecs[:, 0], dvecs[:, 1]))
+    ok = err <= 1e-10 and orth < 1e-8
+    print(f"# [extended] lanczos_deflated_multiplet: "
+          f"{'PASS' if ok else 'FAIL'} rel_err={err:.2e} |<y0|y1>|={orth:.1e}",
+          file=sys.stderr)
+    if not ok:
+        failures.append("extended:lanczos_deflated_multiplet")
+
     print(json.dumps({
         "metric": "device_host_check_failures",
         "value": len(failures),

@@ -49,3 +49,17 @@ print(f"|dE| = {abs(gs_dev - gs_host):.2e}")
 # the returned QuantumState plugs into everything else
 e_check = np.real(H.expval(psi.normalize))
 print(f"<psi|H|psi> via operator expval = {e_check:.12f}")
+
+# --- degenerate multiplets with multiplicity (deflated restarts) ---------
+# a single Krylov vector sees one vector per DISTINCT eigenvalue; the
+# deflated solver locks converged states and re-runs in their orthogonal
+# complement, recovering degenerate partners one sweep at a time
+from symmer_tpu.utils import exact_lowest_states_device
+
+h2q = PauliwordOp.random(2, 6, complex_coeffs=False)
+h2q = (h2q + h2q.dagger).cleanup()
+H_deg = h2q.tensor(PauliwordOp.from_dictionary({"I": 1.0}))  # doubles levels
+evals, states = exact_lowest_states_device(H_deg, 4)
+print("\nlowest 4 WITH multiplicity:", np.round(evals, 10))
+print("pairwise degenerate:", np.isclose(evals[0], evals[1]),
+      np.isclose(evals[2], evals[3]))

@@ -33,6 +33,13 @@ Two passes: pass 1 produces (alpha, beta); the host solves the tridiagonal
 (scipy ``eigh_tridiagonal``); pass 2 re-runs the recurrence accumulating the
 Ritz vectors y_e = sum_j S[j, e] v_j, downloading only the 2^n amplitudes of
 the requested eigenvectors.
+
+Degenerate multiplets: ``lanczos_lowest_eigsh`` resolves the low spectrum
+WITH multiplicity via lock-and-deflate restarts (``locked=`` projects every
+iterate onto the complement of the converged eigenvectors, in lane
+precision, identically in both passes).  ``prepare_operator`` builds the
+device-resident table + permutations once so restart sweeps (and repeated
+solves of the same operator) skip construction and upload entirely.
 """
 from __future__ import annotations
 
@@ -641,6 +648,167 @@ def _ship_groups_device(ux, gidx, z_int, phase_c, n_qubits, df, dt, idt):
     )
 
 
+def _seg_inclusive_nd(lanes, seg_start, df):
+    """Inclusive segmented sum over axis 0 of lane tuples with trailing axes
+    (jx_core._segmented_inclusive_sum generalised to (T, ...) lanes)."""
+    jnp = _jnp()
+    T = lanes[0].shape[0]
+    f = seg_start
+    d = 1
+    while d < T:
+        shifted = tuple(
+            jnp.concatenate(
+                [jnp.zeros((d,) + l.shape[1:], l.dtype), l[:-d]], axis=0
+            )
+            for l in lanes
+        )
+        fs = jnp.concatenate([jnp.ones(d, bool), f[:-d]])
+        added = _v_add(lanes, shifted, df)
+        mask = f.reshape((-1,) + (1,) * (lanes[0].ndim - 1))
+        lanes = tuple(
+            jnp.where(mask, l, a) for l, a in zip(lanes, added)
+        )
+        f = f | fs
+        d *= 2
+    return lanes
+
+
+@lru_cache(maxsize=None)
+def _build_D_mesh_fn(mesh, nb, B, Hloc, W, L, df):
+    """Shard-local diagonal-table build: each device computes ONLY the
+    (n_rows, Hloc, W, L) row block it owns.
+
+    Splitting the row index r = a*W + w factorises the Walsh sign,
+    (-1)^{par(r & z)} = (-1)^{par(a & zhi)} (-1)^{par(w & zlo)}: the a-side
+    transform is evaluated directly against the device's own a_loc rows
+    (sign flips on df lanes are exact), terms sharing (group, zlo) are
+    combined with a compensated segmented sum (host pre-sorts by that key,
+    so the gather targets are static), the U unique totals scatter
+    collision-free, and the w-side transform is a local FWHT butterfly.
+    The full table never exists on any one device NOR on the host."""
+    import jax
+    from jax import lax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    jnp = _jnp()
+    ax = mesh.axis_names[0]
+    n_rows = nb * B
+
+    def local(zhi_s, ph_s, seg_start, last_idx, tgt_g, tgt_w):
+        d = lax.axis_index(ax)
+        a_loc = jnp.arange(Hloc, dtype=zhi_s.dtype) + d * Hloc
+        par = (
+            jax.lax.population_count(zhi_s[:, None] & a_loc[None, :]) & 1
+        )
+        sign = (1 - 2 * par).astype(ph_s.dtype)  # (T, Hloc), exactly +-1
+        lanes = tuple(ph_s[:, None, i] * sign for i in range(L))
+        lanes = _seg_inclusive_nd(lanes, seg_start, df)
+        comp = jnp.stack(
+            [l[last_idx] for l in lanes], axis=-1
+        )  # (U, Hloc, L) segment totals
+        S = jnp.zeros((n_rows, Hloc, W, L), ph_s.dtype)
+        S = S.at[tgt_g, :, tgt_w].add(comp, mode="drop")
+        h = 1
+        while h < W:
+            S6 = S.reshape(n_rows, Hloc, W // (2 * h), 2, h, L)
+            a = _lanes_from_stacked(S6[:, :, :, 0], df)
+            b = _lanes_from_stacked(S6[:, :, :, 1], df)
+            top = _v_add(a, b, df)
+            bot = _v_add(a, tuple(-l for l in b), df)
+            S = jnp.stack(
+                [_stack_lanes(top), _stack_lanes(bot)], axis=3
+            ).reshape(n_rows, Hloc, W, L)
+            h *= 2
+        return S.reshape(nb, B, Hloc, W, L)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=P(None, None, ax, None, None),
+            check_rep=False,
+        )
+    )
+
+
+def _ship_groups_mesh_device(
+    mesh, ux, gidx, z_int, phase_c, n_qubits, df, dt, idt
+):
+    """Mesh twin of ``_ship_groups_device``: O(T) replicated upload, each
+    device builds its own row block of the (nb, B, H, W, L) table.  Returns
+    (ux replicated (nb, B), D sharded over the H axis)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dim = 1 << n_qubits
+    H, W = _split_bits(n_qubits)
+    wbits = n_qubits - (n_qubits // 2)
+    n_dev = int(mesh.devices.size)
+    Hloc = H // n_dev
+    G = ux.shape[0]
+    L = 4 if df else 2
+    itemsize = 4 if (df or dt == np.float32) else 8
+    B, nb = _block_shape(G, dim, L, itemsize)
+    n_rows = nb * B
+    n_rows = 1 << int(np.ceil(np.log2(max(1, n_rows))))
+    B, nb = _block_shape(n_rows, dim, L, itemsize)
+
+    # sort terms by (group row, z-low) so equal-key runs are contiguous
+    zhi = (z_int >> wbits).astype(np.int64)
+    zlo = (z_int & (W - 1)).astype(np.int64)
+    key = gidx.astype(np.int64) * W + zlo
+    order = np.argsort(key, kind="stable")
+    key_s, zhi_s = key[order], zhi[order]
+    if df:
+        rh, rl = jx_df.host_split_f64(np.ascontiguousarray(phase_c.real))
+        ih, il = jx_df.host_split_f64(np.ascontiguousarray(phase_c.imag))
+        ph = np.stack([rh, rl, ih, il], axis=-1)
+    else:
+        ph = np.stack(
+            [phase_c.real.astype(dt), phase_c.imag.astype(dt)], axis=-1
+        )
+    ph_s = ph[order]
+    T = key_s.shape[0]
+    seg_start = np.ones(T, bool)
+    seg_start[1:] = key_s[1:] != key_s[:-1]
+    last_idx = np.nonzero(
+        np.concatenate([seg_start[1:], np.ones(1, bool)])
+    )[0]
+    U = last_idx.shape[0]
+    tgt_g, tgt_w = key_s[last_idx] // W, key_s[last_idx] % W
+
+    # pow2-pad T and U for compile-cache stability across similar operators
+    Tp = 1 << int(np.ceil(np.log2(max(1, T))))
+    Up = 1 << int(np.ceil(np.log2(max(1, U))))
+    zhi_p = np.zeros(Tp, np.int64)
+    ph_p = np.zeros((Tp, L), ph_s.dtype)
+    seg_p = np.ones(Tp, bool)
+    zhi_p[:T], ph_p[:T], seg_p[:T] = zhi_s, ph_s, seg_start
+    li_p = np.zeros(Up, np.int64)
+    tg_p = np.full(Up, n_rows, np.int64)  # OOB group -> dropped by scatter
+    tw_p = np.zeros(Up, np.int64)
+    li_p[:U], tg_p[:U], tw_p[:U] = last_idx, tgt_g, tgt_w
+
+    rep = NamedSharding(mesh, P())
+    args = [
+        jax.device_put(jnp.asarray(a.astype(t) if t else a), rep)
+        for a, t in (
+            (zhi_p, idt), (ph_p, None), (seg_p, None),
+            (li_p, idt), (tg_p, idt), (tw_p, idt),
+        )
+    ]
+    S = _build_D_mesh_fn(mesh, nb, B, Hloc, W, L, df)(*args)
+    ux_pad = np.zeros(n_rows, ux.dtype)
+    ux_pad[:G] = ux
+    ux_dev = jax.device_put(
+        jnp.asarray(ux_pad.astype(idt)).reshape(nb, B), rep
+    )
+    return ux_dev, S
+
+
 def _ship_vec(v0, df, dt):
     import jax.numpy as jnp
 
@@ -661,6 +829,95 @@ def _merge_scalar_rows(a, df):
     return a[:, 0]
 
 
+def prepare_operator(x, z, c, n_qubits: int, mesh=None):
+    """Build the device-resident grouped-diagonal form (table + XOR
+    permutations) ONCE; the result can be passed to several
+    ``lanczos_ground_state`` calls (``prepared=``) — deflated restart sweeps
+    and repeated solves then skip the table construction and upload
+    entirely.  Returns an opaque tuple (perms, D_dev, mesh, df, dt)."""
+    import jax
+
+    from . import dense
+    from .dispatch import _coeff_dtype, _df_mode
+
+    dim = 1 << n_qubits
+    if mesh is not None and not _mesh_ok(mesh, n_qubits):
+        mesh = None
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+
+    ux, gidx, z_int, phase_c = dense.group_scatter_inputs(x, z, c, n_qubits)
+    idt = np.int32 if n_qubits < 31 else np.int64
+    df = _df_mode()
+    dt = _coeff_dtype()
+    L = 4 if df else 2
+    itemsize = 4 if (df or dt == np.float32) else 8
+    G = ux.shape[0]
+    table_bytes = G * dim * L * itemsize
+    use_device_build = table_bytes > _DEVICE_BUILD_BYTES
+    if use_device_build:
+        # the on-chip scatter+FWHT pow2-pads the rows and double-buffers the
+        # table inside the jitted build: budget what is actually allocated
+        B_, nb_ = _block_shape(G, dim, L, itemsize)
+        pad_rows = 1 << int(np.ceil(np.log2(max(1, nb_ * B_))))
+        effective_bytes = 2 * pad_rows * dim * L * itemsize
+    else:
+        effective_bytes = table_bytes
+    if effective_bytes > _D_BUDGET_BYTES * n_dev:
+        raise MemoryError(
+            f"group-diagonal table ({effective_bytes >> 20} MiB device) "
+            "exceeds the budget; use exact_gs_energy_matrix_free for this size"
+        )
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if use_device_build:
+            # big table: each device scatters+FWHTs ONLY its own row block
+            # from the O(T) replicated triples -- the table never exists
+            # whole on the host or on any single chip
+            ux_dev, D_dev = _ship_groups_mesh_device(
+                mesh, ux, gidx, z_int, phase_c, n_qubits, df, dt, idt
+            )
+        else:
+            # small table: host FWHT, then ONE device_put with the
+            # NamedSharding -- each shard transfers straight to its device
+            _, Dc = dense.group_diagonals(x, z, c, n_qubits)
+            ux_np, Ds_np = _group_blocks_np(ux, Dc, df, dt, idt)
+            H, W = _split_bits(n_qubits)
+            nb, B = Ds_np.shape[0], Ds_np.shape[1]
+            ax = mesh.axis_names[0]
+            D_dev = jax.device_put(
+                Ds_np.reshape(nb, B, H, W, L),
+                NamedSharding(mesh, P(None, None, ax, None, None)),
+            )
+            ux_dev = jax.device_put(ux_np, NamedSharding(mesh, P()))
+        perms = (ux_dev,)
+    elif use_device_build:
+        # big table: scatter + FWHT it on chip from the O(T) triples
+        ux_dev, D_dev = _ship_groups_device(
+            ux, gidx, z_int, phase_c, n_qubits, df, dt, idt
+        )
+        perms = None
+    else:
+        # small table: host FWHT, one cheap upload, no extra compile
+        _, Dc = dense.group_diagonals(x, z, c, n_qubits)
+        ux_dev, D_dev = _ship_groups(ux, Dc, df, dt, idt)
+        perms = None
+
+    if perms is None:
+        if jax.default_backend() == "cpu":
+            # CPU: row gathers beat dense one-hot matmuls by far
+            perms = (ux_dev,)
+        else:
+            # one-hot XOR-permutation blocks, built once on device (vmapped
+            # over the nb block axis so shapes match the segment scans)
+            A_dev, B_dev = jax.jit(
+                jax.vmap(lambda u: _onehot_perms(u, n_qubits, dt))
+            )(ux_dev)
+            perms = (A_dev, B_dev)
+    return (perms, D_dev, mesh, df, dt)
+
+
 def lanczos_ground_state(
     x,
     z,
@@ -672,6 +929,7 @@ def lanczos_ground_state(
     chunk: int = 64,
     mesh=None,
     locked: np.ndarray | None = None,
+    prepared=None,
     _retry: int = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Eigenvalues + eigenvectors of the packed operator, computed on device.
@@ -696,11 +954,12 @@ def lanczos_ground_state(
     to the lowest eigenpair OF THE COMPLEMENT.  Used by
     ``lanczos_lowest_eigsh`` to resolve degenerate multiplets that a
     single-vector Krylov space cannot see.
+
+    ``prepared`` — the result of ``prepare_operator(x, z, c, n_qubits,
+    mesh)`` — skips table construction and upload (it captures the mesh
+    normalisation and the precision mode at preparation time).
     """
     from scipy.linalg import eigh_tridiagonal
-
-    from . import dense
-    from .dispatch import _coeff_dtype, _df_mode
 
     dim = 1 << n_qubits
     if _retry is None:
@@ -712,32 +971,10 @@ def lanczos_ground_state(
     k = min(k, dim)
     chunk = max(1, min(chunk, k))
 
-    if mesh is not None and not _mesh_ok(mesh, n_qubits):
-        mesh = None
-    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if prepared is None:
+        prepared = prepare_operator(x, z, c, n_qubits, mesh)
+    perms, D_dev, mesh, df, dt = prepared
 
-    ux, gidx, z_int, phase_c = dense.group_scatter_inputs(x, z, c, n_qubits)
-    idt = np.int32 if n_qubits < 31 else np.int64
-    df = _df_mode()
-    dt = _coeff_dtype()
-    L = 4 if df else 2
-    itemsize = 4 if (df or dt == np.float32) else 8
-    G = ux.shape[0]
-    table_bytes = G * dim * L * itemsize
-    use_device_build = mesh is None and table_bytes > _DEVICE_BUILD_BYTES
-    if use_device_build:
-        # the on-chip scatter+FWHT pow2-pads the rows and double-buffers the
-        # table inside the jitted build: budget what is actually allocated
-        B_, nb_ = _block_shape(G, dim, L, itemsize)
-        pad_rows = 1 << int(np.ceil(np.log2(max(1, nb_ * B_))))
-        effective_bytes = 2 * pad_rows * dim * L * itemsize
-    else:
-        effective_bytes = table_bytes
-    if effective_bytes > _D_BUDGET_BYTES * n_dev:
-        raise MemoryError(
-            f"group-diagonal table ({effective_bytes >> 20} MiB device) "
-            "exceeds the budget; use exact_gs_energy_matrix_free for this size"
-        )
     if v0 is None:
         rng = np.random.default_rng(7)
         v0 = rng.standard_normal(dim) + 0.25 * rng.standard_normal(dim) * 1j
@@ -754,71 +991,41 @@ def lanczos_ground_state(
             v0 = v0 - locked @ (locked.conj().T @ v0)
             nrm0 = np.linalg.norm(v0)
         v0 = v0 / nrm0
+        # pad the locked block to a pow2 capacity: zero rows project nothing,
+        # and successive deflation sweeps (m = 1, 2, 3, ...) then share
+        # compiled segment programs (log2 compiles instead of linear -- each
+        # TPU compile is tens of seconds)
+        m_cap = 1 << int(np.ceil(np.log2(m_lock)))
+        if m_cap > m_lock:
+            locked = np.concatenate(
+                [locked, np.zeros((dim, m_cap - m_lock), locked.dtype)],
+                axis=1,
+            )
+        m_lock = m_cap
 
     import jax
     import jax.numpy as jnp
 
     sl = 2 if df else 1
     if mesh is not None:
-        # Host-build the table, then ONE device_put with the NamedSharding:
-        # jax transfers each shard straight to its device -- the full table
-        # never stages on a single chip (per-device footprint = table/n_dev;
-        # the host holds it once, in RAM)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        _, Dc = dense.group_diagonals(x, z, c, n_qubits)
-        ux_np, Ds_np = _group_blocks_np(ux, Dc, df, dt, idt)
-        H, W = _split_bits(n_qubits)
-        nb, B = Ds_np.shape[0], Ds_np.shape[1]
-        ax = mesh.axis_names[0]
-        D_dev = jax.device_put(
-            Ds_np.reshape(nb, B, H, W, L),
-            NamedSharding(mesh, P(None, None, ax, None, None)),
-        )
-        ux_dev = jax.device_put(ux_np, NamedSharding(mesh, P()))
-        v0_dev = jax.device_put(
-            _ship_vec(v0, df, dt), NamedSharding(mesh, P())
-        )
-        perms = (ux_dev,)
+        rep = NamedSharding(mesh, P())
+        v0_dev = jax.device_put(_ship_vec(v0, df, dt), rep)
         if m_lock:
             locked_s = jax.device_put(
-                _ship_vec(np.ascontiguousarray(locked.T), df, dt),
-                NamedSharding(mesh, P()),
+                _ship_vec(np.ascontiguousarray(locked.T), df, dt), rep
             )
         else:
             locked_s = jax.device_put(
-                jnp.zeros((0, dim, v0_dev.shape[-1]), v0_dev.dtype),
-                NamedSharding(mesh, P()),
+                jnp.zeros((0, dim, v0_dev.shape[-1]), v0_dev.dtype), rep
             )
-    elif use_device_build:
-        # big table: scatter + FWHT it on chip from the O(T) triples
-        ux_dev, D_dev = _ship_groups_device(
-            ux, gidx, z_int, phase_c, n_qubits, df, dt, idt
-        )
-        v0_dev = _ship_vec(v0, df, dt)
     else:
-        # small table: host FWHT, one cheap upload, no extra compile
-        _, Dc = dense.group_diagonals(x, z, c, n_qubits)
-        ux_dev, D_dev = _ship_groups(ux, Dc, df, dt, idt)
         v0_dev = _ship_vec(v0, df, dt)
-
-    if mesh is None:
         if m_lock:
             locked_s = _ship_vec(np.ascontiguousarray(locked.T), df, dt)
         else:
             locked_s = jnp.zeros((0, dim, v0_dev.shape[-1]), v0_dev.dtype)
-    if mesh is not None:
-        pass  # perms set above
-    elif jax.default_backend() == "cpu":
-        # CPU: row gathers beat dense one-hot matmuls by orders of magnitude
-        perms = (ux_dev,)
-    else:
-        # one-hot XOR-permutation blocks, built once on device (vmapped over
-        # the nb block axis so shapes match the segment scans)
-        A_dev, B_dev = jax.jit(
-            jax.vmap(lambda u: _onehot_perms(u, n_qubits, v0_dev.dtype))
-        )(ux_dev)
-        perms = (A_dev, B_dev)
 
     # ---- pass 1: tridiagonalisation in device-resident segments
     v_cur = _normalize_fn(df)(v0_dev)
@@ -862,7 +1069,7 @@ def lanczos_ground_state(
             return lanczos_ground_state(
                 x, z, c, n_qubits, k=min(dim, 2 * k), v0=v0,
                 n_eigs=n_eigs, chunk=chunk, mesh=mesh, locked=locked,
-                _retry=_retry - 1,
+                prepared=prepared, _retry=_retry - 1,
             )
         import warnings
 
@@ -934,6 +1141,9 @@ def lanczos_lowest_eigsh(
     vals: list = []
     vecs: list = []
     locked = None
+    # the grouped table + XOR permutations are sweep-invariant: build and
+    # ship once, every deflated restart reuses the device-resident form
+    prepared = prepare_operator(x, z, c, n_qubits, mesh)
     for sweep in range(n_vecs):
         if v0 is None or sweep > 0:
             rng = np.random.default_rng(7 + 13 * sweep)
@@ -942,7 +1152,7 @@ def lanczos_lowest_eigsh(
             v_start = v0
         ev, Y = lanczos_ground_state(
             x, z, c, n_qubits, k=k, v0=v_start, n_eigs=1,
-            chunk=chunk, mesh=mesh, locked=locked,
+            chunk=chunk, mesh=mesh, locked=locked, prepared=prepared,
         )
         y = Y[:, 0]
         if locked is not None:

@@ -208,6 +208,37 @@ def exact_gs_energy_device(
     return _select_by_particle_number(evals, evecs, n_particles, number_operator)
 
 
+def exact_lowest_states_device(
+    operator: PauliwordOp, n_states: int, k: int = 0
+) -> Tuple[np.ndarray, List[QuantumState]]:
+    """Lowest ``n_states`` eigenpairs WITH multiplicity, computed on device.
+
+    Beyond the reference surface (its ``exact_gs_energy`` only exposes the
+    ground state): deflated Lanczos restarts
+    (``jx_lanczos.lanczos_lowest_eigsh``) resolve degenerate multiplets that
+    a single Krylov vector cannot see.  Returns (energies ascending,
+    [QuantumState] of matching length); within an exactly degenerate
+    multiplet the states are an orthonormal basis of the eigenspace.
+    """
+    from .config import config
+    from .kernels import jx_lanczos
+
+    evals, evecs = jx_lanczos.lanczos_lowest_eigsh(
+        operator.x_pack,
+        operator.z_pack,
+        operator.coeff_vec,
+        operator.n_qubits,
+        n_vecs=n_states,
+        k=k,
+        mesh=config.mesh,
+    )
+    states = [
+        QuantumState.from_array(evecs[:, i].reshape([-1, 1]))
+        for i in range(evecs.shape[1])
+    ]
+    return evals, states
+
+
 def get_entanglement_entropy(psi: QuantumState, qubits: List[int]) -> float:
     """Von Neumann entropy of the bipartition (reference utils.py:78-94)."""
     reduced = psi.get_rdm(qubits)

@@ -218,6 +218,40 @@ def test_lanczos_lowest_eigsh_stop_callback():
     assert calls[-1] == (2, (16, 2))
 
 
+def test_exact_lowest_states_device_public():
+    from symmer_tpu.utils import exact_lowest_states_device
+
+    op = _random_hermitian(2, 5).tensor(PauliwordOp.from_dictionary({"I": 1.0}))
+    evals, states = exact_lowest_states_device(op, 3)
+    dense_evals = np.linalg.eigvalsh(dense_op(op))
+    assert np.allclose(evals, dense_evals[:3], atol=1e-9)
+    assert len(states) == 3
+    for e, psi in zip(evals, states):
+        assert abs(op.expval(psi.normalize) - e) < 1e-8
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_lanczos_lowest_eigsh_fuzz(seed):
+    """Random spectra with random degeneracy structure: multiplicity-exact
+    against dense eigh."""
+    from symmer_tpu.kernels import jx_lanczos
+
+    r = np.random.default_rng(seed)
+    op = PauliwordOp.random(5, int(r.integers(4, 20)))
+    op = (op + op.dagger).multiply_by_constant(0.5).cleanup()
+    if r.random() < 0.5:  # force degeneracy half the time
+        op = op.tensor(PauliwordOp.from_dictionary({"I": 1.0}))
+    n = min(5, 1 << op.n_qubits)
+    evals, evecs = jx_lanczos.lanczos_lowest_eigsh(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, n_vecs=n
+    )
+    M = dense_op(op)
+    assert np.allclose(evals, np.linalg.eigvalsh(M)[:n], atol=1e-8)
+    assert np.allclose(
+        evecs.conj().T @ evecs, np.eye(evecs.shape[1]), atol=1e-7
+    )
+
+
 def test_zdiag_vector_matches_dense_diagonal():
     from symmer_tpu.utils import _zdiag_vector
 
@@ -303,6 +337,52 @@ def test_lanczos_device_table_build_path(monkeypatch):
     op = _random_hermitian(6, 24)
     evals, _ = jx_lanczos.lanczos_ground_state(
         op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits
+    )
+    assert abs(evals[0] - np.linalg.eigvalsh(dense_op(op))[0]) < 1e-9
+
+
+def test_ship_groups_mesh_device_matches_host():
+    """The shard-local scatter+FWHT build (each device computes only its own
+    row block from the O(T) triples) reproduces the host-FWHT table."""
+    from symmer_tpu.kernels import dense, jx_lanczos
+    from symmer_tpu.kernels.dispatch import _coeff_dtype, _df_mode
+    from symmer_tpu.parallel.mesh import get_mesh
+
+    op = _random_hermitian(7, 40)
+    nq, dim = op.n_qubits, 1 << op.n_qubits
+    mesh = get_mesh(8)
+    assert jx_lanczos._mesh_ok(mesh, nq)
+    ux, gidx, z_int, ph = dense.group_scatter_inputs(
+        op.x_pack, op.z_pack, op.coeff_vec, nq
+    )
+    _, Dc = dense.group_diagonals(op.x_pack, op.z_pack, op.coeff_vec, nq)
+    df, dt = _df_mode(), _coeff_dtype()
+    ux_h, D_h = jx_lanczos._ship_groups(ux, Dc, df, dt, np.int32)
+    ux_m, D_m = jx_lanczos._ship_groups_mesh_device(
+        mesh, ux, gidx, z_int, ph, nq, df, dt, np.int32
+    )
+    G, L = ux.shape[0], D_h.shape[-1]
+    Dh = np.asarray(D_h, np.float64).reshape(-1, dim, L)[:G]
+    Dm = np.asarray(D_m, np.float64).reshape(-1, dim, L)[:G]
+    assert np.array_equal(
+        np.asarray(ux_h).reshape(-1)[:G], np.asarray(ux_m).reshape(-1)[:G]
+    )
+    assert np.allclose(Dh, Dm, atol=1e-12)
+    tail = np.asarray(D_m, np.float64).reshape(-1, dim, L)[G:]
+    assert not tail.size or np.all(tail == 0)
+
+
+def test_lanczos_mesh_device_build_end_to_end(monkeypatch):
+    """Eigensolve through the mesh path with the shard-local table build
+    forced on (threshold zero)."""
+    from symmer_tpu.kernels import jx_lanczos
+    from symmer_tpu.parallel.mesh import get_mesh
+
+    monkeypatch.setattr(jx_lanczos, "_DEVICE_BUILD_BYTES", 0)
+    op = _random_hermitian(7, 40)
+    mesh = get_mesh(8)
+    evals, _ = jx_lanczos.lanczos_ground_state(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, mesh=mesh
     )
     assert abs(evals[0] - np.linalg.eigvalsh(dense_op(op))[0]) < 1e-9
 
