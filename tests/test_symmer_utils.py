@@ -252,6 +252,55 @@ def test_lanczos_lowest_eigsh_fuzz(seed):
     )
 
 
+def test_lanczos_block_eigsh_multiplicity():
+    """Block (band) Lanczos resolves degenerate multiplets in ONE
+    recurrence; h(2q) (x) I doubles every level."""
+    from symmer_tpu.kernels import jx_lanczos
+
+    op = _random_hermitian(2, 6).tensor(PauliwordOp.from_dictionary({"I": 1.0}))
+    evals, evecs = jx_lanczos.lanczos_block_eigsh(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, n_vecs=4
+    )
+    M = dense_op(op)
+    dense_evals = np.linalg.eigvalsh(M)
+    assert np.allclose(evals, dense_evals[:4], atol=1e-9)
+    assert np.allclose(evecs.conj().T @ evecs, np.eye(4), atol=1e-8)
+    for e, yv in zip(evals, evecs.T):
+        assert np.linalg.norm(M @ yv - e * yv) < 1e-8
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_lanczos_block_eigsh_random(seed):
+    from symmer_tpu.kernels import jx_lanczos
+
+    r = np.random.default_rng(seed)
+    op = PauliwordOp.random(5, int(r.integers(6, 24)))
+    op = (op + op.dagger).multiply_by_constant(0.5).cleanup()
+    n = 5
+    evals, evecs = jx_lanczos.lanczos_block_eigsh(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, n_vecs=n, block=3
+    )
+    M = dense_op(op)
+    assert np.allclose(evals, np.linalg.eigvalsh(M)[:n], atol=1e-8)
+    for e, yv in zip(evals, evecs.T):
+        assert np.linalg.norm(M @ yv - e * yv) < 1e-7
+
+
+def test_lanczos_block_eigsh_mesh():
+    """Block recurrence through the mesh-sharded matvec."""
+    from symmer_tpu.kernels import jx_lanczos
+    from symmer_tpu.parallel.mesh import get_mesh
+
+    op = _random_hermitian(7, 30)
+    mesh = get_mesh(8)
+    evals, _ = jx_lanczos.lanczos_block_eigsh(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, n_vecs=3, mesh=mesh
+    )
+    assert np.allclose(
+        evals, np.linalg.eigvalsh(dense_op(op))[:3], atol=1e-8
+    )
+
+
 def test_zdiag_vector_matches_dense_diagonal():
     from symmer_tpu.utils import _zdiag_vector
 
