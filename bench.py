@@ -723,7 +723,47 @@ def mesh_bench():
     return 0
 
 
+def _ensure_live_backend():
+    """The remote-TPU tunnel can go down between runs, and a dead PJRT
+    plugin makes the first backend initialisation hang forever (no error).
+    Probe it in a KILLABLE subprocess; on failure re-exec on the CPU
+    backend with a clean PYTHONPATH (dropping the sitecustomize hook that
+    pins the plugin) so the bench always produces an artifact — the
+    '# backend:' line records what actually ran."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    if os.environ.get("_SYMMER_BENCH_REEXEC"):
+        return
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax.numpy as jnp; "
+                "jnp.ones(4).sum().block_until_ready()",
+            ],
+            timeout=180,
+            capture_output=True,
+        )
+        if r.returncode == 0:
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    print(
+        "# accelerator backend unreachable -- falling back to CPU",
+        file=sys.stderr,
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_SYMMER_BENCH_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 if __name__ == "__main__":
+    _ensure_live_backend()
     if "--check" in sys.argv:
         sys.exit(check())
     if "--sweep" in sys.argv:
