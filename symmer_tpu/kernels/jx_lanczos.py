@@ -35,9 +35,9 @@ Ritz vectors y_e = sum_j S[j, e] v_j, downloading only the 2^n amplitudes of
 the requested eigenvectors.
 
 Degenerate multiplets: ``lanczos_lowest_eigsh`` resolves the low spectrum
-WITH multiplicity via lock-and-deflate restarts (``locked=`` projects every
-iterate onto the complement of the converged eigenvectors, in lane
-precision, identically in both passes).  ``prepare_operator`` builds the
+WITH multiplicity via lock-and-deflate restarts (``locked=`` shifts the
+converged eigenvectors above the spectral range, in lane precision,
+identically in both passes).  ``prepare_operator`` builds the
 device-resident table + permutations once so restart sweeps (and repeated
 solves of the same operator) skip construction and upload entirely.
 """
@@ -167,25 +167,32 @@ def _v_caxpy(v, sr, si, w, df):
     )
 
 
-def _project_out(w, locked_s, df):
-    """w - sum_m y_m <y_m, w> — deflate the locked (orthonormal) subspace.
+def _deflate_shift(w, v_in, locked_s, sigma_s, df):
+    """w + sigma * sum_m y_m <y_m, v_in> — deflation by SHIFTING.
 
-    ``locked_s``: (m, dim, L) stacked lanes with a *static* m; the loop
-    unrolls at trace time (m is a handful of converged eigenvectors).
-    Projection after every matvec keeps the re-injected locked component at
-    the eps*|H| level, so a deflated run converges to the lowest eigenvalue
-    of the complement — degenerate partners become reachable one sweep at a
-    time (classic lock-and-deflate restarting)."""
+    ``locked_s``: (m, dim, L) stacked lanes with a *static* m (the loop
+    unrolls at trace time); ``sigma_s``: (sl,) real scalar lanes with
+    sigma > spectral range of H.  The effective operator
+    A = H + sigma * sum y y^H moves each locked eigenvalue lambda to
+    lambda + sigma — ABOVE the whole remaining spectrum — so the recurrence
+    converges to the lowest eigenpair of the complement.
+
+    Plain projection (A = P H P) is NOT safe here: it maps the locked space
+    to eigenvalue 0, and when the complement spectrum is entirely positive
+    that ghost 0 IS the minimum — rounding reinjects the locked directions
+    and Lanczos converges to them (observed on random operators whose
+    ground multiplet was fully locked)."""
+    sig = tuple(sigma_s[i] for i in range(sigma_s.shape[0]))
     for i in range(locked_s.shape[0]):
         y = _lanes_from_stacked(locked_s[i], df)
-        cr, ci = _dot_complex(y, w, df)
-        w = _v_caxpy(
-            y,
-            tuple(-l for l in cr),
-            tuple(-l for l in ci),
-            w,
-            df,
-        )
+        cr, ci = _dot_complex(y, v_in, df)
+        if df:
+            cr = jx_df.df_mul(cr[0], cr[1], sig[0], sig[1])
+            ci = jx_df.df_mul(ci[0], ci[1], sig[0], sig[1])
+        else:
+            cr = (cr[0] * sig[0],)
+            ci = (ci[0] * sig[0],)
+        w = _v_caxpy(y, cr, ci, w, df)
     return w
 
 
@@ -718,21 +725,22 @@ def _tridiag_segment_fn(
 ):
     """Advance `chunk` Lanczos iterations starting at j0 (device-resident).
 
-    ``m`` locked vectors (deflation) are projected out of every matvec
-    result; m = 0 compiles to the plain recurrence."""
+    ``m`` locked vectors deflate the recurrence by shifting
+    (``_deflate_shift``); m = 0 compiles to the plain recurrence."""
     import jax
     from jax import lax
 
     jnp = _jnp()
 
-    def run(perms, D, locked_s, v_prev_s, v_cur_s, beta_s, alphas, betas, j0):
+    def run(perms, D, locked_s, sigma_s, v_prev_s, v_cur_s, beta_s,
+            alphas, betas, j0):
         sl = 2 if df else 1
 
         def step(j, carry):
             v_prev, v_cur, beta, alphas, betas = carry
             w = _matvec_any(perms, D, v_cur, n_qubits, df, mesh)
             if m:
-                w = _project_out(w, locked_s, df)
+                w = _deflate_shift(w, v_cur, locked_s, sigma_s, df)
             w = _v_axpy(v_prev, tuple(-l for l in beta), w, df)
             alpha = _dot_real(v_cur, w, df)
             w = _v_axpy(v_cur, tuple(-l for l in alpha), w, df)
@@ -774,7 +782,8 @@ def _ritz_segment_fn(
 
     jnp = _jnp()
 
-    def run(perms, D, locked_s, v_prev_s, v_cur_s, y, alphas, betas, s_stack, j0):
+    def run(perms, D, locked_s, sigma_s, v_prev_s, v_cur_s, y, alphas,
+            betas, s_stack, j0):
         n_eigs = s_stack.shape[1]
 
         def accum(y, v_cur_s, j):
@@ -792,7 +801,7 @@ def _ritz_segment_fn(
             v_cur = _lanes_from_stacked(v_cur_s, df)
             w = _matvec_any(perms, D, v_cur, n_qubits, df, mesh)
             if m:
-                w = _project_out(w, locked_s, df)
+                w = _deflate_shift(w, v_cur, locked_s, sigma_s, df)
             beta = tuple(betas[j - 1][i] for i in range(betas.shape[1]))
             beta = tuple(
                 jnp.where(j > 0, b, jnp.zeros_like(b)) for b in beta
@@ -1298,11 +1307,13 @@ def lanczos_ground_state(
     does not split evenly.
 
     ``locked`` — (dim, m) orthonormal columns — deflates a converged
-    invariant subspace: every iterate is projected onto its orthogonal
-    complement (on device, in lane precision), so the recurrence converges
-    to the lowest eigenpair OF THE COMPLEMENT.  Used by
-    ``lanczos_lowest_eigsh`` to resolve degenerate multiplets that a
-    single-vector Krylov space cannot see.
+    invariant subspace by SHIFTING: the recurrence runs on
+    A = H + sigma * sum y y^H with sigma above the spectral range, so the
+    locked eigenvalues move above everything and the iteration converges
+    to the lowest eigenpair OF THE COMPLEMENT (see ``_deflate_shift`` for
+    why plain projection is unsafe).  Used by ``lanczos_lowest_eigsh`` to
+    resolve degenerate multiplets that a single-vector Krylov space cannot
+    see.
 
     ``prepared`` — the result of ``prepare_operator(x, z, c, n_qubits,
     mesh)`` — skips table construction and upload (it captures the mesh
@@ -1356,11 +1367,21 @@ def lanczos_ground_state(
     import jax.numpy as jnp
 
     sl = 2 if df else 1
+    # deflation shift: sigma > spectral range (||H||_2 <= sum |c_t| since
+    # every Pauli word has unit norm), so locked eigenvalues move ABOVE the
+    # whole remaining spectrum (see _deflate_shift)
+    sigma = 2.0 * float(np.sum(np.abs(np.asarray(c, complex)))) + 1.0
+    if df:
+        sh, sl_ = jx_df.host_split_f64(np.float64(sigma))
+        sigma_np = np.stack([sh, sl_]).astype(dt)
+    else:
+        sigma_np = np.asarray([sigma], dt)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         rep = NamedSharding(mesh, P())
         v0_dev = jax.device_put(_ship_vec(v0, df, dt), rep)
+        sigma_s = jax.device_put(jnp.asarray(sigma_np), rep)
         if m_lock:
             locked_s = jax.device_put(
                 _ship_vec(np.ascontiguousarray(locked.T), df, dt), rep
@@ -1371,6 +1392,7 @@ def lanczos_ground_state(
             )
     else:
         v0_dev = _ship_vec(v0, df, dt)
+        sigma_s = jnp.asarray(sigma_np)
         if m_lock:
             locked_s = _ship_vec(np.ascontiguousarray(locked.T), df, dt)
         else:
@@ -1386,7 +1408,8 @@ def lanczos_ground_state(
         step_n = min(chunk, k - j0)
         seg_f = _tridiag_segment_fn(k, step_n, n_qubits, df, mesh, m_lock)
         v_prev, v_cur, beta, alphas, betas = seg_f(
-            perms, D_dev, locked_s, v_prev, v_cur, beta, alphas, betas, j0
+            perms, D_dev, locked_s, sigma_s, v_prev, v_cur, beta,
+            alphas, betas, j0,
         )
     al_host = _merge_scalar_rows(alphas, df)
     be_host = _merge_scalar_rows(betas, df)
@@ -1444,7 +1467,8 @@ def lanczos_ground_state(
         step_n = min(chunk, k - j0)
         rseg = _ritz_segment_fn(k, step_n, n_qubits, df, mesh, m_lock)
         v_prev, v_cur, y = rseg(
-            perms, D_dev, locked_s, v_prev, v_cur, y, alphas, betas, S_dev, j0
+            perms, D_dev, locked_s, sigma_s, v_prev, v_cur, y,
+            alphas, betas, S_dev, j0,
         )
     y = np.asarray(y, np.float64)  # (n_sel, dim, L)
     if df:
@@ -1668,8 +1692,8 @@ def lanczos_lowest_eigsh(
     eigenvalue — degenerate partners are invisible to ``lanczos_ground_state``
     no matter how many iterations run.  Here each sweep locks the converged
     eigenvectors and reruns the recurrence with the locked subspace
-    projected out of every iterate (``locked=``), so sweep m converges to
-    the m-th lowest eigenpair *counting multiplicity*.  Within an exactly
+    deflated by shifting (``locked=``), so sweep m converges to the m-th
+    lowest eigenpair *counting multiplicity*.  Within an exactly
     degenerate multiplet the returned vectors are an arbitrary orthonormal
     basis of the eigenspace (as with any black-box eigensolver).
 

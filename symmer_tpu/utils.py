@@ -209,21 +209,28 @@ def exact_gs_energy_device(
 
 
 def exact_lowest_states_device(
-    operator: PauliwordOp, n_states: int, k: int = 0
+    operator: PauliwordOp, n_states: int, k: int = 0, method: str = "deflate"
 ) -> Tuple[np.ndarray, List[QuantumState]]:
     """Lowest ``n_states`` eigenpairs WITH multiplicity, computed on device.
 
     Beyond the reference surface (its ``exact_gs_energy`` only exposes the
     ground state): deflated Lanczos restarts
     (``jx_lanczos.lanczos_lowest_eigsh``) resolve degenerate multiplets that
-    a single Krylov vector cannot see.  Returns (energies ascending,
-    [QuantumState] of matching length); within an exactly degenerate
-    multiplet the states are an orthonormal basis of the eigenspace.
+    a single Krylov vector cannot see.  ``method='block'`` runs the band
+    (block) recurrence instead — one pass, multiplicities resolved up to
+    the pow2 block width.  Returns (energies ascending, [QuantumState] of
+    matching length); within an exactly degenerate multiplet the states are
+    an orthonormal basis of the eigenspace.
     """
     from .config import config
     from .kernels import jx_lanczos
 
-    evals, evecs = jx_lanczos.lanczos_lowest_eigsh(
+    solver = (
+        jx_lanczos.lanczos_block_eigsh
+        if method == "block"
+        else jx_lanczos.lanczos_lowest_eigsh
+    )
+    evals, evecs = solver(
         operator.x_pack,
         operator.z_pack,
         operator.coeff_vec,

@@ -201,6 +201,26 @@ def test_lanczos_lowest_eigsh_multiplicity():
         assert np.linalg.norm(M @ y - e * y) < 1e-8
 
 
+def test_lanczos_lowest_eigsh_positive_complement():
+    """Regression: once the (negative) ground multiplet is fully locked,
+    this operator's remaining spectrum is entirely positive — deflation by
+    PROJECTION would park the locked space at a ghost eigenvalue 0 below
+    everything and the third sweep would converge to it.  Deflation by
+    shifting must return the true third eigenvalue."""
+    from symmer_tpu.kernels import jx_lanczos
+
+    op = PauliwordOp.from_dictionary({
+        "IYI": -0.914978610534862, "XII": -0.4789641639460487,
+        "III": 0.9330343570099389, "ZYI": 0.923948417825471,
+    })
+    evals, evecs = jx_lanczos.lanczos_lowest_eigsh(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, n_vecs=3
+    )
+    dense_evals = np.linalg.eigvalsh(dense_op(op))
+    assert len(evals) == 3
+    assert np.allclose(evals, dense_evals[:3], atol=1e-9)
+
+
 def test_lanczos_lowest_eigsh_stop_callback():
     from symmer_tpu.kernels import jx_lanczos
 
@@ -228,6 +248,9 @@ def test_exact_lowest_states_device_public():
     assert len(states) == 3
     for e, psi in zip(evals, states):
         assert abs(op.expval(psi.normalize) - e) < 1e-8
+    evals_b, states_b = exact_lowest_states_device(op, 3, method="block")
+    assert np.allclose(evals_b, dense_evals[:3], atol=1e-9)
+    assert len(states_b) == 3
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
