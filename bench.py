@@ -756,7 +756,15 @@ def _ensure_live_backend():
         file=sys.stderr,
     )
     env = dict(os.environ)
-    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+    # drop only the entries that hook the dead plugin in (sitecustomize
+    # dirs); keep any other PYTHONPATH-provided dependencies
+    kept = [
+        p
+        for p in env.get("PYTHONPATH", "").split(os.pathsep)
+        if p and not os.path.exists(os.path.join(p, "sitecustomize.py"))
+    ]
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env["PYTHONPATH"] = os.pathsep.join([repo] + kept)
     env["JAX_PLATFORMS"] = "cpu"
     env["_SYMMER_BENCH_REEXEC"] = "1"
     os.execve(sys.executable, [sys.executable] + sys.argv, env)

@@ -181,19 +181,25 @@ def _deflate_shift(w, v_in, locked_s, sigma_s, df):
     to eigenvalue 0, and when the complement spectrum is entirely positive
     that ghost 0 IS the minimum — rounding reinjects the locked directions
     and Lanczos converges to them (observed on random operators whose
-    ground multiplet was fully locked)."""
+    ground multiplet was fully locked).
+
+    Vectorised over the m locked rows (one Gram reduction + one block
+    axpy) — an unrolled per-row loop would grow the traced program
+    linearly in m, the XLA:CPU compile pathology ROADMAP documents."""
+    jnp = _jnp()
     sig = tuple(sigma_s[i] for i in range(sigma_s.shape[0]))
-    for i in range(locked_s.shape[0]):
-        y = _lanes_from_stacked(locked_s[i], df)
-        cr, ci = _dot_complex(y, v_in, df)
-        if df:
-            cr = jx_df.df_mul(cr[0], cr[1], sig[0], sig[1])
-            ci = jx_df.df_mul(ci[0], ci[1], sig[0], sig[1])
-        else:
-            cr = (cr[0] * sig[0],)
-            ci = (ci[0] * sig[0],)
-        w = _v_caxpy(y, cr, ci, w, df)
-    return w
+    cre, cim = _c_matdot(locked_s, _stack_lanes(v_in)[None], df)  # (m, 1)
+    if df:
+        cre = jx_df.df_mul(cre[0], cre[1], sig[0], sig[1])
+        cim = jx_df.df_mul(cim[0], cim[1], sig[0], sig[1])
+    else:
+        cre = (cre[0] * sig[0],)
+        cim = (cim[0] * sig[0],)
+    W = tuple(l[None, :] for l in w)  # (1, dim) lanes
+    W = _c_block_axpy(
+        W, _lanes_from_stacked(locked_s, df), cre, cim, df, sign=1.0
+    )
+    return tuple(l[0] for l in W)
 
 
 def _lanes_from_stacked(a, df):
@@ -306,129 +312,6 @@ def _build_D_fn(n_rows: int, dim: int, L: int, df: bool):
         return S
 
     return jax.jit(run)
-
-
-def _matvec_grouped(perms, D, v, n_qubits, df):
-    """H @ v with per-X-group diagonals.
-
-    perms: either a 2-tuple (A, Bm) of one-hot blocks, shapes
-    (nb, B, H, H) / (nb, B, W, W) — the MXU formulation — or a 1-tuple
-    (ux,) of (nb, B) XOR patterns for the gather formulation (CPU, where
-    row gathers beat dense one-hot matmuls by orders of magnitude);
-    D:     (nb, B, dim, L) stacked diagonal lanes;
-    v:     lane tuple of (dim,).  Returns a lane tuple of (dim,).
-    """
-    from jax import lax
-
-    from . import jx_core
-
-    jnp = _jnp()
-    dim = v[0].shape[0]
-    vs = _stack_lanes(v)
-
-    def combine(carry, g, Db):
-        gl = _lanes_from_stacked(g, df)
-        dl = _lanes_from_stacked(Db, df)
-        prod = jx_core.c_mul(dl, gl, df)  # (B, dim) lanes
-        part = _tree_reduce0(prod, df)
-        return _v_add(carry, part, df), None
-
-    zero = tuple(jnp.zeros(dim, vs.dtype) for _ in range(vs.shape[-1]))
-    if len(perms) == 1:
-        r = jnp.arange(dim)
-
-        def block(carry, blk):
-            uxb, Db = blk
-            g = vs[r[None, :] ^ uxb[:, None]]  # (B, dim, L) row gather
-            return combine(carry, g, Db)
-
-        out, _ = lax.scan(block, zero, (perms[0], D))
-    else:
-        A_all, B_all = perms
-
-        def block(carry, blk):
-            Ab, Bb, Db = blk
-            g = _xor_permute(Ab, Bb, vs, n_qubits)  # (B, dim, L), exact
-            return combine(carry, g, Db)
-
-        out, _ = lax.scan(block, zero, (A_all, B_all, D))
-    return out
-
-
-def _matvec_grouped_mesh(mesh, ux_all, D5, v, n_qubits, df):
-    """Mesh-sharded H @ v: the diagonal table is sharded over the row-block
-    (H) axis -- the dominant buffer scales 1/n_dev per device -- while v
-    stays replicated.  Each device builds the *rows it owns* of the one-hot
-    XOR permutations (global rows a = d*Hloc + i), contracts against the
-    full replicated V3 on its MXU, multiplies its D slice, and one tiled
-    ``all_gather`` per matvec reassembles the replicated result over ICI.
-
-    ux_all: (nb, B) replicated;  D5: (nb, B, H, W, L) sharded on axis 2;
-    v: lane tuple of (dim,) replicated.  Returns a replicated lane tuple.
-    """
-    from jax import lax
-    from jax.experimental.shard_map import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    from . import jx_core
-
-    jnp = _jnp()
-    ax = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    H, W = _split_bits(n_qubits)
-    Hloc = H // n_dev
-    wbits = n_qubits - (n_qubits // 2)
-    vs = _stack_lanes(v)
-    L = vs.shape[-1]
-
-    def local(ux_r, D_loc, vs_r):
-        d = lax.axis_index(ax)
-        V3 = vs_r.reshape(H, W, L)
-        a_loc = jnp.arange(Hloc, dtype=ux_r.dtype) + d * Hloc
-        ar = jnp.arange(H, dtype=ux_r.dtype)
-        br = jnp.arange(W, dtype=ux_r.dtype)
-
-        def block(carry, blk):
-            uxb, Db = blk  # (B,), (B, Hloc, W, L)
-            xhi = uxb >> wbits
-            xlo = uxb & (W - 1)
-            A_loc = (
-                (a_loc[None, :, None] ^ xhi[:, None, None])
-                == ar[None, None, :]
-            ).astype(vs_r.dtype)  # (B, Hloc, H)
-            Bm = (
-                (br[None, :, None] ^ xlo[:, None, None])
-                == br[None, None, :]
-            ).astype(vs_r.dtype)  # (B, W, W)
-            t1 = jnp.einsum(
-                "gab,bwl->gawl", A_loc, V3, precision=lax.Precision.HIGHEST
-            )
-            g = jnp.einsum(
-                "gawl,gvw->gavl", t1, Bm, precision=lax.Precision.HIGHEST
-            )  # (B, Hloc, W, L)
-            gl = _lanes_from_stacked(g.reshape(-1, Hloc * W, L), df)
-            dl = _lanes_from_stacked(Db.reshape(-1, Hloc * W, L), df)
-            prod = jx_core.c_mul(dl, gl, df)
-            part = _tree_reduce0(prod, df)
-            return _v_add(carry, part, df), None
-
-        zero = tuple(
-            jnp.zeros(Hloc * W, vs_r.dtype) for _ in range(L)
-        )
-        out_loc, _ = lax.scan(block, zero, (ux_r, D_loc))
-        # global row r = a*W + w: device slices are contiguous row ranges,
-        # so a tiled gather in device order IS the full vector
-        out_s = jnp.stack(out_loc, axis=-1)
-        return lax.all_gather(out_s, ax, axis=0, tiled=True)
-
-    full = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(), P(None, None, ax, None, None), P()),
-        out_specs=P(),
-        check_rep=False,
-    )(ux_all, D5, vs)
-    return _lanes_from_stacked(full, df)
 
 
 def _mesh_ok(mesh, n_qubits: int) -> bool:
@@ -714,9 +597,10 @@ def _normalize_fn(df: bool):
 
 
 def _matvec_any(perms, D, v, n_qubits, df, mesh):
-    if mesh is not None:
-        return _matvec_grouped_mesh(mesh, perms[0], D, v, n_qubits, df)
-    return _matvec_grouped(perms, D, v, n_qubits, df)
+    """Single-vector H @ v: the b = 1 case of the block matvec (one code
+    path for both, so a fix to either twin cannot miss the other)."""
+    out = _matvec_block(perms, D, _stack_lanes(v)[None], n_qubits, df, mesh)
+    return _lanes_from_stacked(out[0], df)
 
 
 @lru_cache(maxsize=None)
@@ -1301,7 +1185,8 @@ def lanczos_ground_state(
 
     With ``mesh`` (a 1-D ``jax.sharding.Mesh``), the diagonal table -- the
     dominant buffer -- is sharded over the row-block axis and each matvec
-    pays one tiled ICI all-gather (``_matvec_grouped_mesh``): the per-device
+    pays one tiled ICI all-gather (``_matvec_grouped_mesh_block``): the
+    per-device
     memory budget scales 1/n_dev, extending exact diagonalisation beyond
     one chip's HBM.  Falls back to single-device when the row-block axis
     does not split evenly.
@@ -1497,6 +1382,7 @@ def lanczos_block_eigsh(
     chunk: int = 16,
     mesh=None,
     v0: np.ndarray | None = None,
+    prepared=None,
     _retry: int = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Lowest ``n_vecs`` eigenpairs WITH multiplicity via BLOCK (band)
@@ -1546,7 +1432,8 @@ def lanczos_block_eigsh(
     k = min(k, k_cap)
     chunk = max(1, min(chunk, k))
 
-    prepared = prepare_operator(x, z, c, n_qubits, mesh)
+    if prepared is None:
+        prepared = prepare_operator(x, z, c, n_qubits, mesh)
     perms, D_dev, mesh, df, dt = prepared
     sl = 2 if df else 1
 
@@ -1599,15 +1486,17 @@ def lanczos_block_eigsh(
     B_h = _merge(Bsre) + 1j * _merge(Bsim)
 
     # truncate at breakdown: a (near-)zero R diagonal means the band Krylov
-    # space closed in that direction and the normalised column is noise --
-    # relative threshold, not exact zero (floating-point residuals of an
-    # exactly invariant subspace land at ~1e-15 of the running scale)
+    # space closed in that direction and the normalised column is noise.
+    # The threshold is relative to the OPERATOR scale (sum|c| >= ||H||) --
+    # seeding it from B_h[0] itself would blind the check to a first-block
+    # breakdown (e.g. H = c*I: the very first residual is pure rounding
+    # noise, and normalising it admits junk, non-orthogonal basis blocks)
     k_eff = k
-    diag_scale = max(float(np.max(np.abs(np.diagonal(B_h[0])))), 1e-300)
+    op_scale = max(float(np.sum(np.abs(np.asarray(c, complex)))), 1e-300)
+    # plain-f32 rounding noise sits at ~1e-7 of scale; df/f64 at ~1e-15
+    thr_rel = 1e-9 if (df or np.dtype(dt).itemsize == 8) else 1e-6
     for j in range(k - 1):
-        dj = np.abs(np.diagonal(B_h[j]))
-        diag_scale = max(diag_scale, float(dj.max()))
-        if np.any(dj < 1e-9 * diag_scale):
+        if np.any(np.abs(np.diagonal(B_h[j])) < thr_rel * op_scale):
             k_eff = j + 1
             break
 
@@ -1630,7 +1519,8 @@ def lanczos_block_eigsh(
         if _retry > 0 and k < k_cap:
             return lanczos_block_eigsh(
                 x, z, c, n_qubits, n_vecs, block=b, k=min(k_cap, 2 * k),
-                chunk=chunk, mesh=mesh, v0=V0, _retry=_retry - 1,
+                chunk=chunk, mesh=mesh, v0=V0, prepared=prepared,
+                _retry=_retry - 1,
             )
         import warnings
 

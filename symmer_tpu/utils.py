@@ -113,13 +113,23 @@ def _select_by_particle_number(
 ) -> Tuple[float, QuantumState]:
     """First eigenpair whose <N> rounds to n_particles (reference
     utils.py:53-69's sector scan, shared by the host and device solvers),
-    with degenerate multiplets sector-rotated first (``_sector_rotate``)."""
+    with degenerate multiplets sector-rotated first (``_sector_rotate``).
+
+    A candidate must also actually BE a number eigenstate (variance check):
+    when ``eigvecs`` spans only part of a degenerate multiplet, N is not
+    invariant on the partial span and the rotated column can have
+    <N> = n_particles while being a mixture of sectors — rounding alone
+    (the reference's test) would silently return a wrong state."""
     assert number_operator is not None, "Must specify the number operator."
     assert not np.any(number_operator.X_block), "Number operator not diagonal"
     Nd = _zdiag_vector(number_operator, eigvecs.shape[0])
     vals, vecs, nvals, _ = _sector_rotate(eigvals, eigvecs, Nd)
+    n_scale = max(1.0, float(np.max(np.abs(Nd))))
     for evl, evc, nv in zip(vals, vecs.T, nvals):
         if np.round(nv) == n_particles:
+            n_var = float(np.linalg.norm((Nd - nv) * evc))
+            if n_var > 1e-6 * n_scale:
+                continue  # partial-multiplet mixture, not a sector state
             return evl, QuantumState.from_array(evc.reshape([-1, 1]))
     raise RuntimeError(
         "No eigenvector of the correct particle number was identified - "
@@ -194,18 +204,32 @@ def exact_gs_energy_device(
         closed = group < group[-1]  # last multiplet may still be filling
         return bool(np.any(closed & (np.round(nvals) == n_particles)))
 
-    evals, evecs = jx_lanczos.lanczos_lowest_eigsh(
-        operator.x_pack,
-        operator.z_pack,
-        operator.coeff_vec,
-        operator.n_qubits,
-        n_vecs=max(n_eigs, 6),
-        k=k,
-        v0=v0,
-        mesh=config.mesh,
-        stop=_sector_match_in_closed_multiplet,
-    )
-    return _select_by_particle_number(evals, evecs, n_particles, number_operator)
+    # adaptive sweep budget: a wide non-matching multiplet below the sector
+    # state consumes sweeps WITH multiplicity, so extend (up to the full
+    # space) until the selector finds a genuine sector eigenstate
+    dim = 1 << operator.n_qubits
+    budget = max(n_eigs, 6)
+    while True:
+        evals, evecs = jx_lanczos.lanczos_lowest_eigsh(
+            operator.x_pack,
+            operator.z_pack,
+            operator.coeff_vec,
+            operator.n_qubits,
+            n_vecs=budget,
+            k=k,
+            v0=v0,
+            mesh=config.mesh,
+            stop=_sector_match_in_closed_multiplet,
+        )
+        try:
+            return _select_by_particle_number(
+                evals, evecs, n_particles, number_operator
+            )
+        except RuntimeError:
+            # len < budget: the complement was exhausted -- no more states
+            if budget >= dim or len(evals) < budget:
+                raise
+            budget = min(dim, 4 * budget)
 
 
 def exact_lowest_states_device(
@@ -239,6 +263,19 @@ def exact_lowest_states_device(
         k=k,
         mesh=config.mesh,
     )
+    if method == "block" and len(evals) < n_states:
+        # the block Krylov space closed early (invariant start block, e.g.
+        # H proportional to identity) -- deflated restarts still make
+        # progress one locked vector at a time
+        evals, evecs = jx_lanczos.lanczos_lowest_eigsh(
+            operator.x_pack,
+            operator.z_pack,
+            operator.coeff_vec,
+            operator.n_qubits,
+            n_vecs=n_states,
+            k=k,
+            mesh=config.mesh,
+        )
     states = [
         QuantumState.from_array(evecs[:, i].reshape([-1, 1]))
         for i in range(evecs.shape[1])

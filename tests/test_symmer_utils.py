@@ -356,6 +356,70 @@ def test_select_by_particle_number_rotates_multiplets():
     assert abs(abs(amps0[0]) - 1.0) < 1e-12  # exactly |00>
 
 
+def test_select_by_particle_number_rejects_partial_multiplet():
+    """Regression (review finding): a vector spanning PART of a degenerate
+    multiplet can have <N> rounding to the target while being a sector
+    mixture; the selector must reject it (variance check) instead of
+    silently returning a non-eigenstate of N."""
+    from symmer_tpu.utils import _select_by_particle_number
+
+    # (|00000> + |00011>)/sqrt(2): ground vector of -Z0, <N> = 1 exactly,
+    # but a 50/50 mixture of the N=0 and N=2 sectors
+    vec = np.zeros(32, complex)
+    vec[0] = vec[3] = 1 / np.sqrt(2)
+    N_op = PauliwordOp.from_dictionary({
+        "IIIII": 2.5, "ZIIII": -0.5, "IZIII": -0.5, "IIZII": -0.5,
+        "IIIZI": -0.5, "IIIIZ": -0.5,
+    })
+    with pytest.raises(RuntimeError):
+        _select_by_particle_number(
+            np.array([-1.0]), vec.reshape(-1, 1), 1, N_op
+        )
+
+
+def test_exact_gs_energy_device_wide_multiplet_sector_above():
+    """Regression (review finding): an 8-fold degenerate ground multiplet
+    with NO sector match must not exhaust the sweep budget — the adaptive
+    extension reaches the sector state in the level above."""
+    from symmer_tpu.utils import exact_gs_energy_device
+
+    H = PauliwordOp.from_dictionary({"ZIII": -2.0})
+    N_op = PauliwordOp.from_dictionary({
+        "IIII": 2.0, "ZIII": -0.5, "IZII": -0.5, "IIZI": -0.5, "IIIZ": -0.5,
+    })
+    gs, psi = exact_gs_energy_device(H, n_particles=4, number_operator=N_op)
+    assert abs(gs - 2.0) < 1e-9  # |1111> lives in the Z0 = -1 level
+    amps = psi.to_dense_matrix.reshape(-1)
+    assert abs(abs(amps[15]) - 1.0) < 1e-9
+
+
+def test_lanczos_block_eigsh_identity_breakdown():
+    """Regression (review finding): H = c*I breaks the block recurrence at
+    the FIRST residual (pure rounding noise); the threshold truncation must
+    keep only the start block, whose columns are already exact
+    eigenvectors — no junk, non-orthogonal basis."""
+    from symmer_tpu.kernels import jx_lanczos
+
+    op = PauliwordOp.from_dictionary({"III": 2.0})
+    evals, evecs = jx_lanczos.lanczos_block_eigsh(
+        op.x_pack, op.z_pack, op.coeff_vec, op.n_qubits, n_vecs=3, block=2
+    )
+    assert np.allclose(evals, 2.0, atol=1e-10)
+    assert np.allclose(
+        evecs.conj().T @ evecs, np.eye(evecs.shape[1]), atol=1e-8
+    )
+
+
+def test_exact_lowest_states_device_block_fallback_identity():
+    """Block space closes at the start block for H = c*I; the public API
+    falls back to deflated restarts and still returns n_states."""
+    from symmer_tpu.utils import exact_lowest_states_device
+
+    op = PauliwordOp.from_dictionary({"II": -1.5})
+    evals, states = exact_lowest_states_device(op, 3, method="block")
+    assert len(states) == 3 and np.allclose(evals, -1.5, atol=1e-10)
+
+
 def test_exact_gs_energy_device_degenerate_sector():
     """n_particles filtering inside a degenerate ground multiplet: -Z0Z1
     has ground space span{|00>, |11>}; the 2-particle answer is |11>."""
