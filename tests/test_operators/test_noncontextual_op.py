@@ -119,6 +119,26 @@ def test_binary_relaxation():
     assert e_relax >= nc.energy - 1e-8
 
 
+@pytest.mark.parametrize("seed", [104, 109, 117])
+def test_noncontextual_energy_attains_ground(seed):
+    """The classical (nu, r) objective of a noncontextual Hamiltonian
+    attains the TRUE ground energy exactly (Kirby-Love), not merely an
+    upper bound — brute-force solve vs dense diagonalisation."""
+    np.random.seed(seed)
+    H = PauliwordOp.random(4, 12, complex_coeffs=False)
+    H.coeff_vec = H.coeff_vec.real.astype(complex)
+    H = (H + H.dagger).multiply_by_constant(0.5).cleanup()
+    nc = NoncontextualOp.from_hamiltonian(
+        H, strategy="SingleSweep_magnitude",
+        override_noncontextuality_check=True,
+    )
+    nc.solve(strategy="brute_force")
+    dense_ground = np.linalg.eigvalsh(
+        np.asarray(nc.to_sparse_matrix.todense())
+    )[0]
+    assert abs(nc.energy - dense_ground) < 1e-8
+
+
 def test_noncontextual_energy_upper_bounds_ground_state():
     np.random.seed(6)
     nc = NoncontextualOp.random(4, n_cliques=3, n_commuting_terms=4)
