@@ -1220,6 +1220,10 @@ def lanczos_ground_state(
         prepared = prepare_operator(x, z, c, n_qubits, mesh)
     perms, D_dev, mesh, df, dt = prepared
 
+    from ..profiling import kernel_stats
+
+    kernel_stats.record("lanczos_ground_state", True, mesh is not None)
+
     if v0 is None:
         rng = np.random.default_rng(7)
         v0 = rng.standard_normal(dim) + 0.25 * rng.standard_normal(dim) * 1j
@@ -1436,6 +1440,10 @@ def lanczos_block_eigsh(
         prepared = prepare_operator(x, z, c, n_qubits, mesh)
     perms, D_dev, mesh, df, dt = prepared
     sl = 2 if df else 1
+
+    from ..profiling import kernel_stats
+
+    kernel_stats.record("lanczos_block_eigsh", True, mesh is not None)
 
     if v0 is None:
         rng = np.random.default_rng(7)
