@@ -397,3 +397,84 @@ def _effective_host_threshold(zero_threshold, *coeff_vecs) -> float:
         return zero_threshold if zero_threshold is not None else 0.0
     m = max(float(np.max(np.abs(cv))) if len(cv) else 0.0 for cv in coeff_vecs)
     return max(float(zero_threshold), fl * m)
+
+
+def distributed_wide_multiply(left, right, mesh=None):
+    """Single-term Pauli product with the packed WORD axis sharded — the
+    qubit-axis scaling dimension of SURVEY §2.3 (reference regime: two
+    100,000,000-qubit single terms, symmer README.md:54).
+
+    Beyond one chip's HBM the PLANES are the memory, not the terms: the
+    product's XOR is elementwise in words, so each device holds only its
+    word shard, and the phase — two popcount totals (Y counts, the
+    (-1)^{x1.z2} sign) — rides one ``psum``.  Output planes stay sharded on
+    device; this host-boundary driver gathers them back into a standard
+    ``PauliwordOp``.
+
+    Both operands must be single-term (the reference's wide regime); raises
+    ValueError otherwise.  Falls back to ``None`` (caller uses the local
+    path) when the padded word axis cannot split over the mesh.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..kernels import jx_core
+    from ..operators.base import PauliwordOp
+
+    if mesh is None:
+        from ..config import config
+
+        mesh = config.mesh
+    if mesh is None:
+        return None
+    if left.n_terms != 1 or right.n_terms != 1:
+        raise ValueError(
+            "distributed_wide_multiply handles single-term operands; use the "
+            "term-sharded product for many-term operators"
+        )
+    ax = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+
+    x1, z1 = pack.to_u32(left.x_pack)[0], pack.to_u32(left.z_pack)[0]
+    x2, z2 = pack.to_u32(right.x_pack)[0], pack.to_u32(right.z_pack)[0]
+    W = x1.shape[0]
+    Wp = -(-W // n_dev) * n_dev
+    if Wp != W:
+        padf = lambda a: np.concatenate([a, np.zeros(Wp - W, a.dtype)])
+        x1, z1, x2, z2 = map(padf, (x1, z1, x2, z2))
+
+    def local(x1s, z1s, x2s, z2s):
+        xo = x1s ^ x2s
+        zo = z1s ^ z2s
+        pc = jx_core.pc
+        partial = jnp.stack([
+            jnp.sum(pc(x1s & z1s)) + jnp.sum(pc(x2s & z2s)),  # y_in
+            jnp.sum(pc(xo & zo)),                             # y_out
+            jnp.sum(pc(x1s & z2s)),                           # x1.z2
+        ])
+        total = lax.psum(partial, ax)  # ONE collective for the whole phase
+        k = (3 * total[0] + total[1]) % 4
+        sign = 1 - 2 * (total[2] & 1)
+        re, im = jx_core.apply_i_pow(k, sign, jnp.zeros_like(sign))
+        return xo, zo, re, im
+
+    rep = NamedSharding(mesh, P(ax))
+    out = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(ax), P(ax)),
+        out_specs=(P(ax), P(ax), P(), P()),
+    )(*(jax.device_put(a, rep) for a in (x1, z1, x2, z2)))
+    xo32 = np.asarray(out[0])[:W]
+    zo32 = np.asarray(out[1])[:W]
+    phase = complex(int(out[2]), int(out[3]))
+    coeff = left.coeff_vec[0] * right.coeff_vec[0] * phase
+    return PauliwordOp.from_planes(
+        pack.from_u32(xo32[None, :]),
+        pack.from_u32(zo32[None, :]),
+        np.array([coeff], complex),
+        left.n_qubits,
+    )

@@ -128,3 +128,30 @@ def test_distributed_init_single_process_noop():
 
     mesh = get_mesh()
     assert int(mesh.devices.size) == n
+
+
+def test_distributed_wide_multiply_matches_host():
+    """Word-axis-sharded single-term product (SURVEY §2.3 qubit-axis
+    dimension): planes and phase bitwise-match the host product."""
+    import numpy as np
+
+    from symmer_tpu import PauliwordOp
+    from symmer_tpu.parallel.sharded import distributed_wide_multiply
+
+    np.random.seed(21)
+    nq = 2000  # 32 uint64 words -> 64 device words, 8 per virtual device
+    a = PauliwordOp.random(nq, 1)
+    b = PauliwordOp.random(nq, 1)
+    host = a * b
+    mesh = get_mesh(8)
+    out = distributed_wide_multiply(a, b, mesh=mesh)
+    assert np.array_equal(out.x_pack, host.x_pack)
+    assert np.array_equal(out.z_pack, host.z_pack)
+    assert np.allclose(out.coeff_vec, host.coeff_vec, atol=1e-14)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        distributed_wide_multiply(
+            PauliwordOp.random(nq, 2), b, mesh=mesh
+        )
