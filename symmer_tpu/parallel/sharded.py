@@ -478,3 +478,52 @@ def distributed_wide_multiply(left, right, mesh=None):
         np.array([coeff], complex),
         left.n_qubits,
     )
+
+
+def distributed_wide_commutes(left, right, mesh=None):
+    """Do two ultra-wide single-term Paulis commute? Word-axis-sharded
+    symplectic form: parity(x1.z2) == parity(z1.x2), reduced by one
+    ``psum`` of two integers (companion of ``distributed_wide_multiply``).
+    Returns None when no mesh is configured."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..kernels import jx_core
+
+    if mesh is None:
+        from ..config import config
+
+        mesh = config.mesh
+    if mesh is None:
+        return None
+    if left.n_terms != 1 or right.n_terms != 1:
+        raise ValueError("distributed_wide_commutes handles single terms")
+    ax = mesh.axis_names[0]
+    n_dev = int(mesh.devices.size)
+    x1, z1 = pack.to_u32(left.x_pack)[0], pack.to_u32(left.z_pack)[0]
+    x2, z2 = pack.to_u32(right.x_pack)[0], pack.to_u32(right.z_pack)[0]
+    W = x1.shape[0]
+    Wp = -(-W // n_dev) * n_dev
+    if Wp != W:
+        padf = lambda a: np.concatenate([a, np.zeros(Wp - W, a.dtype)])
+        x1, z1, x2, z2 = map(padf, (x1, z1, x2, z2))
+
+    def local(x1s, z1s, x2s, z2s):
+        pc = jx_core.pc
+        partial = jnp.stack(
+            [jnp.sum(pc(x1s & z2s)), jnp.sum(pc(z1s & x2s))]
+        )
+        total = lax.psum(partial, ax)
+        return ((total[0] ^ total[1]) & 1) == 0
+
+    rep = NamedSharding(mesh, P(ax))
+    out = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(ax), P(ax), P(ax), P(ax)),
+        out_specs=P(),
+    )(*(jax.device_put(a, rep) for a in (x1, z1, x2, z2)))
+    return bool(out)

@@ -155,3 +155,21 @@ def test_distributed_wide_multiply_matches_host():
         distributed_wide_multiply(
             PauliwordOp.random(nq, 2), b, mesh=mesh
         )
+
+
+def test_distributed_wide_commutes_matches_host():
+    import numpy as np
+
+    from symmer_tpu import PauliwordOp
+    from symmer_tpu.parallel.sharded import distributed_wide_commutes
+
+    np.random.seed(22)
+    mesh = get_mesh(8)
+    nq = 2000
+    agree = 0
+    for _ in range(6):
+        a, b = PauliwordOp.random(nq, 1), PauliwordOp.random(nq, 1)
+        host = bool(a.commutes(b))
+        assert distributed_wide_commutes(a, b, mesh=mesh) == host
+        agree += 1
+    assert agree == 6
