@@ -205,6 +205,10 @@ def main():
                 "value": round(headline, 3),
                 "unit": "ms",
                 "vs_baseline": round(1000.0 / headline, 2),
+                # which backend actually ran (the CPU-fallback path of
+                # _ensure_live_backend also lands here; a CPU number must
+                # not be read as a TPU regression)
+                "backend": jax.devices()[0].platform,
             }
         )
     )
