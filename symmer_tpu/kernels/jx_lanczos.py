@@ -1583,6 +1583,7 @@ def lanczos_lowest_eigsh(
     mesh=None,
     v0: np.ndarray | None = None,
     stop=None,
+    prepared=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Lowest ``n_vecs`` eigenpairs WITH multiplicity via deflated restarts.
 
@@ -1607,7 +1608,9 @@ def lanczos_lowest_eigsh(
     locked = None
     # the grouped table + XOR permutations are sweep-invariant: build and
     # ship once, every deflated restart reuses the device-resident form
-    prepared = prepare_operator(x, z, c, n_qubits, mesh)
+    # (callers looping over budgets pass their own ``prepared``)
+    if prepared is None:
+        prepared = prepare_operator(x, z, c, n_qubits, mesh)
     for sweep in range(n_vecs):
         if v0 is None or sweep > 0:
             rng = np.random.default_rng(7 + 13 * sweep)

@@ -209,6 +209,13 @@ def exact_gs_energy_device(
     # space) until the selector finds a genuine sector eigenstate
     dim = 1 << operator.n_qubits
     budget = max(n_eigs, 6)
+    prepared = jx_lanczos.prepare_operator(
+        operator.x_pack,
+        operator.z_pack,
+        operator.coeff_vec,
+        operator.n_qubits,
+        config.mesh,
+    )
     while True:
         evals, evecs = jx_lanczos.lanczos_lowest_eigsh(
             operator.x_pack,
@@ -220,6 +227,7 @@ def exact_gs_energy_device(
             v0=v0,
             mesh=config.mesh,
             stop=_sector_match_in_closed_multiplet,
+            prepared=prepared,
         )
         try:
             return _select_by_particle_number(
