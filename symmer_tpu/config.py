@@ -35,9 +35,18 @@ class SymmerTPUConfig:
     sigfig: int = 3
     # zero threshold used by cleanup when not explicitly specified
     zero_threshold: float = 1e-15
-    # use exact multi-word sort keys in device cleanup instead of 128-bit
-    # hashed keys (slower, but collision-free by construction)
+    # use exact multi-word sort keys in the explicit device cleanup instead
+    # of 128-bit hashed keys (slower, but collision-free by construction).
+    # Applies to PauliwordOp.cleanup's device path with plain coefficient
+    # planes; the fused product/rotation cleanups and the extended
+    # (double-float) mode always use the hashed grouping.
     exact_cleanup_keys: bool = False
+    # |angle*2/pi - round(...)| below this counts as a Clifford rotation
+    # (batched into the term-count-preserving scan / fused projection).
+    # 1e-10 absorbs accumulated f64 rounding of exact multiples while still
+    # treating genuinely different angles (e.g. float32(pi/2), 4e-8 off) as
+    # non-Clifford; raise it if your angles come from f32 sources.
+    clifford_angle_tol: float = 1e-10
     # optional jax.sharding.Mesh (set via symmer_tpu.use_mesh): large operator
     # kernels shard the term axis over it and the noncontextual brute-force
     # search shards the assignment axis; None = single-device execution

@@ -44,21 +44,60 @@ def _jx():
     return jax, jx_core
 
 
+def _exact_keys() -> bool:
+    """Honour ``config.exact_cleanup_keys`` where supported: the exact
+    multi-word compare only exists for plain (non-double-float) coefficient
+    planes; under extended precision it falls back to the 128-bit hashed
+    grouping with a one-time warning."""
+    if not config.exact_cleanup_keys:
+        return False
+    if _df_mode():
+        global _WARNED_EXACT_KEYS
+        if not _WARNED_EXACT_KEYS:
+            import warnings
+
+            warnings.warn(
+                "exact_cleanup_keys is not supported with extended "
+                "(double-float) device precision; using the hashed cleanup"
+            )
+            _WARNED_EXACT_KEYS = True
+        return False
+    return True
+
+
+_WARNED_EXACT_KEYS = False
+
+
 @functools.lru_cache(maxsize=None)
-def _jitted():
+def _jitted(exact: bool = False):
     jax, jx = _jx()
     return {
         "cleanup_t": jax.jit(
             lambda x, z, cr, ci, n, th, fl: jx.cleanup_sorted(
-                x, z, cr, ci, n, th, rel_floor=fl
+                x, z, cr, ci, n, th, exact=exact, rel_floor=fl
             )
         ),
         "cleanup": jax.jit(
-            lambda x, z, cr, ci, n: jx.cleanup_sorted(x, z, cr, ci, n, None)
+            lambda x, z, cr, ci, n: jx.cleanup_sorted(
+                x, z, cr, ci, n, None, exact=exact
+            )
         ),
         "mul_cleanup": jax.jit(
             lambda x1, z1, cr1, ci1, x2, z2, cr2, ci2, th, fl: jx.mul_pairs_cleanup(
                 x1, z1, cr1, ci1, x2, z2, cr2, ci2, th, rel_floor=fl
+            )
+        ),
+        # zero_threshold=None must mean dedup-only (exact zeros KEPT), as on
+        # the host path -- passing th=0.0 to the traced kernel would drop
+        # exactly-cancelled terms and desynchronise the two backends
+        "mul_cleanup_nt": jax.jit(
+            lambda x1, z1, cr1, ci1, x2, z2, cr2, ci2: jx.mul_pairs_cleanup(
+                x1, z1, cr1, ci1, x2, z2, cr2, ci2, None
+            )
+        ),
+        "rot_nc_cleanup_nt": jax.jit(
+            lambda x, z, cr, ci, xr, zr, tc, ts, n: jx.rotate_nonclifford_cleanup(
+                x, z, cr, ci, xr, zr, None, n, None, trig=(tc, ts)
             )
         ),
         "anticommutes": jax.jit(jx.anticommutes),
@@ -257,10 +296,11 @@ def cleanup(x, z, c, zero_threshold: Optional[float]) -> Planes:
     Tp = _next_bucket(T)
     jx_, jz_ = _to_dev(x, Tp), _to_dev(z, Tp)
     jcr, jci = _coeff_to_dev(c, Tp)
+    jf = _jitted(_exact_keys())
     if zero_threshold is None:
-        ox, oz, ocr, oci, n = _jitted()["cleanup"](jx_, jz_, jcr, jci, T)
+        ox, oz, ocr, oci, n = jf["cleanup"](jx_, jz_, jcr, jci, T)
     else:
-        ox, oz, ocr, oci, n = _jitted()["cleanup_t"](
+        ox, oz, ocr, oci, n = jf["cleanup_t"](
             jx_, jz_, jcr, jci, T,
             jnp.asarray(zero_threshold, _coeff_dtype()), _rel_floor(),
         )
@@ -300,16 +340,29 @@ def multiply_cleanup(x1, z1, c1, x2, z2, c2, zero_threshold: Optional[float]) ->
     kernel_stats.record("multiply", device=True)
     import jax.numpy as jnp
 
-    th = jnp.asarray(
-        zero_threshold if zero_threshold is not None else 0.0, _coeff_dtype()
-    )
-    fl = _rel_floor() if zero_threshold is not None else np.asarray(0.0, _coeff_dtype())
-    cr1, ci1 = _coeff_to_dev(c1)
-    cr2, ci2 = _coeff_to_dev(c2)
-    ox, oz, ocr, oci, n = _jitted()["mul_cleanup"](
-        _to_dev(x1), _to_dev(z1), cr1, ci1,
-        _to_dev(x2), _to_dev(z2), cr2, ci2, th, fl,
-    )
+    if zero_threshold is None:
+        # dedup-only semantics: exact zeros kept, as on the host path
+        cr1, ci1 = _coeff_to_dev(c1)
+        cr2, ci2 = _coeff_to_dev(c2)
+        ox, oz, ocr, oci, n = _jitted()["mul_cleanup_nt"](
+            _to_dev(x1), _to_dev(z1), cr1, ci1,
+            _to_dev(x2), _to_dev(z2), cr2, ci2,
+        )
+    else:
+        # pow2-bucket the operand shapes so the operator-algebra loop reuses
+        # compiled programs across varying term counts (module convention;
+        # DeviceOperator.multiply established the pattern).  Padded rows are
+        # identity terms with coefficient 0: they dedup into one row that
+        # the positive threshold drops -- which is why the None
+        # (dedup-only) branch above must NOT pad.
+        M1p, M2p = _next_bucket(M1), _next_bucket(M2)
+        cr1, ci1 = _coeff_to_dev(c1, M1p)
+        cr2, ci2 = _coeff_to_dev(c2, M2p)
+        th = jnp.asarray(zero_threshold, _coeff_dtype())
+        ox, oz, ocr, oci, n = _jitted()["mul_cleanup"](
+            _to_dev(x1, M1p), _to_dev(z1, M1p), cr1, ci1,
+            _to_dev(x2, M2p), _to_dev(z2, M2p), cr2, ci2, th, _rel_floor(),
+        )
     return _planes_from_dev(ox, oz, ocr, oci, int(n))
 
 
@@ -326,7 +379,11 @@ def anticommutes(x1, z1, x2, z2) -> np.ndarray:
         kernel_stats.record("anticommutes", device=False)
         return np_core.anticommutes(x1, z1, x2, z2)
     kernel_stats.record("anticommutes", device=True)
-    if config.pallas_anticommutes:
+    # the XLA broadcast materialises TWO (M1, M2, 2W) uint32 intermediates
+    # (x1&z2 and z1&x2): above budget, route to the VMEM-tiled Pallas kernel
+    # instead of risking a device OOM (same guard as is_noncontextual)
+    broadcast_too_big = 2 * (M1 * M2 * (2 * W) * 4) > (1 << 31)
+    if config.pallas_anticommutes or broadcast_too_big:
         from . import pallas_gf2
 
         out = pallas_gf2.anticommutes_tiled(
@@ -377,10 +434,18 @@ def _jitted_qwc():
     return jax.jit(jx.qubitwise_commutes)
 
 
-def is_clifford_angle(angle, tol: float = 1e-18):
-    """Return the pi/2 multiple m if the angle is Clifford, else None."""
+def is_clifford_angle(angle, tol: float = None):
+    """Return the pi/2 multiple m if the angle is Clifford, else None.
+
+    The tolerance (default ``config.clifford_angle_tol``) is on the MULTIPLE,
+    not the angle: an exact multiple accumulated in f64 (e.g. 250*pi/2)
+    carries ~1e-14 of rounding, and misclassifying it breaks Clifford-run
+    batching AND the fused device projection — a silent multi-round-trip
+    perf cliff on the flagship taper flow."""
     if angle is None:
         return 1
+    if tol is None:
+        tol = config.clifford_angle_tol
     angle = complex(angle).real
     multiple = angle * 2 / np.pi
     m = round(multiple)
@@ -488,11 +553,21 @@ def device_rotation_loop(dx, dz, dcr, dci, n_valid, rotations, zero_threshold):
         else:
             xr, zr, angle = rotations[i]
             tc, ts = _trig_split(angle)
-            ox, oz, ocr, oci, n = jitted["rot_nc_cleanup"](
-                dx, dz, dcr, dci,
-                _to_dev(xr.reshape(1, -1))[0], _to_dev(zr.reshape(1, -1))[0],
-                tc, ts, n_valid, th, fl,
-            )
+            if zero_threshold is None:
+                # dedup-only: exact zeros kept (host-path semantics)
+                ox, oz, ocr, oci, n = jitted["rot_nc_cleanup_nt"](
+                    dx, dz, dcr, dci,
+                    _to_dev(xr.reshape(1, -1))[0],
+                    _to_dev(zr.reshape(1, -1))[0],
+                    tc, ts, n_valid,
+                )
+            else:
+                ox, oz, ocr, oci, n = jitted["rot_nc_cleanup"](
+                    dx, dz, dcr, dci,
+                    _to_dev(xr.reshape(1, -1))[0],
+                    _to_dev(zr.reshape(1, -1))[0],
+                    tc, ts, n_valid, th, fl,
+                )
             n_valid = max(int(n), 1)
             Tp = _next_bucket(n_valid)
             dx, dz, dcr, dci = ox[:Tp], oz[:Tp], ocr[:Tp], oci[:Tp]
@@ -758,9 +833,17 @@ def apply_bra(s_pack, amps, x, z, c, zero_threshold):
     T, W = x.shape
     B = s_pack.shape[0]
     row_bytes = 16 * W + 16
+    # the download moves the POST-dedup state: one bit plane + amplitude per
+    # surviving basis state, bounded by min(T*B/4, 2^n) rows (same modest
+    # 4x dedup assumption as multiply_cleanup -- estimating the pre-dedup
+    # T*B product made the device path unreachable over slow transports,
+    # defeating the kernel's whole point)
+    out_rows = max(1, min(T * B // 4, 1 << min(W * 64, 62)))
     if not config.use_device_io(
         T * B * W / config.host_cleanup_rate,
-        up_bytes=(T + B) * row_bytes, down_bytes=T * B * row_bytes, n_syncs=2,
+        up_bytes=(T + B) * row_bytes,
+        down_bytes=out_rows * (8 * W + 16),
+        n_syncs=2,
     ):
         kernel_stats.record("apply_bra", device=False)
         bits, out = state_core.apply_to_bra(s_pack, amps, x, z, c)
@@ -811,18 +894,18 @@ def apply_state(x, z, c, s_pack, amps, zero_threshold):
     T, W = x.shape
     B = s_pack.shape[0]
     row_bytes = 16 * W + 16
+    # post-dedup download estimate (see apply_bra)
+    out_rows = max(1, min(T * B // 4, 1 << min(W * 64, 62)))
     if not config.use_device_io(
         T * B * W / config.host_cleanup_rate,
-        up_bytes=(T + B) * row_bytes, down_bytes=T * B * row_bytes, n_syncs=2,
+        up_bytes=(T + B) * row_bytes,
+        down_bytes=out_rows * (8 * W + 16),
+        n_syncs=2,
     ):
         kernel_stats.record("apply_state", device=False)
         bits, out = state_core.apply_to_ket(x, z, c, s_pack, amps)
         return state_core.cleanup_state(bits, out, zero_threshold)
     kernel_stats.record("apply_state", device=True)
-    import jax
-
-    from . import jx_state
-
     cr, ci = _coeff_to_dev(c)
     ar, ai = _coeff_to_dev(amps)
     th = np.asarray(zero_threshold, _coeff_dtype())

@@ -337,7 +337,9 @@ def cleanup_sorted(
             dest = jnp.where(keep, jnp.cumsum(keep.astype(jnp.int32)) - 1, T)
             n_out = jnp.sum(keep.astype(jnp.int32))
             final = idx < n_out
-            kseg = jnp.zeros(T, jnp.int32).at[dest].set(jnp.where(keep, idx, 0))
+            kseg = jnp.zeros(T, jnp.int32).at[dest].set(
+                jnp.where(keep, idx, 0).astype(jnp.int32)  # idx is i64 under x64
+            )
             kseg = jnp.where(final, kseg, 0)
             orig = perm[jnp.clip(starts[kseg], 0, T - 1)]
             x_o = jnp.where(final[:, None], x[orig], 0)

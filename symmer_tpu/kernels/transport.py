@@ -59,11 +59,13 @@ def profile() -> TransportProfile:
     import jax.numpy as jnp
 
     if jax.default_backend() == "cpu":
-        # in-process "device": effectively memcpy speed, microsecond dispatch
+        # in-process "device": effectively memcpy speed, microsecond
+        # dispatch.  `is None` (not truthiness) so an explicit 0 override
+        # means what it says, as in the live-probe branch below
         return TransportProfile(
-            (sync_ms or 0.05) / 1e3,
-            (up_mbps or 20e3) * 1e6,
-            (down_mbps or 20e3) * 1e6,
+            (0.05 if sync_ms is None else sync_ms) / 1e3,
+            (20e3 if up_mbps is None else up_mbps) * 1e6,
+            (20e3 if down_mbps is None else down_mbps) * 1e6,
             False,
         )
 

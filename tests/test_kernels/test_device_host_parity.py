@@ -254,3 +254,74 @@ def test_select_columns_matches_boolean_slice():
             pack.select_columns(p, np.ones(nq, bool)), p
         )
         assert pack.select_columns(p, np.zeros(nq, bool)).shape == (T, 1)
+
+
+def test_exact_cleanup_keys_wired_and_matches():
+    """Regression (review finding): config.exact_cleanup_keys was a dead
+    knob — no dispatch path passed exact=True.  With plain (non-df)
+    precision the explicit device cleanup must now honour it and match the
+    hashed path / host exactly."""
+    from symmer_tpu.config import config
+    from symmer_tpu.kernels import dispatch
+
+    x, z, c = rand_planes(40)
+    xx = np.concatenate([x, x])
+    zz = np.concatenate([z, z])
+    cc = np.concatenate([c, c])
+    want = np_core.cleanup(xx, zz, cc, 1e-15)
+    old_prec, old_exact, old_backend = (
+        config.device_precision, config.exact_cleanup_keys, config.backend
+    )
+    try:
+        config.device_precision = "f32"
+        config.exact_cleanup_keys = True
+        config.backend = "device"
+        got = dispatch.cleanup(xx, zz, cc, 1e-15)
+    finally:
+        config.device_precision = old_prec
+        config.exact_cleanup_keys = old_exact
+        config.backend = old_backend
+    assert to_dicts(*want) .keys() == to_dicts(*got).keys()
+    wd, gd = to_dicts(*want), to_dicts(*got)
+    assert all(abs(wd[k] - gd[k]) < 1e-5 for k in wd)
+
+
+def test_multiply_none_threshold_keeps_exact_zeros():
+    """Regression (review finding): zero_threshold=None must mean
+    dedup-only on BOTH backends — exactly-cancelled terms keep their
+    coefficient-0 row, as the host path always did."""
+    from symmer_tpu.config import config
+    from symmer_tpu.kernels import dispatch
+
+    x, z, c = rand_planes(6)
+    xx = np.concatenate([x, x])
+    zz = np.concatenate([z, z])
+    cc = np.concatenate([c, -c])  # every pair cancels exactly
+    want = np_core.cleanup(xx, zz, cc, None)
+    old_backend = config.backend
+    try:
+        config.backend = "device"
+        got = dispatch.cleanup(xx, zz, cc, None)
+        gx, gz, gc = dispatch.multiply_cleanup(
+            x, z, c, x[:1], z[:1], np.array([0.0 + 0j]), None
+        )
+    finally:
+        config.backend = old_backend
+    assert got[0].shape[0] == want[0].shape[0]  # zeros kept
+    assert np.allclose(np.abs(got[2]), 0.0, atol=1e-12)
+    # product against a zero-coefficient term: rows survive with coeff 0
+    assert gx.shape[0] == x.shape[0]
+    assert np.allclose(np.abs(gc), 0.0, atol=1e-12)
+
+
+def test_clifford_angle_tolerance():
+    """Regression (review finding): accumulated-f64 exact multiples must
+    classify as Clifford (batching + fused projection); genuinely different
+    angles (float32 pi/2 is 4e-8 off) must not."""
+    from symmer_tpu.kernels.dispatch import is_clifford_angle
+
+    assert is_clifford_angle(250 * np.pi / 2) == 250
+    assert is_clifford_angle(-7 * np.pi / 2 + 1e-13) == -7
+    assert is_clifford_angle(np.float32(np.pi / 2)) is None
+    assert is_clifford_angle(np.pi / 3) is None
+    assert is_clifford_angle(None) == 1
