@@ -452,6 +452,35 @@ def is_clifford_angle(angle, tol: float = None):
     return m if abs(m - multiple) <= tol else None
 
 
+def segment_rotations(rotations):
+    """Yield maximal Clifford runs and non-Clifford singles, in order:
+    ('clifford', rx_rows_u32, rz_rows_u32, multiples_i32) /
+    ('nonclifford', xr, zr, angle).  The ONE segmentation shared by the
+    single-device loop and the mesh driver — keeping two copies of this
+    while-loop desynchronised them in the past."""
+    i, n = 0, len(rotations)
+    while i < n:
+        if is_clifford_angle(rotations[i][2]) is not None:
+            j, ms, rxs, rzs = i, [], [], []
+            while j < n:
+                mj = is_clifford_angle(rotations[j][2])
+                if mj is None:
+                    break
+                rxs.append(pack.to_u32(rotations[j][0].reshape(1, -1))[0])
+                rzs.append(pack.to_u32(rotations[j][1].reshape(1, -1))[0])
+                ms.append(mj)
+                j += 1
+            yield (
+                "clifford",
+                np.array(rxs), np.array(rzs), np.array(ms, np.int32),
+            )
+            i = j
+        else:
+            xr, zr, angle = rotations[i]
+            yield ("nonclifford", xr, zr, angle)
+            i += 1
+
+
 def perform_rotations(
     x, z, c,
     rotations: Sequence[Tuple[np.ndarray, np.ndarray, Optional[float]]],
@@ -528,30 +557,16 @@ def device_rotation_loop(dx, dz, dcr, dci, n_valid, rotations, zero_threshold):
         zero_threshold if zero_threshold is not None else 0.0, dt
     )
     fl = _rel_floor() if zero_threshold is not None else np.asarray(0.0, dt)
-    i = 0
-    n_rot = len(rotations)
-    while i < n_rot:
-        m = is_clifford_angle(rotations[i][2])
-        if m is not None:
-            # gather maximal Clifford run -> one lax.scan on device
-            j = i
-            ms, rxs, rzs = [], [], []
-            while j < n_rot:
-                mj = is_clifford_angle(rotations[j][2])
-                if mj is None:
-                    break
-                rxs.append(pack.to_u32(rotations[j][0].reshape(1, -1))[0])
-                rzs.append(pack.to_u32(rotations[j][1].reshape(1, -1))[0])
-                ms.append(mj)
-                j += 1
+    for seg in segment_rotations(rotations):
+        if seg[0] == "clifford":
+            # maximal Clifford run -> one lax.scan on device
+            _, rxs, rzs, ms = seg
             dx, dz, dcr, dci = jitted["clifford_scan"](
                 dx, dz, dcr, dci,
-                jnp.asarray(np.array(rxs)), jnp.asarray(np.array(rzs)),
-                jnp.asarray(np.array(ms, np.int32)),
+                jnp.asarray(rxs), jnp.asarray(rzs), jnp.asarray(ms),
             )
-            i = j
         else:
-            xr, zr, angle = rotations[i]
+            _, xr, zr, angle = seg
             tc, ts = _trig_split(angle)
             if zero_threshold is None:
                 # dedup-only: exact zeros kept (host-path semantics)
@@ -571,7 +586,6 @@ def device_rotation_loop(dx, dz, dcr, dci, n_valid, rotations, zero_threshold):
             n_valid = max(int(n), 1)
             Tp = _next_bucket(n_valid)
             dx, dz, dcr, dci = ox[:Tp], oz[:Tp], ocr[:Tp], oci[:Tp]
-            i += 1
     if zero_threshold is None:
         ox, oz, ocr, oci, n = jitted["cleanup"](dx, dz, dcr, dci, n_valid)
     else:

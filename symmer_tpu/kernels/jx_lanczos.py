@@ -514,7 +514,7 @@ def _matvec_grouped_mesh_block(mesh, ux_all, D5, vsf, n_qubits, df, b):
     columns ride the free axis of the shard-local einsums; one tiled
     all-gather returns the replicated (dim, b*L) block."""
     from jax import lax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from . import jx_core
@@ -573,7 +573,7 @@ def _matvec_grouped_mesh_block(mesh, ux_all, D5, vsf, n_qubits, df, b):
         mesh=mesh,
         in_specs=(P(), P(None, None, ax, None, None), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(ux_all, D5, vsf)
     return full.reshape(1 << n_qubits, b * L)
 
@@ -930,7 +930,7 @@ def _build_D_mesh_fn(mesh, nb, B, Hloc, W, L, df):
     The full table never exists on any one device NOR on the host."""
     import jax
     from jax import lax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     jnp = _jnp()
@@ -970,7 +970,7 @@ def _build_D_mesh_fn(mesh, nb, B, Hloc, W, L, df):
             mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(), P()),
             out_specs=P(None, None, ax, None, None),
-            check_rep=False,
+            check_vma=False,
         )
     )
 

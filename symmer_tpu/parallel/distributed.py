@@ -36,6 +36,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -73,8 +74,12 @@ def _exchange_round(k: int, state, axis_name):
     capacity-2 buffer; only >capacity *distinct* terms hashing to one shard
     can (vanishingly unlikely for a balanced hash).
     """
-    x, z, cr, ci, n_local, _ = state
+    x, z, cr, ci, n_local = state
     x, z, cr, ci, n_local = jx_core.cleanup_sorted(x, z, cr, ci, n_local, None)
+    # the hash plane is recomputed here each round (cleanup_sorted reorders
+    # the rows anyway), so it is NOT shipped with the payload -- routing it
+    # would cost 4 bytes/row of ICI plus a compact+scatter for data nothing
+    # downstream consumes
     h, _ = jx_core.row_hashes(x, z)
     C = x.shape[0]
     rank = lax.axis_index(axis_name)
@@ -85,16 +90,16 @@ def _exchange_round(k: int, state, axis_name):
     keep = valid & (bit == my_bit)
     send = valid & (bit != my_bit)
 
-    n_keep, (xk, zk, hk) = _compact(keep, x, z, h)
+    n_keep, (xk, zk) = _compact(keep, x, z)
     _, (crk, cik) = _compact(keep, cr, ci)
-    n_send, (xs, zs, hs) = _compact(send, x, z, h)
+    n_send, (xs, zs) = _compact(send, x, z)
     _, (crs, cis) = _compact(send, cr, ci)
 
     # pairwise swap with the partner: permutation is an involution, one hop
     n_dev = lax.axis_size(axis_name)
     perm = [(r, r ^ (1 << k)) for r in range(n_dev)]
-    xr, zr, crr, cir, hr, n_recv = [
-        lax.ppermute(a, axis_name, perm) for a in (xs, zs, crs, cis, hs, n_send)
+    xr, zr, crr, cir, n_recv = [
+        lax.ppermute(a, axis_name, perm) for a in (xs, zs, crs, cis, n_send)
     ]
 
     # append received rows at offset n_keep
@@ -107,26 +112,39 @@ def _exchange_round(k: int, state, axis_name):
 
     x_new = _append(xk, xr)
     z_new = _append(zk, zr)
-    h_new = _append(hk, hr)
     cr_new = _append(crk, crr)  # coefficient planes may carry a [hi, lo] axis
     ci_new = _append(cik, cir)
     n_new = jnp.minimum(n_keep + n_recv, C)
-    return x_new, z_new, cr_new, ci_new, n_new, h_new, ovf
+    return x_new, z_new, cr_new, ci_new, n_new, ovf
 
 
-def exchange_merge(x, z, cr, ci, n_local, n_rounds, zero_threshold, axis_name):
+def exchange_merge(x, z, cr, ci, n_local, n_rounds, zero_threshold, axis_name,
+                   rel_floor=None):
     """Hash-route rows to their home shard, then merge locally.
 
     Runs INSIDE shard_map on per-shard buffers; reusable as the tail of any
     distributed term-producing kernel (cleanup, multiply, rotation).  Returns
     (x, z, cr, ci, n_out, overflow) with scalar n_out/overflow per shard.
+
+    ``rel_floor`` mirrors ``jx_core.effective_threshold`` under sharding:
+    the floor tracks the CURRENT global max|c| (one pmax) instead of a
+    value frozen on the host from the input coefficients — needed wherever
+    the kernel changed the coefficients before this merge (non-Clifford
+    rotations, the stabilizer-filtered projection).  Relies on the
+    invariant that invalid buffer rows carry zero coefficients.
     """
     ovf_any = jnp.zeros((), bool)
-    state = (x, z, cr, ci, n_local, None)
+    state = (x, z, cr, ci, n_local)
     for k in range(n_rounds):
         *state, ovf = _exchange_round(k, tuple(state), axis_name)
         ovf_any = ovf_any | ovf
-    x, z, cr, ci, n_local, _ = state
+    x, z, cr, ci, n_local = state
+    if zero_threshold is not None and rel_floor is not None:
+        c, dfm = jx_core.c_lanes(cr, ci)
+        m2 = lax.pmax(jnp.max(jx_core.c_mag2_hi(c, dfm)), axis_name)
+        zero_threshold = jnp.maximum(
+            zero_threshold, rel_floor * jnp.sqrt(m2)
+        )
     x, z, cr, ci, n_out = jx_core.cleanup_sorted(
         x, z, cr, ci, n_local, zero_threshold
     )
@@ -138,11 +156,14 @@ def _coef_spec(df: bool, axis_name: str):
     return P(axis_name, None) if df else P(axis_name)
 
 
-def _local_shard_cleanup(x, z, cr, ci, n_local, zt, n_rounds, has_threshold, axis_name):
+def _local_shard_cleanup(x, z, cr, ci, n_local, zt, fl, n_rounds,
+                         has_threshold, axis_name):
     """Body run per shard under shard_map."""
     n_local = n_local[0]  # per-shard view of int32[n_dev] is shape (1,)
     x, z, cr, ci, n_out, ovf_any = exchange_merge(
-        x, z, cr, ci, n_local, n_rounds, zt if has_threshold else None, axis_name
+        x, z, cr, ci, n_local, n_rounds,
+        zt if has_threshold else None, axis_name,
+        rel_floor=fl if has_threshold else None,
     )
     return x, z, cr, ci, n_out[None], ovf_any[None]
 
@@ -157,6 +178,7 @@ def distributed_cleanup(
     zero_threshold: Optional[float] = None,
     capacity_factor: int = 2,
     axis_name: str = "terms",
+    rel_floor: float = 0.0,
 ) -> Tuple[jnp.ndarray, ...]:
     """Deduplicate a term-sharded operator without gathering the term axis.
 
@@ -186,31 +208,28 @@ def distributed_cleanup(
         raise ValueError(f"term axis {T} not divisible by mesh size {n_dev}")
     T_local = T // n_dev
 
-    # pad each shard's buffer to capacity_factor * T_local
+    # pad each shard's buffer to capacity_factor * T_local.  Host numpy
+    # inputs are padded ON THE HOST: an eager jnp.concatenate would stage
+    # the full padded operator on the default device before device_put
+    # shards it, capping the operator at ONE chip's HBM — the exact limit
+    # this module exists to remove
     C = capacity_factor * T_local
     if capacity_factor > 1:
-        # interleave padding per shard: reshape to (n_dev, T_local, W) first
-        x = jnp.concatenate(
-            [x.reshape(n_dev, T_local, W),
-             jnp.zeros((n_dev, C - T_local, W), x.dtype)], axis=1
-        ).reshape(n_dev * C, W)
-        z = jnp.concatenate(
-            [z.reshape(n_dev, T_local, W),
-             jnp.zeros((n_dev, C - T_local, W), z.dtype)], axis=1
-        ).reshape(n_dev * C, W)
-        def _pad_c(a):
+        def _pad_interleave(a):
+            lib = np if isinstance(a, np.ndarray) else jnp
             tail = a.shape[1:]
-            return jnp.concatenate(
+            return lib.concatenate(
                 [a.reshape((n_dev, T_local) + tail),
-                 jnp.zeros((n_dev, C - T_local) + tail, a.dtype)], axis=1
+                 lib.zeros((n_dev, C - T_local) + tail, a.dtype)], axis=1
             ).reshape((n_dev * C,) + tail)
 
-        cr = _pad_c(cr)
-        ci = _pad_c(ci)
+        x, z = _pad_interleave(x), _pad_interleave(z)
+        cr, ci = _pad_interleave(cr), _pad_interleave(ci)
 
     has_threshold = zero_threshold is not None
     df = hasattr(cr, "ndim") and cr.ndim == 2
     zt = jnp.asarray(zero_threshold if has_threshold else 0.0, jnp.asarray(cr).dtype)
+    fl = jnp.asarray(rel_floor, jnp.asarray(cr).dtype)
 
     fn = _cleanup_jit(mesh, axis_name, n_rounds, has_threshold, df)
     sh_rows = NamedSharding(mesh, P(axis_name, None))
@@ -223,7 +242,7 @@ def distributed_cleanup(
         jnp.asarray(n_valid_per_shard, jnp.int32),
         NamedSharding(mesh, P(axis_name)),
     )
-    return fn(x, z, cr, ci, n_valid_per_shard, zt)
+    return fn(x, z, cr, ci, n_valid_per_shard, zt, fl)
 
 
 def _local_multiply(x1, z1, cr1, ci1, x2, z2, cr2, ci2, zt, n_rounds, axis_name):
@@ -302,7 +321,7 @@ def distributed_multiply_cleanup(
     )
 
 
-def _local_rotate_nc(x, z, cr, ci, n_local, xr, zr, tc, ts, zt,
+def _local_rotate_nc(x, z, cr, ci, n_local, xr, zr, tc, ts, zt, fl,
                      n_rounds, axis_name):
     """Per-shard body: fused non-Clifford rotation+cleanup (buffer doubles to
     2C), hash-routed exchange+merge at 2C, then compact back into the C-row
@@ -310,14 +329,16 @@ def _local_rotate_nc(x, z, cr, ci, n_local, xr, zr, tc, ts, zt,
 
     As in _local_multiply, the local cleanup is threshold-free; the threshold
     applies only after the exchange has co-located every duplicate.  cos/sin
-    arrive precomputed (double-float pairs in extended mode)."""
+    arrive precomputed (double-float pairs in extended mode).  The relative
+    floor ``fl`` tracks the post-rotation coefficients (exchange_merge pmax),
+    matching the per-rotation recomputation of the single-device path."""
     n_local = n_local[0]
     C = x.shape[0]
     xo, zo, cro, cio, n = jx_core.rotate_nonclifford_cleanup(
         x, z, cr, ci, xr, zr, None, n_local, None, trig=(tc, ts)
     )
     xo, zo, cro, cio, n_out, ovf = exchange_merge(
-        xo, zo, cro, cio, n, n_rounds, zt, axis_name
+        xo, zo, cro, cio, n, n_rounds, zt, axis_name, rel_floor=fl
     )
     ovf = ovf | (n_out > C)
     return (
@@ -336,7 +357,7 @@ def _rotate_nc_jit(mesh: Mesh, axis_name: str, n_rounds: int, df: bool = False):
             partial(_local_rotate_nc, n_rounds=n_rounds, axis_name=axis_name),
             mesh=mesh,
             in_specs=(spec_rows, spec_rows, spec_c, spec_c, spec_vec,
-                      P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P()),
             out_specs=(spec_rows, spec_rows, spec_c, spec_c,
                        spec_vec, spec_vec),
         )
@@ -344,7 +365,7 @@ def _rotate_nc_jit(mesh: Mesh, axis_name: str, n_rounds: int, df: bool = False):
 
 
 def _local_clifford_project(x, z, cr, ci, n_local, rx, rz, rm,
-                            stab_x, stab_z, neg_x, neg_z, col_keep, zt,
+                            stab_x, stab_z, neg_x, neg_z, col_keep, zt, fl,
                             n_rounds, axis_name):
     """Per-shard body of the distributed fused projection: Clifford scan +
     stabilizer filter + eigenvalue sign flips + column masking + local merge
@@ -358,8 +379,10 @@ def _local_clifford_project(x, z, cr, ci, n_local, rx, rz, rm,
         x, z, cr, ci, n_local, rx, rz, rm,
         stab_x, stab_z, neg_x, neg_z, col_keep, None,
     )
+    # fl tracks the POST-filter coefficients (the largest-|c| term may have
+    # been projected out), matching the single-device fused path
     xo, zo, cro, cio, n_out, ovf = exchange_merge(
-        xo, zo, cro, cio, n, n_rounds, zt, axis_name
+        xo, zo, cro, cio, n, n_rounds, zt, axis_name, rel_floor=fl
     )
     return xo, zo, cro, cio, n_out[None], ovf[None]
 
@@ -376,7 +399,7 @@ def _clifford_project_jit(mesh: Mesh, axis_name: str, n_rounds: int,
                     axis_name=axis_name),
             mesh=mesh,
             in_specs=(spec_rows, spec_rows, spec_c, spec_c, spec_vec,
-                      P(), P(), P(), P(), P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P(), P(), P(), P(), P()),
             out_specs=(spec_rows, spec_rows, spec_c, spec_c,
                        spec_vec, spec_vec),
         )
@@ -386,15 +409,17 @@ def _clifford_project_jit(mesh: Mesh, axis_name: str, n_rounds: int,
 def distributed_clifford_project(
     x, z, cr, ci, n_valid_per_shard,
     rx, rz, rm, stab_x, stab_z, neg_x, neg_z, col_keep,
-    mesh: Mesh, zero_threshold, capacity_factor: int = 2,
+    mesh: Mesh, zero_threshold, rel_floor: float = 0.0,
     axis_name: str = "terms",
 ):
     """Fused stabilizer-subspace projection with the term axis sharded.
 
     Same argument semantics as jx_core.clifford_project_cleanup, with the
     operator planes sharded over ``mesh`` (x row count divisible by the mesh
-    size; per-shard buffers padded to ``capacity_factor`` x the shard size by
-    the caller).  Returns the usual sharded sextet incl. overflow flags.
+    size; per-shard routing slack padded BY THE CALLER — there is no
+    capacity parameter here).  ``rel_floor`` applies the f32 threshold
+    floor against the post-filter coefficients (one pmax).  Returns the
+    usual sharded sextet incl. overflow flags.
     """
     n_dev = mesh.devices.size
     if n_dev & (n_dev - 1):
@@ -410,6 +435,7 @@ def distributed_clifford_project(
     sh_vec = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
     zt = jnp.asarray(zero_threshold, jnp.asarray(cr).dtype)
+    fl = jnp.asarray(rel_floor, jnp.asarray(cr).dtype)
     return fn(
         jax.device_put(x, sh_rows), jax.device_put(z, sh_rows),
         jax.device_put(cr, sh_c), jax.device_put(ci, sh_c),
@@ -419,6 +445,7 @@ def distributed_clifford_project(
         jax.device_put(stab_x, repl), jax.device_put(stab_z, repl),
         jax.device_put(neg_x, repl), jax.device_put(neg_z, repl),
         jax.device_put(col_keep, repl), jax.device_put(zt, repl),
+        jax.device_put(fl, repl),
     )
 
 
@@ -460,7 +487,8 @@ def _cleanup_jit(mesh: Mesh, axis_name: str, n_rounds: int, has_threshold: bool,
                 axis_name=axis_name,
             ),
             mesh=mesh,
-            in_specs=(spec_rows, spec_rows, spec_c, spec_c, spec_vec, P()),
+            in_specs=(spec_rows, spec_rows, spec_c, spec_c, spec_vec,
+                      P(), P()),
             out_specs=(spec_rows, spec_rows, spec_c, spec_c, spec_vec, spec_vec),
         )
     )

@@ -16,6 +16,7 @@ __mul__ / perform_rotations via kernels/dispatch.py.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -172,7 +173,11 @@ def perform_rotations(
     Tp = -(-T // n_dev) * n_dev
     L = Tp // n_dev
     C = capacity_factor * L
-    th_val = _effective_host_threshold(zero_threshold, c)
+    # base absolute threshold; the f32 relative floor tracks the CURRENT
+    # coefficients per rotation inside the kernels (exchange_merge pmax),
+    # matching the single-device per-rotation recomputation
+    th_val = float(zero_threshold) if zero_threshold is not None else 0.0
+    fl_val = float(_rel_floor()) if zero_threshold is not None else 0.0
 
     x32 = _interleave(pack.to_u32(_pad_rows(x, Tp)), n_dev, L, C)
     z32 = _interleave(pack.to_u32(_pad_rows(z, Tp)), n_dev, L, C)
@@ -192,51 +197,43 @@ def perform_rotations(
     dns = jax.device_put(jnp.asarray(ns), sh_vec)
     dt = _coeff_dtype()
     zt = jnp.asarray(th_val, dt)
+    fl = jnp.asarray(fl_val, dt)
     overflowed = False
 
     df = _df_mode()
     clifford_fn = distributed._clifford_jit(mesh, axis_name, df)
     rot_fn = distributed._rotate_nc_jit(mesh, axis_name, n_rounds, df)
 
-    i, n_rot = 0, len(rotations)
-    while i < n_rot:
-        if is_clifford_angle(rotations[i][2]) is not None:
-            j, ms, rxs, rzs = i, [], [], []
-            while j < n_rot:
-                mj = is_clifford_angle(rotations[j][2])
-                if mj is None:
-                    break
-                rxs.append(pack.to_u32(rotations[j][0].reshape(1, -1))[0])
-                rzs.append(pack.to_u32(rotations[j][1].reshape(1, -1))[0])
-                ms.append(mj)
-                j += 1
+    from ..kernels.dispatch import segment_rotations
+
+    for seg in segment_rotations(rotations):
+        if seg[0] == "clifford":
+            _, rxs, rzs, ms = seg
             dx, dz, dcr, dci = clifford_fn(
                 dx, dz, dcr, dci,
-                jax.device_put(jnp.asarray(np.array(rxs)), repl),
-                jax.device_put(jnp.asarray(np.array(rzs)), repl),
-                jax.device_put(jnp.asarray(np.array(ms, np.int32)), repl),
+                jax.device_put(jnp.asarray(rxs), repl),
+                jax.device_put(jnp.asarray(rzs), repl),
+                jax.device_put(jnp.asarray(ms), repl),
             )
-            i = j
         else:
-            xr, zr, angle = rotations[i]
+            _, xr, zr, angle = seg
             tc, ts = _trig_split(angle)
             dx, dz, dcr, dci, dns, ovf = rot_fn(
                 dx, dz, dcr, dci, dns,
                 jax.device_put(jnp.asarray(pack.to_u32(xr.reshape(1, -1))[0]), repl),
                 jax.device_put(jnp.asarray(pack.to_u32(zr.reshape(1, -1))[0]), repl),
                 jax.device_put(tc, repl), jax.device_put(ts, repl),
-                zt,
+                zt, fl,
             )
             if np.asarray(ovf).any():
                 overflowed = True
                 break
-            i += 1
 
     if overflowed:
         return None
     xo, zo, cro, cio, ns_o, ovf = distributed.distributed_cleanup(
         dx, dz, dcr, dci, dns, mesh, zero_threshold=th_val,
-        capacity_factor=1, axis_name=axis_name,
+        capacity_factor=1, axis_name=axis_name, rel_floor=fl_val,
     )
     if np.asarray(ovf).any():
         return None
@@ -270,7 +267,11 @@ def clifford_rotate_project(
     )
     row32 = lambda a: pack.to_u32(a.reshape(1, -1))[0]
 
-    th = _effective_host_threshold(zero_threshold, c)
+    # base threshold; the f32 floor applies against the POST-filter
+    # coefficients inside the kernel (the largest-|c| term may be projected
+    # out), mirroring the single-device fused path
+    th = float(zero_threshold) if zero_threshold is not None else 0.0
+    fl_val = float(_rel_floor()) if zero_threshold is not None else 0.0
     ns = np.minimum(np.maximum(T - L * np.arange(n_dev), 0), L).astype(np.int32)
     import jax.numpy as jnp
 
@@ -288,7 +289,7 @@ def clifford_rotate_project(
             jnp.asarray(pack.to_u32(stab_x)), jnp.asarray(pack.to_u32(stab_z)),
             jnp.asarray(row32(neg_x)), jnp.asarray(row32(neg_z)),
             jnp.asarray(row32(col_keep)),
-            mesh, zero_threshold=th, capacity_factor=capacity_factor,
+            mesh, zero_threshold=th, rel_floor=fl_val,
             axis_name=axis_name,
         )
         if not np.asarray(ovf).any():
@@ -350,19 +351,41 @@ def expval(x, z, c, s_pack, amps, mesh, axis_name: str = "terms"):
     dar = jax.device_put(jnp.asarray(ar), repl)
     dai = jax.device_put(jnp.asarray(ai), repl)
 
-    @jax.jit
-    @partial_shard_map_expval(mesh, axis_name, df)
+    re, im = _expval_jit(mesh, axis_name, df)(dx, dz, dcr, dci, ds, dar, dai)
+    from ..kernels.dispatch import _scalar_from_dev
+
+    return _scalar_from_dev(np.asarray(re), np.asarray(im))
+
+
+@lru_cache(maxsize=None)
+def _expval_jit(mesh, axis_name: str, df: bool):
+    """Cached jitted shard_map for the expval reduction — a fresh closure
+    per call would retrace + recompile every expectation value (jit caches
+    on function identity), which a VQE energy loop pays per iteration."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels import jx_df, jx_state
+
     def _shard(xs, zs, crs, cis, s, a_r, a_i):
         re, im = jx_state.expval(xs, zs, crs, cis, s, a_r, a_i, s.shape[0])
+        if df:
+            # re/im are (2,) double-float [hi, lo] pairs: a componentwise
+            # psum would sum the hi lanes in plain f32 and capture the
+            # cross-device rounding in no lo lane, degrading extended mode
+            # to ~f32 when partial sums cancel.  Gather the n_dev pairs and
+            # fold them with compensated df adds instead.
+            re_all = jax.lax.all_gather(re, axis_name)  # (n_dev, 2)
+            im_all = jax.lax.all_gather(im, axis_name)
+            reh, rel = jx_df.df_sum(re_all[:, 0], re_all[:, 1])
+            imh, iml = jx_df.df_sum(im_all[:, 0], im_all[:, 1])
+            return jnp.stack([reh, rel]), jnp.stack([imh, iml])
         return (
             jax.lax.psum(re, axis_name),
             jax.lax.psum(im, axis_name),
         )
 
-    re, im = _shard(dx, dz, dcr, dci, ds, dar, dai)
-    from ..kernels.dispatch import _scalar_from_dev
-
-    return _scalar_from_dev(np.asarray(re), np.asarray(im))
+    return jax.jit(partial_shard_map_expval(mesh, axis_name, df)(_shard))
 
 
 def partial_shard_map_expval(mesh, axis_name, df=False):
@@ -380,6 +403,10 @@ def partial_shard_map_expval(mesh, axis_name, df=False):
         in_specs=(P(axis_name, None), P(axis_name, None), spec_c,
                   spec_c, P(), P(), P()),
         out_specs=(P(), P()),
+        # the df branch folds all-gathered [hi, lo] pairs identically on
+        # every device; the VMA checker cannot statically infer that
+        # replication (psum it can), so the check is disabled here
+        check_vma=False,
     )
 
 
@@ -418,7 +445,7 @@ def distributed_wide_multiply(left, right, mesh=None):
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..kernels import jx_core
@@ -434,6 +461,11 @@ def distributed_wide_multiply(left, right, mesh=None):
         raise ValueError(
             "distributed_wide_multiply handles single-term operands; use the "
             "term-sharded product for many-term operators"
+        )
+    if left.n_qubits != right.n_qubits:
+        raise ValueError(
+            f"operand widths differ ({left.n_qubits} vs {right.n_qubits} "
+            "qubits); tensor-pad to a common width first"
         )
     ax = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
@@ -488,7 +520,7 @@ def distributed_wide_commutes(left, right, mesh=None):
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..kernels import jx_core
@@ -501,6 +533,11 @@ def distributed_wide_commutes(left, right, mesh=None):
         return None
     if left.n_terms != 1 or right.n_terms != 1:
         raise ValueError("distributed_wide_commutes handles single terms")
+    if left.n_qubits != right.n_qubits:
+        raise ValueError(
+            f"operand widths differ ({left.n_qubits} vs {right.n_qubits} "
+            "qubits); tensor-pad to a common width first"
+        )
     ax = mesh.axis_names[0]
     n_dev = int(mesh.devices.size)
     x1, z1 = pack.to_u32(left.x_pack)[0], pack.to_u32(left.z_pack)[0]
