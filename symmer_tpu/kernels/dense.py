@@ -77,15 +77,23 @@ def group_diagonals(x, z, c, n_qubits: int):
     # measured 61 s for tapered N2; this runs in ~1 s)
     vals = np.zeros((ux.shape[0], dim), dtype=complex)
     np.add.at(vals, (gidx, z_int), phase_c)
+    return ux, fwht_rows(vals)
+
+
+def fwht_rows(vals: np.ndarray) -> np.ndarray:
+    """In-place fast Walsh-Hadamard butterfly along axis 1 of (K, dim):
+    out[k, z] = sum_r (-1)^{popcount(r & z)} vals[k, r].  Shared by the
+    grouped-diagonal builds here and by ``_from_matrix_projector``."""
+    K, dim = vals.shape
     h = 1
     while h < dim:
-        vals = vals.reshape(ux.shape[0], dim // (2 * h), 2, h)
+        vals = vals.reshape(K, dim // (2 * h), 2, h)
         top = vals[:, :, 0, :].copy()
         vals[:, :, 0, :] += vals[:, :, 1, :]
         vals[:, :, 1, :] = top - vals[:, :, 1, :]
-        vals = vals.reshape(ux.shape[0], dim)
+        vals = vals.reshape(K, dim)
         h *= 2
-    return ux, vals
+    return vals
 
 
 def to_sparse_matrix(x, z, c, n_qubits: int, grouped=None):

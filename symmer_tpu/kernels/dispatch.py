@@ -793,7 +793,15 @@ def _jitted_expval():
 
     from . import jx_state
 
-    return jax.jit(jx_state.expval)
+    def _ev(x, z, cr, ci, s, ar, ai, n_b):
+        # jx_state.expval's contract requires a DEDUPLICATED state (its
+        # windowed hash match pairs at most one row per side); user states
+        # may carry duplicates, so dedup on device first, exactly as
+        # _jitted_inner_product does
+        s, ar, ai, n_b = jx_state.cleanup_state(s, ar, ai, n_b)
+        return jx_state.expval(x, z, cr, ci, s, ar, ai, n_b)
+
+    return jax.jit(_ev)
 
 
 @functools.lru_cache(maxsize=None)

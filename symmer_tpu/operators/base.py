@@ -43,7 +43,7 @@ class PauliwordOp:
         symp_matrix = np.asarray(symp_matrix)
         if symp_matrix.size == 0:
             symp_matrix = symp_matrix.astype(bool)
-        if symp_matrix.dtype == int:
+        if np.issubdtype(symp_matrix.dtype, np.integer):
             assert set(np.unique(symp_matrix)).issubset({0, 1}), (
                 "symplectic matrix not defined with 0 and 1 only"
             )
@@ -257,15 +257,8 @@ class PauliwordOp:
             sel = (inv >= k0) & (inv < k1)
             W = np.zeros((k1 - k0, dim), complex)
             W[inv[sel] - k0, col[sel]] = data[sel]  # W[k, r] = M[r ^ x_k, r]
-            # FWHT along axis 1: S[k, z] = sum_r (-1)^{|r & z|} W[k, r]
-            h = 1
-            while h < dim:
-                W = W.reshape(k1 - k0, dim // (2 * h), 2, h)
-                top = W[:, :, 0, :].copy()
-                W[:, :, 0, :] += W[:, :, 1, :]
-                W[:, :, 1, :] = top - W[:, :, 1, :]
-                W = W.reshape(k1 - k0, dim)
-                h *= 2
+            # S[k, z] = sum_r (-1)^{|r & z|} W[k, r]
+            W = dense.fwht_rows(W)
             y_cnt = np.bitwise_count(distinct_x[k0:k1, None] & z_vals[None, :])
             coeffs = minus_i_pow[y_cnt & 3] * W / dim
             kk, zz = np.nonzero(coeffs)
@@ -397,9 +390,9 @@ class PauliwordOp:
             assert key < self.n_terms, "Index out of range"
             return [key]
         elif isinstance(key, slice):
-            start = 0 if key.start is None else key.start
-            stop = self.n_terms if key.stop is None else key.stop
-            return np.arange(start, stop, key.step)
+            # slice.indices resolves negative/None bounds (op[:-1] must mean
+            # all-but-last, not an empty operator)
+            return np.arange(*key.indices(self.n_terms))
         elif isinstance(key, (list, np.ndarray)):
             return np.asarray(key)
         raise ValueError(
@@ -441,15 +434,15 @@ class PauliwordOp:
         return all(np.isclose(d1[k], d2[k]) for k in d1)
 
     def __hash__(self) -> int:
+        # hash over the cleaned TERM SET only: __eq__ compares coefficients
+        # with np.isclose, and any coefficient rounding in the hash would
+        # let isclose-equal operators land in different buckets (equal
+        # operators always share the cleaned rows, so this is consistent;
+        # coefficient-only collisions are legal for a hash)
         op = self.cleanup()
         joint = pack.hstack_words(op.x_pack, op.z_pack)
         order = np.lexsort(joint.T)
-        key = (
-            op.n_qubits,
-            joint[order].tobytes(),
-            np.round(op.coeff_vec[order], 10).tobytes(),
-        )
-        return hash(key)
+        return hash((op.n_qubits, joint[order].tobytes()))
 
     def append(self, PwordOp: "PauliwordOp") -> "PauliwordOp":
         assert self.n_qubits == PwordOp.n_qubits, (
@@ -496,6 +489,10 @@ class PauliwordOp:
             return self.multiply_by_constant(mul_obj)
         if isinstance(mul_obj, QuantumState):
             assert mul_obj.vec_type == "ket", "cannot multiply a bra from the left"
+            assert mul_obj.n_qubits == self.n_qubits, (
+                f"operator acts on {self.n_qubits} qubits but the state has "
+                f"{mul_obj.n_qubits}"
+            )
             bits, amps = dispatch.apply_state(
                 self.x_pack, self.z_pack, self.coeff_vec,
                 mul_obj._s_pack, mul_obj._amps, zero_threshold,
@@ -522,6 +519,10 @@ class PauliwordOp:
         the X-grouped diagonals in O(G 2^n) (the sparse-support kernels cost
         O(T B)..O(T B^2) and lose badly when B ~ 2^n).
         """
+        assert psi.n_qubits == self.n_qubits, (
+            f"operator acts on {self.n_qubits} qubits but the state has "
+            f"{psi.n_qubits}"
+        )
         B = psi._s_pack.shape[0]
         if (
             self.n_qubits <= 26
@@ -532,14 +533,17 @@ class PauliwordOp:
                 or dense.group_table_fits(self.x_pack, self.n_qubits)
             )
         ):
-            return dense.expval_dense_state(
+            return complex(dense.expval_dense_state(
                 self.x_pack, self.z_pack, self.coeff_vec,
                 self.n_qubits, psi._s_pack, psi._amps,
                 grouped=self._x_grouped_diagonals,
-            ).real
-        return dispatch.expval(
+            ))
+        # complex, as the reference's sum(expvals * coeff_vec) is -- a
+        # non-Hermitian operator (e.g. i[H, A]) has a meaningful imaginary
+        # part that .real would silently drop
+        return complex(dispatch.expval(
             self.x_pack, self.z_pack, self.coeff_vec, psi._s_pack, psi._amps
-        ).real
+        ))
 
     # -- commutation structure ----------------------------------------------
 
@@ -618,9 +622,14 @@ class PauliwordOp:
         """
         if rotations == []:
             return self.cleanup()
-        rot_planes = [
-            (r.x_pack[0], r.z_pack[0], angle) for r, angle in rotations
-        ]
+        rot_planes = []
+        for r, angle in rotations:
+            assert r.n_terms == 1, "Only rotation by single Pauliword allowed here"
+            if r.coeff_vec[0] != 1:
+                warnings.warn(
+                    f"Pword coefficient {r.coeff_vec[0]: .8f} has been set to 1"
+                )
+            rot_planes.append((r.x_pack[0], r.z_pack[0], angle))
         x, z, c = dispatch.perform_rotations(
             self.x_pack, self.z_pack, self.coeff_vec, rot_planes
         )
@@ -751,12 +760,16 @@ class PauliwordOp:
     def to_dataframe(self):
         import pandas as pd
 
-        paulis = list(self.to_dictionary.keys())
+        # strings and coefficients must come from the SAME cleaned operator:
+        # cleanup reorders terms (and may drop/merge rows), so pairing the
+        # cleaned keys with the raw coeff_vec mispairs or length-mismatches
+        d = self.to_dictionary
+        coeffs = np.array(list(d.values()))
         DF_out = pd.DataFrame.from_dict(
-            {"Pauli terms": paulis, "Coefficients (real)": self.coeff_vec.real}
+            {"Pauli terms": list(d.keys()), "Coefficients (real)": coeffs.real}
         )
-        if np.any(self.coeff_vec.imag):
-            DF_out["Coefficients (imaginary)"] = self.coeff_vec.imag
+        if np.any(coeffs.imag):
+            DF_out["Coefficients (imaginary)"] = coeffs.imag
         return DF_out
 
     @cached_property
@@ -1031,9 +1044,7 @@ class QuantumState:
             assert key < self.n_terms, "Index out of range"
             mask = [key]
         elif isinstance(key, slice):
-            start = 0 if key.start is None else key.start
-            stop = self.n_terms if key.stop is None else key.stop
-            mask = np.arange(start, stop, key.step)
+            mask = np.arange(*key.indices(self.n_terms))
         else:
             mask = np.asarray(key)
         return QuantumState.from_planes(
@@ -1278,7 +1289,13 @@ def get_PauliwordOp_projector(projector) -> PauliwordOp:
 def get_ij_operator(
     i: int, j: int, n_qubits: int, binary_vec=None, return_operator: bool = True
 ):
-    """|i><j| as a Pauli sum (reference base.py:2354-2435)."""
+    """|i><j| as a Pauli sum (reference base.py:2354-2435).
+
+    ``binary_vec`` is accepted for signature parity with the reference
+    (which threads a precomputed basis-index table through it) but is not
+    needed here: the bitwise-count formulation never materialises that
+    table.
+    """
     if n_qubits > 30:
         raise ValueError("Too many qubits, might run into memory limitations.")
     b = np.arange(2**n_qubits, dtype=np.int64)
@@ -1323,6 +1340,7 @@ def change_of_basis_XY_to_Z(P_op: PauliwordOp) -> PauliwordOp:
 
     (reference base.py:2474-2549)
     """
+    assert P_op.n_terms == 1, "change of basis requires a single Pauli term"
     Y_inds = np.logical_and(P_op.X_block, P_op.Z_block)[0]
     n_Sdag = int(np.sum(Y_inds))
     if n_Sdag == 0:

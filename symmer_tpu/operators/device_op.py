@@ -144,19 +144,21 @@ class DeviceOperator:
         Clifford runs execute as single lax.scans; each non-Clifford step
         costs one scalar sync for the bucket re-size (dispatch.device_rotation_loop).
         """
-        rot_planes = [
-            (r.x_pack[0], r.z_pack[0], angle) for r, angle in rotations
-        ]
+        rot_planes = []
+        for r, angle in rotations:
+            assert r.n_terms == 1, "Only rotation by single Pauliword allowed here"
+            rot_planes.append((r.x_pack[0], r.z_pack[0], angle))
         dx, dz, dcr, dci, n = dispatch.device_rotation_loop(
             self.x32, self.z32, self.cr, self.ci, self.n_valid,
             rot_planes, zero_threshold,
         )
         return DeviceOperator(dx, dz, dcr, dci, n, self.n_qubits)
 
-    def expval(self, psi) -> float:
-        """Re <psi|O|psi> against a (host) QuantumState: the operator planes
+    def expval(self, psi) -> complex:
+        """<psi|O|psi> against a (host) QuantumState: the operator planes
         stay resident; only the state uploads and one scalar pair returns
-        (real part, matching PauliwordOp.expval / reference base.py:796-819)."""
+        (complex, matching PauliwordOp.expval / reference base.py:796-819 —
+        non-Hermitian operators carry a meaningful imaginary part)."""
         import jax
 
         ar, ai = dispatch._coeff_to_dev(psi._amps)
@@ -167,7 +169,7 @@ class DeviceOperator:
             psi._s_pack.shape[0],
         )
         re_h, im_h = jax.device_get((re, im))
-        return dispatch._scalar_from_dev(re_h, im_h).real
+        return dispatch._scalar_from_dev(re_h, im_h)
 
     def expval_iz(self) -> complex:
         """<0...0| O |0...0>: sum of I/Z-only coefficients (one scalar fetch

@@ -368,7 +368,10 @@ def _expval_jit(mesh, axis_name: str, df: bool):
     from ..kernels import jx_df, jx_state
 
     def _shard(xs, zs, crs, cis, s, a_r, a_i):
-        re, im = jx_state.expval(xs, zs, crs, cis, s, a_r, a_i, s.shape[0])
+        # jx_state.expval requires a DEDUPLICATED state (windowed hash
+        # match); user states may carry duplicate rows
+        s, a_r, a_i, n_b = jx_state.cleanup_state(s, a_r, a_i, s.shape[0])
+        re, im = jx_state.expval(xs, zs, crs, cis, s, a_r, a_i, n_b)
         if df:
             # re/im are (2,) double-float [hi, lo] pairs: a componentwise
             # psum would sum the hi lanes in plain f32 and capture the

@@ -468,3 +468,66 @@ def test_expval_dense_support_route():
     vec = psi.to_sparse_matrix.toarray().reshape(-1)
     expect = float(np.real(vec.conj() @ (op.to_sparse_matrix @ vec)))
     assert np.isclose(op.expval(psi), expect, atol=1e-10)
+
+
+def test_expval_returns_complex():
+    """Regression (review finding): expval must return the complex value the
+    reference's sum(expvals * coeff_vec) does — a non-Hermitian operator
+    (e.g. i[H, A]) has a meaningful imaginary part."""
+    op = PauliwordOp.from_list(["Z"], [1j])
+    psi = QuantumState(np.array([[0]]), [1])
+    assert np.isclose(op.expval(psi), 1j)
+    assert np.isclose(op.to_device().expval(psi), 1j)
+
+
+def test_to_dataframe_pairs_cleaned_terms():
+    """Regression (review finding): strings and coefficients must both come
+    from the cleaned operator (cleanup reorders and merges terms)."""
+    op = PauliwordOp.from_list(["ZZ", "XX", "XX"], [1.0, 2.0, 3.0])
+    df = op.to_dataframe
+    got = dict(zip(df["Pauli terms"], df["Coefficients (real)"]))
+    assert got == {"XX": 5.0, "ZZ": 1.0}
+
+
+def test_getitem_negative_slices():
+    """Regression (review finding): op[:-1] must mean all-but-last, not an
+    empty operator (slice.indices semantics)."""
+    op = PauliwordOp.from_list(["XX", "YY", "ZZ"], [1.0, 2.0, 3.0])
+    assert op[:-1].n_terms == 2
+    assert op[-2:].n_terms == 2
+    psi = QuantumState(np.array([[0, 0], [0, 1], [1, 1]]), [1.0, 2.0, 3.0])
+    assert psi[:-1].n_terms == 2
+
+
+def test_perform_rotations_rejects_multi_term():
+    """Regression (review finding): a multi-term rotation operator must
+    raise (the reference's single-term guard), not silently truncate."""
+    H = PauliwordOp.from_list(["ZZ"], [1.0])
+    bad = PauliwordOp.from_list(["XI", "IZ"], [1.0, 1.0])
+    with pytest.raises(AssertionError):
+        H.perform_rotations([(bad, 0.3)])
+
+
+def test_hash_consistent_with_eq():
+    """Regression (review finding): isclose-equal operators must hash
+    equal (hash covers the cleaned term set, not rounded coefficients)."""
+    a = PauliwordOp.from_list(["Z"], [0.100000005])
+    b = PauliwordOp.from_list(["Z"], [0.099999995])
+    assert a == b
+    assert hash(a) == hash(b)
+
+
+def test_int32_symplectic_accepted():
+    """Regression (review finding): any integer dtype is a valid 0/1
+    symplectic matrix, not only the platform default int."""
+    op = PauliwordOp(np.array([[0, 1, 1, 0]], dtype=np.int32), [1.0])
+    assert op.n_terms == 1 and op.n_qubits == 2
+
+
+def test_expval_mismatched_qubits_raises():
+    op = PauliwordOp.from_list(["ZZ"], [1.0])
+    psi3 = QuantumState(np.array([[0, 0, 0]]), [1.0])
+    with pytest.raises(AssertionError):
+        op.expval(psi3)
+    with pytest.raises(AssertionError):
+        op * psi3
