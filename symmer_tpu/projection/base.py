@@ -82,6 +82,15 @@ class S3Projection:
         sector: Union[List[int], np.ndarray] = None,
     ) -> PauliwordOp:
         """(reference :86-124)"""
+        if self.stabilizers.n_terms == 0:
+            # no stabilizers (e.g. a Hamiltonian with no Z2 symmetries):
+            # nothing to project -- return the operator unchanged, as the
+            # reference does, instead of crashing on the empty rotation set
+            self.rotated_stabilizers = self.stabilizers
+            self.stab_qubit_indices = np.array([], dtype=int)
+            self.free_qubit_indices = np.arange(operator.n_qubits)
+            self.rotated_flag = True
+            return operator.cleanup()
         if sector is None and ref_state is not None:
             self.stabilizers.update_sector(ref_state)
         elif sector is not None:

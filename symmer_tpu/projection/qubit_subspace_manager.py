@@ -127,6 +127,10 @@ class QubitSubspaceManager:
         if aux_operator is None:
             aux_operator = self._aux_operator
 
+        assert n_qubits is not None, (
+            "Must supply the desired number of qubits for the contextual "
+            "subspace"
+        )
         if n_qubits >= self.hamiltonian.n_qubits:
             warnings.warn(
                 "Specified at least as many qubits as are present in the "
@@ -159,10 +163,23 @@ class QubitSubspaceManager:
                 assert n_qubits is not None, (
                     "Must supply the desired number of qubits for the contextual subspace."
                 )
-                self.CS.update_stabilizers(
-                    n_qubits=n_qubits, aux_operator=aux_operator, strategy="aux_preserving"
-                )
-                operator_out = self.CS.project_onto_subspace()
+                try:
+                    self.CS.update_stabilizers(
+                        n_qubits=n_qubits, aux_operator=aux_operator,
+                        strategy="aux_preserving",
+                    )
+                    operator_out = self.CS.project_onto_subspace()
+                except (ValueError, AssertionError) as exc:
+                    # StabilizeFirst defers the noncontextual construction to
+                    # this point, so "Hamiltonian is noncontextual" /
+                    # "search region collapsed" surface HERE, not in
+                    # __init__ -- fall back to the tapered operator instead
+                    # of crashing the pipeline
+                    warnings.warn(
+                        f"contextual subspace disabled: {exc}; returning the "
+                        f"{operator_out.n_qubits}-qubit tapered Hamiltonian"
+                    )
+                    self.run_contextual_subspace = False
 
             if not self.run_qubit_tapering and not self.run_contextual_subspace:
                 warnings.warn(

@@ -122,9 +122,12 @@ class ObservableBiasing:
     separation = 1
 
     def __init__(self, base_operator: PauliwordOp, HOMO_LUMO_gap) -> None:
-        assert HOMO_LUMO_gap % 1 == 0.5, (
-            "HOMO_LUMO_gap should be specified as the mid-point between "
-            "the HOMO and LUMO indices"
+        # gap - int(gap) rejects NEGATIVE mid-points (a fully-unoccupied
+        # reference gives -0.5, for which Python's `% 1` is also 0.5 but the
+        # bias curve would index negatively and wrap onto the last qubit)
+        assert HOMO_LUMO_gap >= 0 and HOMO_LUMO_gap - int(HOMO_LUMO_gap) == 0.5, (
+            "HOMO_LUMO_gap should be specified as the (non-negative) "
+            "mid-point between the HOMO and LUMO indices"
         )
         self.base_operator = base_operator
         self.HOMO_LUMO_gap = HOMO_LUMO_gap

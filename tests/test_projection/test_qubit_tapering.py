@@ -106,3 +106,16 @@ def test_project_state(h2):
     psi = QT.project_state(QuantumState(fx["hf_array"].reshape(1, -1), [1]))
     assert psi.n_qubits == 1
     assert np.isclose(np.linalg.norm(psi._amps), 1)
+
+
+def test_taper_no_symmetries_returns_unchanged():
+    """Regression (review finding): a Hamiltonian with no Z2 symmetries must
+    project to itself (reference behavior), not crash on the empty
+    stabilizer set."""
+    H = PauliwordOp.from_dictionary(
+        {"XI": 1.0, "ZI": 0.5, "IX": 0.3, "IZ": 0.2, "YY": 0.1}
+    )
+    QT = QubitTapering(H)
+    assert QT.symmetry_generators.n_terms == 0
+    out = QT.taper_it()
+    assert out == H.cleanup()
