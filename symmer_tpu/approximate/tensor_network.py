@@ -51,7 +51,12 @@ def pstrings_to_mpo(pstrings: List[str], coeffs=None, Dmax: Optional[int] = None
     mpo = []
     for k in range(n_sites):
         mats = np.stack([Paulis[p[k]] for p in pstrings])  # (T, 2, 2)
-        if k == 0:
+        if n_sites == 1:
+            # single site: both bonds are boundaries -- the term sum must
+            # contract HERE (the k == 0 branch below would leave the right
+            # bond open at width T)
+            W = np.sum(mats * coeffs[:, None, None], axis=0)[:, :, None, None]
+        elif k == 0:
             mats = mats * coeffs[:, None, None]
             W = np.transpose(mats, (1, 2, 0))[:, :, None, :]  # (2,2,1,T)
         elif k == n_sites - 1:
@@ -217,16 +222,34 @@ def find_groundstate_dmrg(
     n = len(mpo)
     rng = np.random.default_rng(rng_seed)
 
-    # initial MPS: random at a healthy starting bond dimension (narrow random
-    # starts get stuck in symmetry sectors), right-canonicalised
     D0 = min(int(bond_dims[0]), 8)
-    mps = []
-    Dl = 1
-    for k in range(n):
-        Dr = min(D0, 2 ** (n - k - 1), 2 ** (k + 1))
-        mps.append(rng.normal(size=(Dl, 2, Dr)) + 1j * rng.normal(size=(Dl, 2, Dr)))
-        Dl = Dr
-    mps[-1] = rng.normal(size=(mps[-1].shape[0], 2, 1)) + 1j * rng.normal(size=(mps[-1].shape[0], 2, 1))
+    if gs_guess is not None:
+        # seed from the supplied dense state by successive SVD splits (the
+        # reference forwards gs_guess into quimb's DMRG2 the same way) --
+        # a good guess saves sweeps and avoids foreign local minima
+        vec0 = np.asarray(gs_guess, complex).reshape(-1)
+        assert vec0.size == 1 << n, "gs_guess dimension != 2^n_qubits"
+        vec0 = vec0 / np.linalg.norm(vec0)
+        mps = []
+        rest, Dl = vec0.reshape(1, -1), 1
+        for k in range(n - 1):
+            rest = rest.reshape(Dl * 2, -1)
+            U, Sv, V = np.linalg.svd(rest, full_matrices=False)
+            keep = max(1, min(D0, int(np.sum(Sv > 1e-14 * Sv[0]))))
+            mps.append(U[:, :keep].reshape(Dl, 2, keep))
+            rest, Dl = np.diag(Sv[:keep]) @ V[:keep], keep
+        mps.append(rest.reshape(Dl, 2, 1))
+    else:
+        # random at a healthy starting bond dimension (narrow random starts
+        # get stuck in symmetry sectors), right-canonicalised below
+        mps = []
+        Dl = 1
+        for k in range(n):
+            Dr = min(D0, 2 ** (n - k - 1), 2 ** (k + 1))
+            mps.append(
+                rng.normal(size=(Dl, 2, Dr)) + 1j * rng.normal(size=(Dl, 2, Dr))
+            )
+            Dl = Dr
 
     def right_canonicalise():
         for k in range(n - 1, 0, -1):
@@ -243,8 +266,6 @@ def find_groundstate_dmrg(
 
     def local_solve(k, Dmax, L, R, sweep_right, noise=0.0):
         """Optimise the two-site tensor at bond (k, k+1) and split it."""
-        from scipy.sparse.linalg import LinearOperator, eigsh
-
         Le = L[k]
         Re = R[k + 2]
         W1, W2 = mpo[k], mpo[k + 1]
@@ -292,27 +313,34 @@ def find_groundstate_dmrg(
             R[k + 1] = _build_right_env(R[k + 2], mps[k + 1], W2, mps[k + 1])
         return energy
 
+    def one_sweep(Dmax, noise):
+        # full right-environment pass
+        R = [None] * (n + 1)
+        R[n] = np.ones((1, 1, 1))
+        for k in range(n - 1, 1, -1):
+            R[k] = _build_right_env(R[k + 1], mps[k], mpo[k], mps[k])
+        L = [None] * (n + 1)
+        L[0] = np.ones((1, 1, 1))
+
+        energy = None
+        for k in range(n - 1):            # left-to-right
+            energy = local_solve(k, Dmax, L, R, sweep_right=True, noise=noise)
+        for k in range(n - 2, -1, -1):    # right-to-left
+            energy = local_solve(k, Dmax, L, R, sweep_right=False, noise=noise)
+        return energy
+
     for Dmax in bond_dims:
         for _ in range(max_sweeps_per_dim):
-            # full right-environment pass
-            R = [None] * (n + 1)
-            R[n] = np.ones((1, 1, 1))
-            for k in range(n - 1, 1, -1):
-                R[k] = _build_right_env(R[k + 1], mps[k], mpo[k], mps[k])
-            L = [None] * (n + 1)
-            L[0] = np.ones((1, 1, 1))
-
-            energy = None
-            for k in range(n - 1):            # left-to-right
-                energy = local_solve(k, Dmax, L, R, sweep_right=True, noise=noise_level)
-            for k in range(n - 2, -1, -1):    # right-to-left
-                energy = local_solve(k, Dmax, L, R, sweep_right=False, noise=noise_level)
+            energy = one_sweep(Dmax, noise_level)
             noise_level *= 0.5
-
             if energy_prev is not None and abs(energy - energy_prev) < tol:
                 energy_prev = energy
                 break
             energy_prev = energy
+    # one final NOISELESS sweep: the escape noise injected during the search
+    # never reached zero, which left an irreducible ~noise_level floor on the
+    # returned state regardless of tolerances
+    one_sweep(bond_dims[-1], 0.0)
 
     # contract the MPS to a dense statevector (small n regime)
     vec = mps[0]

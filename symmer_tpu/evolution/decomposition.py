@@ -13,17 +13,28 @@ import numpy as np
 
 from ..operators import PauliwordOp, QuantumState
 from . import gate_library
-from .gate_library import CX, CZ, RX, RY, RZ, U1, Had, S, X, Y, Z
+from .gate_library import CX, CZ, RX, RY, RZ, U1, Had, S, Sdag, X, Y, Z
 
 
-def qasm_to_PauliwordOp(qasm: str, reverse=False, combine=True):
+def qasm_to_PauliwordOp(qasm: str, reverse=False, combine=True,
+                        negate_angles=None):
     """Decompose a QASM2 circuit into a product of gate-library PauliwordOps.
 
     (reference decomposition.py:15-80)
+
+    Angle convention: by default rotation angles are read in the gate-library
+    convention (RZ(t) = e^{+i t Z/2}), matching the reference parser.
+    Standard QASM/qiskit defines rz(t) = e^{-i t Z/2}, so parsing
+    qiskit-generated QASM — or this module's own ``PauliwordOp_to_QASM``
+    export, which emits standard QASM — needs the angles NEGATED.
+    ``reverse=True`` does that AND bit-reverses the qubit order (the
+    reference's qiskit-consistency mode); ``negate_angles=True`` applies
+    only the angle negation (round-tripping our own export, which keeps
+    symmer qubit order).  ``negate_angles=None`` follows ``reverse``.
     """
     gate_map = {
         "x": X, "y": Y, "z": Z, "h": Had, "rx": RX, "ry": RY,
-        "rz": RZ, "u1": U1, "cz": CZ, "cx": CX, "s": S,
+        "rz": RZ, "u1": U1, "cz": CZ, "cx": CX, "s": S, "sdg": Sdag,
     }
     gateset = []
     num_qubits = 0
@@ -39,13 +50,12 @@ def qasm_to_PauliwordOp(qasm: str, reverse=False, combine=True):
             continue
         if name.find("(") != -1:
             name, angle = name.split("(")
-            angle = angle[:-1]
-            if angle == "pi/2":
-                angle = np.pi / 2
-            elif angle == "-pi/2":
-                angle = -np.pi / 2
-            else:
-                angle = float(angle)
+            # qiskit-generated QASM routinely contains symbolic angle
+            # expressions (pi/4, 3*pi/2, -pi, ...): evaluate with pi bound
+            # (builtins stripped), as CircuitSymmerlator.from_qasm does
+            angle = float(
+                eval(angle[:-1], {"__builtins__": {}}, {"pi": np.pi})
+            )
         else:
             angle = None
         if qubits.find(",") != -1:
@@ -54,8 +64,9 @@ def qasm_to_PauliwordOp(qasm: str, reverse=False, combine=True):
         else:
             control, target = -1, int(qubits[2:-1])
         flip = 1
-        if reverse:
+        if negate_angles or (negate_angles is None and reverse):
             flip = -1
+        if reverse:
             control, target = num_qubits - 1 - control, num_qubits - 1 - target
         if name in ["x", "y", "z", "h", "s", "sdg"]:
             G = gate_map[name](num_qubits, target)
@@ -101,7 +112,10 @@ def PauliwordOp_to_QASM(
     """Trotterized exponential circuit of the (bound) operator as QASM2.
 
     Native replacement for the reference's qiskit-only circuit export; angles
-    are taken from the operator coefficients (bind_params semantics).
+    are taken from the operator coefficients (bind_params semantics).  The
+    output uses STANDARD QASM angle conventions (rz(t) = e^{-i t Z/2}), so
+    it loads correctly into qiskit; to parse it back with
+    ``qasm_to_PauliwordOp``, pass ``negate_angles=True`` (see its docstring).
     """
     if isinstance(ref_state, QuantumState):
         assert ref_state.n_terms == 1

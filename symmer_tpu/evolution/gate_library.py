@@ -77,3 +77,9 @@ def U1(n_qubits: int, index: int, angle: float) -> PauliwordOp:
 
 def S(n_qubits: int, index: int) -> PauliwordOp:
     return RZ(n_qubits, index, -np.pi / 2).multiply_by_constant(np.sqrt(1j))
+
+
+def Sdag(n_qubits: int, index: int) -> PauliwordOp:
+    """diag(1, -i) — the inverse of S (the QASM 'sdg' gate, which the
+    trotterized Y-basis-change export emits)."""
+    return RZ(n_qubits, index, np.pi / 2).multiply_by_constant(np.sqrt(-1j))

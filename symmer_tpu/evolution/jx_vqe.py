@@ -352,11 +352,21 @@ class DeviceVQEEngine:
 
     @staticmethod
     def key(observable, generators, ref_state) -> Tuple:
-        """Cheap identity for engine reuse across optimizer iterations."""
+        """Cheap identity for engine reuse across optimizer iterations.
+
+        Content-based throughout: id()-based components are unsafe here
+        (CPython recycles freed addresses, so a stale id can alias a new
+        object and serve an engine built for different inputs)."""
         from ..config import config
 
+        mesh = config.mesh
+        mesh_key = (
+            None
+            if mesh is None
+            else (mesh.axis_names, tuple(d.id for d in mesh.devices.flat))
+        )
         return (
-            id(config.mesh),
+            mesh_key,
             config.device_precision,
             observable.x_pack.tobytes(), observable.z_pack.tobytes(),
             observable.coeff_vec.tobytes(),
@@ -427,15 +437,39 @@ def device_pool_gradient(observable, adapt_gens, ref_state, pool, x) -> np.ndarr
         f"{observable.n_qubits} qubits exceeds the supported range"
     )
 
+    # the evolve step computes cos(x) psi + i sin(x) c P psi, which equals
+    # exp(i x c P) only for real c with |c| == 1 -- the guard
+    # DeviceVQEEngine asserts for exactly this reason
+    assert adapt_gens.n_terms == 0 or (
+        np.allclose(adapt_gens.coeff_vec.imag, 0)
+        and np.allclose(np.abs(adapt_gens.coeff_vec.real), 1)
+    ), (
+        "pool-gradient generators must carry real +-1 coefficients; "
+        "normalise via prepare_for_evolution first"
+    )
     f64 = bool(jax.config.jax_enable_x64) and jax.default_backend() != "tpu"
     fdt = np.float64 if f64 else np.float32
     gxi, gzi, gpr, gpi = _term_arrays(adapt_gens, fdt)
+    # pow2-bucket the generator axis: the ansatz GROWS every ADAPT cycle,
+    # and unpadded shapes force a full retrace/recompile per cycle (the
+    # bucket convention DeviceVQEEngine documents).  Padding is exact:
+    # identity generators (x=z=0, phase 1) at angle 0 evolve psi -> psi.
+    n_g = gxi.shape[0]
+    cap = 1 << max(0, int(np.ceil(np.log2(max(1, n_g)))))
+    x = np.asarray(x, np.float64)
+    if cap > n_g:
+        pad = cap - n_g
+        gxi = np.concatenate([gxi, np.zeros(pad, gxi.dtype)])
+        gzi = np.concatenate([gzi, np.zeros(pad, gzi.dtype)])
+        gpr = np.concatenate([gpr, np.ones(pad, gpr.dtype)])
+        gpi = np.concatenate([gpi, np.zeros(pad, gpi.dtype)])
+        x = np.concatenate([x, np.zeros(pad)])
     hxi, hzi, hpr, hpi = _term_arrays(observable, fdt)
     pxi, pzi, ppr, ppi = _term_arrays(pool, fdt)
     psi0 = ref_state.to_dense_matrix.reshape(-1)
     fn = _jitted_pool_grad(observable.n_qubits, f64)
     out = fn(
-        jnp.asarray(np.asarray(x, np.float64)),
+        jnp.asarray(x),
         jnp.asarray(np.ascontiguousarray(psi0.real, fdt)),
         jnp.asarray(np.ascontiguousarray(psi0.imag, fdt)),
         *(jnp.asarray(a) for a in (gxi, gzi, gpr, gpi, hxi, hzi, hpr, hpi,

@@ -140,14 +140,11 @@ class VQE_Driver:
         id changed -- e.g. ADAPT replacing excitation_generators each cycle.
         """
         from . import jx_vqe
-        from ..config import config
 
-        ids = (
-            id(self.observable), id(self.excitation_generators),
-            id(self.ref_state), id(config.mesh),
-        )
-        if getattr(self, "_dev_engine_ids", None) == ids:
-            return self._dev_engine
+        # content key only: an id()-based fast path can alias a recycled
+        # CPython address and silently serve an engine built for different
+        # generators (the key is byte-hashing of small arrays -- microseconds
+        # at ADAPT scales, not worth the hazard)
         key = jx_vqe.DeviceVQEEngine.key(
             self.observable, self.excitation_generators, self.ref_state
         )
@@ -156,7 +153,6 @@ class VQE_Driver:
                 self.observable, self.excitation_generators, self.ref_state
             )
             self._dev_engine_key = key
-        self._dev_engine_ids = ids
         return self._dev_engine
 
     def f(self, x: np.ndarray) -> float:

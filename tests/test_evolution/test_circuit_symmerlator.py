@@ -197,3 +197,51 @@ def test_toffoli_vs_dense():
         v0 = np.zeros(8); v0[0] = 1
         expect = (v0 @ U.conj().T @ dense_op(obs) @ U @ v0).real
         assert np.isclose(val, expect, atol=1e-8), prep
+
+
+def test_qasm_export_round_trip():
+    """Regression (review finding): the module must parse its own export
+    back to the same unitary — PauliwordOp_to_QASM emits standard QASM
+    angle conventions, so the parser needs negate_angles=True; the export's
+    'sdg' (Y basis change) must also be parseable at all."""
+    from symmer_tpu.evolution import PauliwordOp_to_QASM
+
+    op = PauliwordOp.from_dictionary({"ZX": 0.3, "YI": 0.2})
+    qasm = PauliwordOp_to_QASM(op)
+    back = qasm_to_PauliwordOp(qasm, negate_angles=True)
+    # expected unitary: per-term exponentials applied in the operator's term
+    # order (circuit step 0 acts first -> rightmost matrix factor)
+    import scipy.linalg
+
+    from ..conftest import dense_pauli
+
+    U = np.eye(4, dtype=complex)
+    for pstr, coeff in op.to_dictionary.items():
+        U = scipy.linalg.expm(1j * coeff.real * dense_pauli(pstr)) @ U
+    D = dense_op(back)
+    nz = np.argmax(np.abs(U))
+    ph = D.flatten()[nz] / U.flatten()[nz]
+    assert np.isclose(abs(ph), 1, atol=1e-10)
+    assert np.allclose(D, ph * U, atol=1e-10)
+
+
+def test_qasm_symbolic_angles_parse():
+    qasm = (
+        'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[1];\n'
+        "rz(pi/4) q[0];\nrz(3*pi/2) q[0];\nrz(-pi) q[0];\n"
+    )
+    out = qasm_to_PauliwordOp(qasm)
+    want = np.pi / 4 + 3 * np.pi / 2 - np.pi
+    U = scipy_expm_z(want)
+    D = dense_op(out)
+    nz = np.argmax(np.abs(U))
+    ph = D.flatten()[nz] / U.flatten()[nz]
+    assert np.allclose(D, ph * U, atol=1e-10)
+
+
+def scipy_expm_z(theta):
+    import scipy.linalg
+
+    from ..conftest import dense_pauli
+
+    return scipy.linalg.expm(1j * theta / 2 * dense_pauli("Z"))
