@@ -68,6 +68,13 @@ def main():
     dev = jax.devices()[0]
     print(f"# backend: {dev.platform} ({dev})", file=sys.stderr)
 
+    if dev.platform == "cpu":
+        # no accelerator: jitted XLA:CPU runs the headline ops BELOW the
+        # reference's laptop numbers (round-3 square: 1072 ms = 0.9x); the
+        # packed-numpy + native C++ host kernels beat the baseline, so the
+        # fallback artifact routes through them instead
+        return _host_main()
+
     results = {}
 
     # all benchmark data is generated ON DEVICE (uploading ~100 MB of random
@@ -197,21 +204,139 @@ def main():
         else:
             print(f"# {k}: {v:.2f} ms  (vs 1s baseline: {baseline_ms / v:.1f}x)", file=sys.stderr)
 
+    _emit_headline(results, jax.devices()[0].platform, path="device-xla")
+
+
+def _emit_headline(results: dict, backend: str, path: str) -> None:
+    """ONE JSON line on stdout carrying the headline metric AND the full
+    labelled metric table + backend/precision provenance, so round-over-round
+    regressions in any metric are machine-visible from the driver artifact
+    (round-3 lesson: only the rotate number was parsed; the square regression
+    lived in unparsed stderr text)."""
     headline = results["rotate_1000q_100k_terms_ms"]
-    print(
-        json.dumps(
-            {
-                "metric": "nonclifford_rotation_1000q_100k_terms",
-                "value": round(headline, 3),
-                "unit": "ms",
-                "vs_baseline": round(1000.0 / headline, 2),
-                # which backend actually ran (the CPU-fallback path of
-                # _ensure_live_backend also lands here; a CPU number must
-                # not be read as a TPU regression)
-                "backend": jax.devices()[0].platform,
+    record = {
+        "metric": "nonclifford_rotation_1000q_100k_terms",
+        "value": round(headline, 3),
+        "unit": "ms",
+        "vs_baseline": round(1000.0 / headline, 2),
+        # which backend actually ran (the CPU-fallback path of
+        # _ensure_live_backend also lands here; a CPU number must
+        # not be read as a TPU regression)
+        "backend": backend,
+        "path": path,
+        "precision": "extended" if path == "device-xla" else "f64",
+        # every labelled metric, with its own vs-1s-baseline speedup
+        "metrics": {
+            k: {
+                "ms": round(v, 3),
+                "vs_baseline": round(1000.0 / v, 2),
             }
+            for k, v in results.items()
+        },
+    }
+    if backend != "tpu":
+        record["tpu_unreachable"] = True
+    probes = os.environ.get("_SYMMER_BENCH_PROBES")
+    if probes:
+        try:
+            record["probe_history"] = json.loads(probes)
+        except ValueError:
+            pass
+    print(json.dumps(record))
+
+
+def _host_main():
+    """CPU-fallback benchmark: the same four headline operations through the
+    packed-uint64 host kernels (np_core + native C++ hash dedup).
+
+    Reference bar: ~1 s per op on a laptop (symmer README.md:50-54).  The
+    host packed path beats that on one core; the jitted XLA:CPU path does
+    not always (round-3 square: 0.9x), so a dead-tunnel artifact routes here.
+    All host arithmetic is float64/complex128 -- full reference precision.
+    """
+    from symmer_tpu.config import config, enable_x64
+    from symmer_tpu.kernels import np_core
+
+    # native f64 everywhere on CPU (pre-empts the extended->x64 auto-upgrade
+    # fence so its one-time warning never lands in the artifact tail)
+    enable_x64(True)
+    config.backend = "host"
+    rng = np.random.default_rng(0)
+    results = {}
+
+    def timed(fn, reps=3):
+        fn()  # warm caches/allocators (the 1-core box cold-start is 5-25x)
+        best = min(
+            (lambda t0: (fn(), time.perf_counter() - t0)[1])(time.perf_counter())
+            for _ in range(reps)
         )
+        return best * 1e3
+
+    # ---- 1. non-Clifford rotation: 1,000 qubits x 100,000 terms -----------
+    W64 = (1000 + 63) // 64
+    T = 100_000
+    x = rng.integers(0, 1 << 63, (T, W64), dtype=np.uint64) << np.uint64(1)
+    z = rng.integers(0, 1 << 63, (T, W64), dtype=np.uint64)
+    c = rng.normal(size=T) + 1j * rng.normal(size=T)
+    xr = rng.integers(0, 1 << 63, (W64,), dtype=np.uint64)
+    zr = rng.integers(0, 1 << 63, (W64,), dtype=np.uint64)
+
+    def rot():
+        (xo, zo, co), needs = np_core.rotate_single(x, z, c, xr, zr, 0.3)
+        if needs:
+            xo, zo, co = np_core.cleanup(xo, zo, co, 1e-10)
+        return co
+
+    results["rotate_1000q_100k_terms_ms"] = timed(rot)
+
+    # ---- 2. square a 1,000-qubit, 500-term operator ------------------------
+    x2, z2, c2 = x[:500], z[:500], c[:500]
+
+    def square():
+        xo, zo, co = np_core.multiply(x2, z2, c2, x2, z2, c2)
+        return np_core.cleanup(xo, zo, co, 1e-10)[2]
+
+    results["square_1000q_500_terms_ms"] = timed(square)
+
+    # ---- 3. Clifford circuit expectation: 1,000 qubits, depth 2,000 --------
+    xo_, zo_, co_ = x[:100].copy(), z[:100].copy(), c[:100].copy()
+    rx = rng.integers(0, 1 << 63, (2000, W64), dtype=np.uint64)
+    rz = rng.integers(0, 1 << 63, (2000, W64), dtype=np.uint64)
+
+    def cliff():
+        cx, cz, cc = xo_, zo_, co_
+        for d in range(2000):
+            (cx, cz, cc), _ = np_core.rotate_single(
+                cx, cz, cc, rx[d], rz[d], (d % 3 + 1) * np.pi / 2
+            )
+        diag = ~np.any(cx, axis=1)
+        return cc[diag].sum()
+
+    results["clifford_1000q_depth2000_ms"] = timed(cliff)
+
+    # ---- 4. two 100,000,000-qubit single Pauli terms ------------------------
+    Wb = (100_000_000 + 63) // 64
+    xb1 = rng.integers(0, 1 << 63, (1, Wb), dtype=np.uint64)
+    zb1 = rng.integers(0, 1 << 63, (1, Wb), dtype=np.uint64)
+    xb2 = rng.integers(0, 1 << 63, (Wb,), dtype=np.uint64)
+    zb2 = rng.integers(0, 1 << 63, (Wb,), dtype=np.uint64)
+    results["mul_100M_qubit_single_terms_ms"] = timed(
+        lambda: np_core.multiply_single(xb1, zb1, np.ones(1, complex), xb2, zb2, 1.0)[2]
     )
+
+    # ---- 5. flagship product flow (host path) ------------------------------
+    for k, v in _flagship_flow_times().items():
+        results[k] = v
+
+    for k, v in results.items():
+        if k.startswith("flagship"):
+            print(f"# {k}: {v:.1f} ms", file=sys.stderr)
+        else:
+            print(f"# {k}: {v:.2f} ms  (vs 1s baseline: {1000.0 / v:.1f}x)",
+                  file=sys.stderr)
+
+    _late_tpu_retry()
+    _emit_headline(results, "cpu", path="host-packed")
 
 
 def _synthetic_taper_operator(n_qubits=100, n_terms=50_000, n_sym=4, seed=0):
@@ -727,41 +852,76 @@ def mesh_bench():
     return 0
 
 
-def _ensure_live_backend():
-    """The remote-TPU tunnel can go down between runs, and a dead PJRT
-    plugin makes the first backend initialisation hang forever (no error).
-    Probe it in a KILLABLE subprocess; on failure re-exec on the CPU
-    backend with a clean PYTHONPATH (dropping the sitecustomize hook that
-    pins the plugin) so the bench always produces an artifact — the
-    '# backend:' line records what actually ran."""
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-        return
-    if os.environ.get("_SYMMER_BENCH_REEXEC"):
-        return
+def _probe_accelerator(timeout_s: float = 120, env: dict = None) -> dict:
+    """One killable-subprocess backend probe; returns a history record."""
     import subprocess
 
+    t0 = time.time()
     try:
         r = subprocess.run(
             [
                 sys.executable,
                 "-c",
                 "import jax.numpy as jnp; "
-                "jnp.ones(4).sum().block_until_ready()",
+                "jnp.ones(4).sum().block_until_ready(); "
+                "import jax, sys; sys.stdout.write(jax.default_backend())",
             ],
-            timeout=180,
+            timeout=timeout_s,
             capture_output=True,
+            env=env,
         )
-        if r.returncode == 0:
-            return
+        backend = r.stdout.decode(errors="replace").strip()
+        ok = r.returncode == 0 and backend not in ("", "cpu")
     except subprocess.TimeoutExpired:
+        ok, backend = False, "timeout"
+    return {"ok": ok, "backend": backend, "secs": round(time.time() - t0, 1)}
+
+
+def _record_probe(rec: dict) -> None:
+    hist = []
+    try:
+        hist = json.loads(os.environ.get("_SYMMER_BENCH_PROBES", "[]"))
+    except ValueError:
         pass
+    hist.append(rec)
+    os.environ["_SYMMER_BENCH_PROBES"] = json.dumps(hist)
+
+
+def _ensure_live_backend():
+    """The remote-TPU tunnel can go down between runs, and a dead PJRT
+    plugin makes the first backend initialisation hang forever (no error).
+    Probe it in a KILLABLE subprocess with RETRIES (a transient outage must
+    not forfeit a round's TPU record); on persistent failure re-exec on the
+    CPU backend with a clean PYTHONPATH (dropping the sitecustomize hook
+    that pins the plugin) so the bench always produces an artifact — the
+    emitted JSON records the backend, probe history, and an explicit
+    tpu_unreachable flag."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    if os.environ.get("_SYMMER_BENCH_REEXEC"):
+        return
+    attempts = int(os.environ.get("SYMMER_BENCH_PROBE_ATTEMPTS", "3"))
+    backoff = float(os.environ.get("SYMMER_BENCH_PROBE_BACKOFF_S", "20"))
+    for i in range(attempts):
+        rec = _probe_accelerator()
+        _record_probe(rec)
+        if rec["ok"]:
+            return
+        print(
+            f"# accelerator probe {i + 1}/{attempts} failed ({rec})",
+            file=sys.stderr,
+        )
+        if i + 1 < attempts:
+            time.sleep(backoff * (i + 1))
     print(
         "# accelerator backend unreachable -- falling back to CPU",
         file=sys.stderr,
     )
     env = dict(os.environ)
     # drop only the entries that hook the dead plugin in (sitecustomize
-    # dirs); keep any other PYTHONPATH-provided dependencies
+    # dirs); keep any other PYTHONPATH-provided dependencies.  The original
+    # PYTHONPATH is preserved so a late re-probe can still reach the plugin.
+    env["_SYMMER_BENCH_ORIG_PYTHONPATH"] = env.get("PYTHONPATH", "")
     kept = [
         p
         for p in env.get("PYTHONPATH", "").split(os.pathsep)
@@ -771,6 +931,34 @@ def _ensure_live_backend():
     env["PYTHONPATH"] = os.pathsep.join([repo] + kept)
     env["JAX_PLATFORMS"] = "cpu"
     env["_SYMMER_BENCH_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+def _late_tpu_retry():
+    """Called after the CPU-fallback sections complete, BEFORE the JSON is
+    emitted: if the tunnel has come back, re-exec the whole bench on the
+    accelerator so the round's artifact carries TPU numbers after all
+    (bounded to one retry).  The CPU section results are discarded -- the
+    stdout JSON must describe one coherent run."""
+    if not os.environ.get("_SYMMER_BENCH_REEXEC"):
+        return  # not a fallback run (user asked for CPU explicitly)
+    if os.environ.get("_SYMMER_BENCH_TPU_RETRY"):
+        return
+    env = dict(os.environ)
+    env["PYTHONPATH"] = env.pop("_SYMMER_BENCH_ORIG_PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("_SYMMER_BENCH_REEXEC", None)
+    rec = _probe_accelerator(timeout_s=90, env=env)
+    rec["late"] = True
+    _record_probe(rec)
+    if not rec["ok"]:
+        return
+    print(
+        "# accelerator came back after CPU sections -- re-running on it",
+        file=sys.stderr,
+    )
+    env["_SYMMER_BENCH_PROBES"] = os.environ["_SYMMER_BENCH_PROBES"]
+    env["_SYMMER_BENCH_TPU_RETRY"] = "1"
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 

@@ -9,11 +9,8 @@ from .config import config, enable_x64, use_mesh  # noqa: F401
 from .parallel import process  # noqa: F401
 from .parallel.mesh import distributed_init  # noqa: F401
 from .operators import PauliwordOp, QuantumState  # noqa: F401
-try:  # projection layer lands in M3
-    from .projection import (  # noqa: F401
-        QubitTapering,
-        ContextualSubspace,
-        QubitSubspaceManager,
-    )
-except ImportError:  # pragma: no cover
-    pass
+from .projection import (  # noqa: F401
+    QubitTapering,
+    ContextualSubspace,
+    QubitSubspaceManager,
+)

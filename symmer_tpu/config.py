@@ -74,6 +74,13 @@ class SymmerTPUConfig:
     #   'f32'       plain float32 planes (fastest; ~1e-7 relative residue)
     # ignored when the backend supports native f64 (CPU with x64 enabled)
     device_precision: str = "extended"
+    # what 'extended' precision means on a CPU backend WITHOUT x64 enabled:
+    #   'x64'  (production default) auto-enable x64 and run native float64 --
+    #          CPU double-float is strictly worse (XLA:CPU FMA contraction
+    #          floors df_mul at ~1e-7; long df chains compile superlinearly)
+    #   'df'   keep the double-float emulation (diagnostic/parity testing of
+    #          the TPU df kernels on a CPU host)
+    cpu_extended_mode: str = "x64"
     # extended mode's cancellation-residue floor: double-float segment sums
     # leave O(u_df * |c|max) ~ 4e-15 relative residue; the floor drops it the
     # same way f32_threshold_rel_floor does for plain f32

@@ -17,6 +17,7 @@ from typing import List
 import numpy as np
 
 from ..operators import PauliwordOp
+from ._parse import safe_angle_eval
 
 
 class CircuitSymmerlator:
@@ -168,7 +169,6 @@ class CircuitSymmerlator:
         registers = instructions.pop(0)
         n_qubits = int(re.findall(r"\d+", registers)[0])
         self = cls(n_qubits)
-        pi = np.pi  # noqa: F841 -- for eval of angle strings like '3*pi/2'
         for step in instructions:
             gate_qubits = step.strip().split(" ")
             gate = gate_qubits[0]
@@ -180,7 +180,9 @@ class CircuitSymmerlator:
                 angle = None
             else:
                 gate, angle = extract_angle
-                angle = eval(angle[:-1])
+                # restricted arithmetic only: QASM from untrusted sources
+                # must not reach eval (see evolution/_parse.py)
+                angle = safe_angle_eval(angle[:-1])
             if angle is not None:
                 self.gate_map[gate](*qubits, angle=angle_factor * angle)
             else:

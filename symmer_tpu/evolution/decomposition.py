@@ -13,6 +13,7 @@ import numpy as np
 
 from ..operators import PauliwordOp, QuantumState
 from . import gate_library
+from ._parse import safe_angle_eval
 from .gate_library import CX, CZ, RX, RY, RZ, U1, Had, S, Sdag, X, Y, Z
 
 
@@ -51,11 +52,9 @@ def qasm_to_PauliwordOp(qasm: str, reverse=False, combine=True,
         if name.find("(") != -1:
             name, angle = name.split("(")
             # qiskit-generated QASM routinely contains symbolic angle
-            # expressions (pi/4, 3*pi/2, -pi, ...): evaluate with pi bound
-            # (builtins stripped), as CircuitSymmerlator.from_qasm does
-            angle = float(
-                eval(angle[:-1], {"__builtins__": {}}, {"pi": np.pi})
-            )
+            # expressions (pi/4, 3*pi/2, -pi, ...): restricted-arithmetic
+            # parse only -- eval would execute untrusted circuit files
+            angle = safe_angle_eval(angle[:-1])
         else:
             angle = None
         if qubits.find(",") != -1:

@@ -121,6 +121,31 @@ def _coeff_dtype():
     import jax
 
     if not jax.config.jax_enable_x64:
+        if (
+            config.device_precision == "extended"
+            and config.cpu_extended_mode == "x64"
+            and jax.default_backend() == "cpu"
+        ):
+            # CPU has native float64: emulating it with double-float [hi, lo]
+            # planes there is strictly worse -- XLA:CPU's FMA contraction
+            # floors df_mul at ~1e-7 and long df chains compile superlinearly
+            # (jx_df docstring).  Fence the production-default config by
+            # auto-upgrading to x64; 'f32' precision is honoured as asked.
+            global _WARNED_CPU_X64_UPGRADE
+            if not _WARNED_CPU_X64_UPGRADE:
+                import warnings
+
+                warnings.warn(
+                    "device_precision='extended' on the CPU backend: "
+                    "enabling x64 and running native float64 coefficient "
+                    "planes (double-float emulation is only for backends "
+                    "without native f64, i.e. TPU)."
+                )
+                _WARNED_CPU_X64_UPGRADE = True
+            from ..config import enable_x64
+
+            enable_x64(True)
+            return np.float64
         return np.float32
     if jax.default_backend() == "tpu":
         global _WARNED_TPU_F64
@@ -137,6 +162,7 @@ def _coeff_dtype():
 
 
 _WARNED_TPU_F64 = False
+_WARNED_CPU_X64_UPGRADE = False
 
 
 def _df_mode() -> bool:
@@ -762,26 +788,33 @@ def expval(x, z, c, s_pack, amps) -> complex:
 
     # the kernel carries several (T, B) float planes; bound HBM by chunking
     # the term axis (expval is linear in the operator's terms) -- the chunk
-    # results stay on device and one device_get syncs them all
+    # results stay on device and one device_get syncs them all.  Both axes
+    # are pow2-bucketed (padding rows carry zero coefficients / sit beyond
+    # n_basis, contributing exactly 0), so every distinct (T, B) does NOT
+    # trigger a fresh trace+compile -- the module's bucket convention
+    Bp = _next_bucket(B)
     max_elems = 1 << 25
-    if T * B > max_elems:
-        Tc = max(1, max_elems // max(B, 1))
-        ar, ai = _coeff_to_dev(amps)
-        sd = _to_dev(s_pack)
+    if T * Bp > max_elems:
+        Tc = max(8, max_elems // Bp)
+        ar, ai = _coeff_to_dev(amps, pad_rows=Bp)
+        sd = _to_dev(s_pack, pad_rows=Bp)
         parts = []
         for t0 in range(0, T, Tc):
             t1 = min(T, t0 + Tc)
-            cr, ci = _coeff_to_dev(c[t0:t1])
+            cr, ci = _coeff_to_dev(c[t0:t1], pad_rows=Tc)
             parts.append(_jitted_expval()(
-                _to_dev(x[t0:t1]), _to_dev(z[t0:t1]), cr, ci, sd, ar, ai, B
+                _to_dev(x[t0:t1], pad_rows=Tc), _to_dev(z[t0:t1], pad_rows=Tc),
+                cr, ci, sd, ar, ai, B
             ))
         host = jax.device_get(parts)
         return sum(_scalar_from_dev(p[0], p[1]) for p in host)
 
-    cr, ci = _coeff_to_dev(c)
-    ar, ai = _coeff_to_dev(amps)
+    Tp = _next_bucket(T)
+    cr, ci = _coeff_to_dev(c, pad_rows=Tp)
+    ar, ai = _coeff_to_dev(amps, pad_rows=Bp)
     re, im = _jitted_expval()(
-        _to_dev(x), _to_dev(z), cr, ci, _to_dev(s_pack), ar, ai, B
+        _to_dev(x, pad_rows=Tp), _to_dev(z, pad_rows=Tp), cr, ci,
+        _to_dev(s_pack, pad_rows=Bp), ar, ai, B
     )
     re_h, im_h = jax.device_get((re, im))
     return _scalar_from_dev(re_h, im_h)

@@ -119,9 +119,25 @@ def termwise_expval(
     (reference independent_op.py:364-383 parallelises over processes instead).
     """
     M, W = x.shape
-    B = s.shape[0]
-    if M == 0 or B == 0:
+    if M == 0 or s.shape[0] == 0:
         return np.zeros(M, complex)
+
+    # collapse duplicate basis rows first (summing amplitudes): the sorted
+    # join below matches each target against ONE occurrence of a basis row,
+    # so a non-canonical state with repeated rows would be undercounted
+    def _dedup_view(a):
+        a = np.ascontiguousarray(a)
+        return a.view([("", a.dtype)] * a.shape[1]).ravel()
+
+    uniq, inv = np.unique(_dedup_view(s), return_inverse=True)
+    if len(uniq) != s.shape[0]:
+        amp_sum = np.zeros(len(uniq), dtype=complex)
+        np.add.at(amp_sum, inv, amp)
+        first = np.zeros(len(uniq), dtype=np.int64)
+        first[inv[::-1]] = np.arange(s.shape[0] - 1, -1, -1)
+        s, amp = s[first], amp_sum
+    B = s.shape[0]
+
     y_cnt = np.bitwise_count(x & z).sum(axis=1).astype(np.int64)
     targets = (s[None, :, :] ^ x[:, None, :]).reshape(M * B, W)  # (M*B, W)
     par = (

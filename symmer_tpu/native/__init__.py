@@ -22,17 +22,28 @@ _LIB = os.path.join(_HERE, "libgf2core.so")
 def _build() -> bool:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return True
+    # compile to a per-process temp name and rename into place: POSIX rename
+    # is atomic, so concurrent builders (pytest-xdist, multi-host launches on
+    # a shared filesystem) never dlopen a partially written .so
+    tmp = f"{_LIB}.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, _LIB)
         return True
     except Exception as exc:  # pragma: no cover
         warnings.warn(f"symmer_tpu native build failed ({exc}); using numpy fallbacks")
         return False
+    finally:
+        if os.path.exists(tmp):  # pragma: no cover
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 class _GF2Core:

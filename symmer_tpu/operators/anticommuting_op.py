@@ -53,10 +53,19 @@ class AntiCommutingOp(PauliwordOp):
         )
 
     def get_least_dense_term_index(self) -> int:
-        """Index of the least dense Pauli term (reference :78-100)."""
+        """Index of the least dense Pauli term with a NONZERO coefficient
+        (reference :78-100 picks least dense unconditionally and then
+        unitary_partitioning has to warn and re-select when that term's
+        coefficient is zero; skipping zero-coeff terms up front makes the
+        auto-selection silent).  Falls back to the overall least dense term
+        when every coefficient is zero."""
         pos_terms_occur = self.X_block | self.Z_block
         ints = np.array(binary_array_to_int(pos_terms_occur.astype(int)), dtype=object)
-        return int(np.argsort(ints, kind="stable")[0])
+        order = np.argsort(ints, kind="stable")
+        nonzero = ~np.isclose(self.coeff_vec[order], 0)
+        if nonzero.any():
+            return int(order[np.argmax(nonzero)])
+        return int(order[0])
 
     def _recursive_seq_rotations(self, AC_op: PauliwordOp) -> PauliwordOp:
         if AC_op.n_terms == 1:

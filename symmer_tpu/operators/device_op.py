@@ -161,12 +161,15 @@ class DeviceOperator:
         non-Hermitian operators carry a meaningful imaginary part)."""
         import jax
 
-        ar, ai = dispatch._coeff_to_dev(psi._amps)
-        sd = dispatch._to_dev(psi._s_pack)
-        # padded buffer rows carry zero coefficients: exact 0 contribution
+        # pow2-bucket the state axis (rows beyond n_basis are masked out),
+        # so distinct state sizes share one compiled program; padded buffer
+        # rows carry zero coefficients: exact 0 contribution
+        B = psi._s_pack.shape[0]
+        Bp = dispatch._next_bucket(B)
+        ar, ai = dispatch._coeff_to_dev(psi._amps, pad_rows=Bp)
+        sd = dispatch._to_dev(psi._s_pack, pad_rows=Bp)
         re, im = dispatch._jitted_expval()(
-            self.x32, self.z32, self.cr, self.ci, sd, ar, ai,
-            psi._s_pack.shape[0],
+            self.x32, self.z32, self.cr, self.ci, sd, ar, ai, B,
         )
         re_h, im_h = jax.device_get((re, im))
         return dispatch._scalar_from_dev(re_h, im_h)

@@ -485,8 +485,10 @@ class NoncontextualOp(PauliwordOp):
     ) -> List[Tuple[PauliwordOp, float]]:
         _, si = self.get_symmetry_contributions(self.symmetry_generators.coeff_vec)
         self.clique_operator.coeff_vec = si.astype(complex)
-        if clique_index is None:
-            clique_index = 0
+        # clique_index=None lets unitary_partitioning auto-select the least
+        # dense NONZERO-coefficient term; the reference hardwires index 0
+        # (noncontextual_op.py:556), which warns and re-selects whenever the
+        # solved ground state zeroes that clique's contribution
         (
             self.mapped_clique_rep,
             self.unitary_partitioning_rotations,

@@ -245,3 +245,33 @@ def scipy_expm_z(theta):
     from ..conftest import dense_pauli
 
     return scipy.linalg.expm(1j * theta / 2 * dense_pauli("Z"))
+
+
+def test_qasm_angle_eval_rejects_code_execution():
+    """Angle expressions are restricted arithmetic: attribute traversal and
+    any non-arithmetic construct must raise, not execute (a builtins-stripped
+    eval is NOT a sandbox)."""
+    from symmer_tpu.evolution._parse import safe_angle_eval
+
+    assert np.isclose(safe_angle_eval("3*pi/2"), 3 * np.pi / 2)
+    assert np.isclose(safe_angle_eval("-pi"), -np.pi)
+    assert np.isclose(safe_angle_eval(" 0.5 + 2**-3 "), 0.5 + 2**-3)
+    for evil in (
+        "().__class__.__base__.__subclasses__()",
+        "__import__('os').system('true')",
+        "pi.__class__",
+        "[1][0]",
+        "'x'*3",
+        "lambda: 1",
+        "nope",
+    ):
+        with pytest.raises(ValueError):
+            safe_angle_eval(evil)
+    qasm = (
+        'OPENQASM 2.0;\ninclude "qelib1.inc";\nqreg q[1];\n'
+        "rz(().__class__) q[0];\n"
+    )
+    with pytest.raises(ValueError):
+        CircuitSymmerlator.from_qasm(qasm)
+    with pytest.raises(ValueError):
+        qasm_to_PauliwordOp(qasm)

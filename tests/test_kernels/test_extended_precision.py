@@ -31,6 +31,9 @@ from symmer_tpu import PauliwordOp
 from symmer_tpu.config import config
 
 assert config.device_precision == "extended"
+# keep the double-float emulation active on this CPU host (the production
+# default would auto-upgrade extended -> native x64 on CPU)
+config.cpu_extended_mode = "df"
 np.random.seed(4)
 H = PauliwordOp.random(50, 400)
 r1 = PauliwordOp.random(50, 1); r1.coeff_vec[:] = 1

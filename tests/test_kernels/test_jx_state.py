@@ -179,3 +179,28 @@ def test_inner_product_device_handles_duplicate_rows():
     finally:
         config.backend = old
     assert abs(dev - host) < 1e-10
+
+
+def test_termwise_expval_duplicate_basis_rows():
+    """A state carrying duplicate basis rows (non-canonical but constructible
+    via from_planes) must produce the same per-term expectations as its
+    cleaned-up form -- the sorted join dedups internally."""
+    np.random.seed(3)
+    op = PauliwordOp.random(6, 8).cleanup()
+    psi = QuantumState.random(6, 5)
+    s2 = np.vstack([psi._s_pack, psi._s_pack[[1, 3]]])
+    a2 = np.concatenate([psi._amps, [0.25 - 0.1j, -0.5j]])
+    dup = QuantumState.from_planes(s2, a2, 6)
+    canon = dup.cleanup()
+    got = state_core.termwise_expval(op.x_pack, op.z_pack, dup._s_pack, dup._amps)
+    want = state_core.termwise_expval(
+        op.x_pack, op.z_pack, canon._s_pack, canon._amps
+    )
+    assert np.allclose(got, want, atol=1e-12)
+    # dense oracle: <psi|P_t|psi> for every term
+    v = dup.to_dense_matrix.reshape(-1)
+    for t, p in enumerate(op):
+        from ..conftest import dense_op
+
+        pd = dense_op(p.multiply_by_constant(1 / p.coeff_vec[0]))
+        assert np.isclose(got[t], v.conj() @ pd @ v, atol=1e-12)
