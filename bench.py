@@ -57,9 +57,11 @@ def main():
 
     # persistent compilation cache: first run pays the (remote) compiles,
     # subsequent bench invocations start from the cache
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from symmer_tpu.config import enable_compile_cache
+
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
 
     import jax.numpy as jnp
 
@@ -438,9 +440,11 @@ def check():
     """
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from symmer_tpu.config import enable_compile_cache
+
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
 
     from symmer_tpu import PauliwordOp, QuantumState
     from symmer_tpu.config import config
@@ -491,6 +495,7 @@ def check():
     )
 
     failures = []
+    errors = {}  # check name -> worst observed relative error
 
     def run_all():
         return {
@@ -529,6 +534,10 @@ def check():
             ok, msg = term_dicts_close(devr[name], host[name], rtol)
             print(f"# [{precision}] {name}: {'PASS' if ok else 'FAIL'} {msg}",
                   file=sys.stderr)
+            if "max|dc|=" in msg:
+                errors[f"{precision}:{name}"] = float(
+                    msg.split("max|dc|=")[1].split(" ")[0]
+                )
             if not ok:
                 failures.append(f"{precision}:{name}")
 
@@ -540,6 +549,7 @@ def check():
 
         err = abs(devr["expval"] - host["expval"]) / max(abs(host["expval"]), 1e-12)
         ok = err <= 1e-4
+        errors[f"{precision}:expval"] = float(err)
         print(f"# [{precision}] expval: {'PASS' if ok else 'FAIL'} rel_err={err:.2e}",
               file=sys.stderr)
         if not ok:
@@ -549,6 +559,10 @@ def check():
         ok, msg = term_dicts_close(t_dev, t_host, rtol)
         print(f"# [{precision}] taper_projection: {'PASS' if ok else 'FAIL'} {msg}",
               file=sys.stderr)
+        if "max|dc|=" in msg:
+            errors[f"{precision}:taper_projection"] = float(
+                msg.split("max|dc|=")[1].split(" ")[0]
+            )
         if not ok:
             failures.append(f"{precision}:taper_projection")
 
@@ -579,6 +593,7 @@ def check():
     gs_host = exact_gs_energy(lop.to_sparse_matrix)[0]
     err = abs(evals[0] - gs_host) / max(abs(gs_host), 1.0)
     ok = err <= 1e-10
+    errors["extended:lanczos_gs"] = float(err)
     print(f"# [extended] lanczos_gs: {'PASS' if ok else 'FAIL'} rel_err={err:.2e}",
           file=sys.stderr)
     if not ok:
@@ -602,17 +617,25 @@ def check():
     )
     orth = abs(np.vdot(dvecs[:, 0], dvecs[:, 1]))
     ok = err <= 1e-10 and orth < 1e-8
+    errors["extended:lanczos_deflated_multiplet"] = float(err)
     print(f"# [extended] lanczos_deflated_multiplet: "
           f"{'PASS' if ok else 'FAIL'} rel_err={err:.2e} |<y0|y1>|={orth:.1e}",
           file=sys.stderr)
     if not ok:
         failures.append("extended:lanczos_deflated_multiplet")
 
+    ext_errs = [v for k, v in errors.items() if k.startswith("extended:")]
     print(json.dumps({
         "metric": "device_host_check_failures",
         "value": len(failures),
         "unit": "kernels",
         "vs_baseline": 1.0 if not failures else 0.0,
+        "backend": dev.platform,
+        # worst extended-precision error: the BASELINE.md "1e-10 on the chip"
+        # bar, machine-readable per round
+        "worst_extended_rel_err": max(ext_errs) if ext_errs else None,
+        "errors": {k: float(f"{v:.3e}") for k, v in errors.items()},
+        "failed": failures,
     }))
     return 1 if failures else 0
 
@@ -626,9 +649,11 @@ def sweep():
     """
     import jax
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from symmer_tpu.config import enable_compile_cache
+
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
 
     import jax.numpy as jnp
 
@@ -728,13 +753,64 @@ def lanczos_bench():
         file=sys.stderr,
     )
     ok = err < 1e-10
+
+    # ---- multiplicity: deflated restarts vs block (band) recurrence --------
+    # The block solver resolves a multiplet in ONE recurrence; whether it
+    # should be the default depends on its compile cost on the actual
+    # backend (opt-in pending a TPU measurement, ROADMAP) -- this section IS
+    # that measurement: cold (compile-inclusive) + warm wall time for both
+    # drivers on the same 4-fold task, with a dense parity gate.
+    np.random.seed(17)
+    mop = PauliwordOp.random(9, 200, complex_coeffs=False)
+    mop = (mop + mop.dagger).cleanup().tensor(
+        PauliwordOp.from_dictionary({"I": 1.0})
+    )  # exact 2-fold degeneracy at 10 qubits
+    margs = (mop.x_pack, mop.z_pack, mop.coeff_vec, mop.n_qubits)
+    dense4 = np.linalg.eigvalsh(np.asarray(mop.to_sparse_matrix.todense()))[:4]
+
+    def run_mult(fn):
+        t0 = time.perf_counter()
+        ev, _ = fn()
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ev, _ = fn()
+        warm = (time.perf_counter() - t0) * 1e3
+        perr = float(np.max(np.abs(np.asarray(ev)[:4] - dense4)))
+        return cold, warm, perr
+
+    defl_cold, defl_warm, defl_err = run_mult(
+        lambda: jx_lanczos.lanczos_lowest_eigsh(*margs, n_vecs=4)
+    )
+    blk_cold, blk_warm, blk_err = run_mult(
+        lambda: jx_lanczos.lanczos_block_eigsh(*margs, n_vecs=4)
+    )
+    print(
+        f"# multiplicity 10q/4vec: deflated cold {defl_cold:.0f} s warm "
+        f"{defl_warm:.0f} ms |dE| {defl_err:.2e} | block cold {blk_cold:.0f} s "
+        f"warm {blk_warm:.0f} ms |dE| {blk_err:.2e}",
+        file=sys.stderr,
+    )
+    mult_ok = defl_err < 1e-9 and blk_err < 1e-9
+
+    import jax as _jax
+
     print(json.dumps({
         "metric": "device_lanczos_12q_400t_ms",
         "value": round(warm_ms, 1),
         "unit": "ms",
         "vs_baseline": round(host_ms / warm_ms, 2) if ok else 0.0,
+        "backend": _jax.devices()[0].platform,
+        "host_arpack_ms": round(host_ms, 1),
+        "cold_s": round(cold_s, 1),
+        "multiplet_deflated": {"cold_s": round(defl_cold, 1),
+                               "warm_ms": round(defl_warm, 1),
+                               "err": float(f"{defl_err:.2e}")},
+        "multiplet_block": {"cold_s": round(blk_cold, 1),
+                            "warm_ms": round(blk_warm, 1),
+                            "err": float(f"{blk_err:.2e}")},
+        "block_wins_warm": bool(blk_warm < defl_warm),
     }))
-    return 0 if ok else 1
+    return 0 if (ok and mult_ok) else 1
 
 
 def mesh_bench():

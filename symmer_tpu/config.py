@@ -172,18 +172,48 @@ def enable_x64(enable: bool = True) -> None:
     config._x64_enabled = enable
 
 
+def _host_cache_tag() -> str:
+    """Short fingerprint of the host CPU feature set.  XLA:CPU AOT cache
+    entries are NOT keyed by machine features, so a cache written on one
+    microarchitecture loads on another with a wall of 'could lead to SIGILL'
+    error logs (and real crash risk); namespacing the cache directory by
+    this tag keeps each host's entries separate."""
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    ident += line
+                    break
+    except OSError:  # pragma: no cover
+        ident += platform.processor()
+    return hashlib.sha1(ident.encode()).hexdigest()[:10]
+
+
 def enable_compile_cache(cache_dir: str = None, min_compile_secs: float = 1.0) -> str:
     """Point JAX's persistent compilation cache at ``cache_dir`` (default
-    ``~/.cache/symmer_tpu_jax``).  On remote-attached TPUs a cold compile of
-    the extended-precision kernels runs minutes; with the cache enabled every
-    subsequent process starts warm.  Returns the directory used.  Safe to
-    call at any time (affects compiles traced afterwards)."""
+    ``~/.cache/symmer_tpu_jax``), namespaced per host fingerprint.  On
+    remote-attached TPUs a cold compile of the extended-precision kernels
+    runs minutes; with the cache enabled every subsequent process starts
+    warm.  Returns the directory used.  Safe to call at any time (affects
+    compiles traced afterwards)."""
     import jax
 
     if cache_dir is None:
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "symmer_tpu_jax"
         )
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        backend = "unknown"
+    if backend == "cpu":
+        # only XLA:CPU AOT entries are machine-feature sensitive; accelerator
+        # entries stay in the shared root so warm caches survive
+        cache_dir = os.path.join(cache_dir, _host_cache_tag())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update(

@@ -117,9 +117,15 @@ def _coeff_dtype():
     every 64-bit element type to 32-bit pairs and has no lowering for the
     u64 bitcasts the cleanup sort uses -- and TPU f64 arithmetic would be
     silently downcast regardless, so on a TPU backend the device path always
-    runs float32 (the host path keeps full f64 semantics)."""
+    runs float32 (the host path keeps full f64 semantics).
+
+    ``device_precision='f32'`` means plain float32 planes unconditionally
+    (previously it silently ran f64 whenever x64 was on, making f32-mode
+    checks vacuous on CPU hosts)."""
     import jax
 
+    if config.device_precision == "f32":
+        return np.float32
     if not jax.config.jax_enable_x64:
         if (
             config.device_precision == "extended"

@@ -241,22 +241,30 @@ def exact_gs_energy_device(
 
 
 def exact_lowest_states_device(
-    operator: PauliwordOp, n_states: int, k: int = 0, method: str = "deflate"
+    operator: PauliwordOp, n_states: int, k: int = 0, method: str = "auto"
 ) -> Tuple[np.ndarray, List[QuantumState]]:
     """Lowest ``n_states`` eigenpairs WITH multiplicity, computed on device.
 
     Beyond the reference surface (its ``exact_gs_energy`` only exposes the
-    ground state): deflated Lanczos restarts
-    (``jx_lanczos.lanczos_lowest_eigsh``) resolve degenerate multiplets that
-    a single Krylov vector cannot see.  ``method='block'`` runs the band
-    (block) recurrence instead — one pass, multiplicities resolved up to
-    the pow2 block width.  Returns (energies ascending, [QuantumState] of
-    matching length); within an exactly degenerate multiplet the states are
-    an orthonormal basis of the eigenspace.
+    ground state): ``method='deflate'`` runs deflated Lanczos restarts
+    (``jx_lanczos.lanczos_lowest_eigsh``), which resolve degenerate
+    multiplets that a single Krylov vector cannot see; ``method='block'``
+    runs the band (block) recurrence instead — one pass, multiplicities
+    resolved up to the pow2 block width.  ``'auto'`` (default) picks block
+    wherever coefficients run native float64 (bench --lanczos: 3.3x faster
+    warm at equal accuracy, cheap compile) and deflated restarts under
+    double-float emulation, whose long unrolled scalar chains compile
+    pathologically (ROADMAP; TPU compile cost pending measurement).
+    Returns (energies ascending, [QuantumState] of matching length); within
+    an exactly degenerate multiplet the states are an orthonormal basis of
+    the eigenspace.
     """
     from .config import config
     from .kernels import jx_lanczos
+    from .kernels.dispatch import _coeff_dtype
 
+    if method == "auto":
+        method = "block" if _coeff_dtype() == np.float64 else "deflate"
     solver = (
         jx_lanczos.lanczos_block_eigsh
         if method == "block"
