@@ -855,9 +855,12 @@ def mesh_bench():
 
     import symmer_tpu
     from symmer_tpu import PauliwordOp, QubitTapering
-    from symmer_tpu.config import config
+    from symmer_tpu.config import config, enable_compile_cache
     from symmer_tpu.parallel.mesh import get_mesh
 
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
     mesh = get_mesh(n_dev)
     print(
         f"# mesh bench: {n_dev} x {devs[0].platform} devices", file=sys.stderr

@@ -39,7 +39,19 @@ def multiply(
     """All-pairs Pauli product (left index outer): rows ordered (i*M2 + j).
 
     Returns un-deduplicated planes; compose with :func:`cleanup`.
+    Routes through the native C++ kernel when available (streams each output
+    row once; the numpy branch materialises three (M1, M2, W) popcount
+    temporaries).
     """
+    try:
+        from ..native import gf2core
+    except Exception:  # pragma: no cover
+        gf2core = None
+    if gf2core is not None and x1.shape[0] * x2.shape[0] >= 1024:
+        return gf2core.mul_pairs(
+            x1, z1, np.asarray(c1, np.complex128),
+            x2, z2, np.asarray(c2, np.complex128),
+        )
     M1, M2 = x1.shape[0], x2.shape[0]
     xo = x1[:, None, :] ^ x2[None, :, :]
     zo = z1[:, None, :] ^ z2[None, :, :]

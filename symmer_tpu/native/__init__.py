@@ -28,7 +28,11 @@ def _build() -> bool:
     tmp = f"{_LIB}.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp],
+            # -ffp-contract=off: g++ -O3 contracts a*b-c*d into FMA, which
+            # drifts one ulp from numpy's separate multiply+subtract; the
+            # host kernels must be bit-identical to the packed-numpy oracle
+            ["g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+             "-std=c++17", _SRC, "-o", tmp],
             check=True,
             capture_output=True,
             timeout=120,
@@ -76,6 +80,12 @@ class _GF2Core:
             u64p, u64p, ctypes.c_int64,
         ]
         lib.clifford_rotate_inplace.restype = None
+        lib.mul_pairs.argtypes = [
+            u64p, u64p, f64p, ctypes.c_int64,
+            u64p, u64p, f64p, ctypes.c_int64,
+            ctypes.c_int64, u64p, u64p, f64p,
+        ]
+        lib.mul_pairs.restype = None
 
     def rref_inplace(self, M: np.ndarray) -> None:
         assert M.dtype == np.uint64 and M.flags["C_CONTIGUOUS"]
@@ -111,6 +121,27 @@ class _GF2Core:
             np.ascontiguousarray(zr.reshape(-1), np.uint64),
             int(m4),
         )
+
+    def mul_pairs(self, x1, z1, c1, x2, z2, c2):
+        """All-pairs Pauli product with phases (rows ordered i*m2 + j);
+        returns (xo, zo, coeffs) like np_core.multiply."""
+        x1 = np.ascontiguousarray(x1, dtype=np.uint64)
+        z1 = np.ascontiguousarray(z1, dtype=np.uint64)
+        x2 = np.ascontiguousarray(x2, dtype=np.uint64)
+        z2 = np.ascontiguousarray(z2, dtype=np.uint64)
+        c1 = np.ascontiguousarray(c1, dtype=np.complex128)
+        c2 = np.ascontiguousarray(c2, dtype=np.complex128)
+        m1, W = x1.shape
+        m2 = x2.shape[0]
+        xo = np.empty((m1 * m2, W), dtype=np.uint64)
+        zo = np.empty((m1 * m2, W), dtype=np.uint64)
+        co = np.empty(m1 * m2, dtype=np.complex128)
+        self._lib.mul_pairs(
+            x1, z1, c1.view(np.float64), m1,
+            x2, z2, c2.view(np.float64), m2,
+            W, xo, zo, co.view(np.float64),
+        )
+        return xo, zo, co
 
     def qwc_matrix(self, x1, z1, x2, z2) -> np.ndarray:
         """Termwise qubitwise-commutation adjacency -> bool[m1, m2]."""

@@ -164,6 +164,53 @@ void clifford_rotate_inplace(
     }
 }
 
+// All-pairs Pauli product (left index outer, rows ordered i*m2 + j) with
+// phases -- the packed equivalent of np_core.multiply: output planes are
+// XORs, the coefficient picks up sign * i^{(3(y1+y2) + y_out) mod 4} with
+// sign = (-1)^{popcount(x1 & z2)}.  Avoids numpy's broadcast temporaries
+// (three (m1, m2, W) popcount arrays); streams each output row once.
+// c1/c2/co are interleaved (re, im) views of complex128 buffers.
+void mul_pairs(
+    const uint64_t* x1, const uint64_t* z1, const double* c1, int64_t m1,
+    const uint64_t* x2, const uint64_t* z2, const double* c2, int64_t m2,
+    int64_t W, uint64_t* xo, uint64_t* zo, double* co
+) {
+    for (int64_t i = 0; i < m1; ++i) {
+        const uint64_t* xi = x1 + i * W;
+        const uint64_t* zi = z1 + i * W;
+        int64_t y1 = 0;
+        for (int64_t k = 0; k < W; ++k) y1 += __builtin_popcountll(xi[k] & zi[k]);
+        const double re1 = c1[2 * i], im1 = c1[2 * i + 1];
+        for (int64_t j = 0; j < m2; ++j) {
+            const uint64_t* xj = x2 + j * W;
+            const uint64_t* zj = z2 + j * W;
+            const int64_t o = i * m2 + j;
+            uint64_t* xr = xo + o * W;
+            uint64_t* zr = zo + o * W;
+            int64_t y2 = 0, y_out = 0, x1z2 = 0;
+            for (int64_t k = 0; k < W; ++k) {
+                y2 += __builtin_popcountll(xj[k] & zj[k]);
+                x1z2 += __builtin_popcountll(xi[k] & zj[k]);
+                const uint64_t xw = xi[k] ^ xj[k];
+                const uint64_t zw = zi[k] ^ zj[k];
+                y_out += __builtin_popcountll(xw & zw);
+                xr[k] = xw;
+                zr[k] = zw;
+            }
+            double re = re1 * c2[2 * j] - im1 * c2[2 * j + 1];
+            double im = re1 * c2[2 * j + 1] + im1 * c2[2 * j];
+            if (x1z2 & 1) { re = -re; im = -im; }
+            const int64_t ip = (3 * (y1 + y2) + y_out) % 4;
+            switch (ip) {
+                case 0: co[2 * o] = re;  co[2 * o + 1] = im;  break;
+                case 1: co[2 * o] = -im; co[2 * o + 1] = re;  break;
+                case 2: co[2 * o] = -re; co[2 * o + 1] = -im; break;
+                default: co[2 * o] = im; co[2 * o + 1] = -re; break;
+            }
+        }
+    }
+}
+
 // Qubitwise-commutation matrix on packed operands:
 // C[i,j] = 1 iff ((x1_i ^ x2_j) | (z1_i ^ z2_j)) & (x1_i | z1_i) & (x2_j | z2_j)
 // vanishes, i.e. on every qubit the terms agree or one acts trivially

@@ -128,6 +128,10 @@ import json
 import numpy as np
 import symmer_tpu
 from symmer_tpu import PauliwordOp, QuantumState
+from symmer_tpu.config import config
+# keep the double-float emulation active on this CPU host (the production
+# default would auto-upgrade extended -> native x64 on CPU)
+config.cpu_extended_mode = "df"
 from symmer_tpu.evolution.jx_vqe import DeviceVQEEngine
 
 np.random.seed(2)
