@@ -102,13 +102,14 @@ def cleanup(
     except Exception:  # pragma: no cover
         gf2core = None
     if gf2core is not None:
-        first_idx, inverse = gf2core.unique_rows(joint)
-        uniq = joint[first_idx]
+        # fused single pass: unique rows + coefficient accumulation (saves
+        # the fancy-index row gather and np.add.at of the two-step form)
+        uniq, c_out = gf2core.cleanup_rows(joint, np.asarray(c, complex))
     else:
         uniq, inverse = np.unique(joint, axis=0, return_inverse=True)
         inverse = inverse.reshape(-1)
-    c_out = np.zeros(uniq.shape[0], dtype=np.result_type(c.dtype, np.complex64))
-    np.add.at(c_out, inverse, c)
+        c_out = np.zeros(uniq.shape[0], dtype=np.result_type(c.dtype, np.complex64))
+        np.add.at(c_out, inverse, c)
     W = x.shape[1]
     xo, zo = uniq[:, :W], uniq[:, W:]
     if zero_threshold is not None:

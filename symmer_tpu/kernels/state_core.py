@@ -64,13 +64,14 @@ def cleanup_state(
     except Exception:  # pragma: no cover
         gf2core = None
     if gf2core is not None:
-        first_idx, inverse = gf2core.unique_rows(np.ascontiguousarray(s))
-        uniq = s[first_idx]
+        uniq, a_out = gf2core.cleanup_rows(s, np.asarray(amp, complex))
     else:
         uniq, inverse = np.unique(s, axis=0, return_inverse=True)
         inverse = inverse.reshape(-1)
-    a_out = np.zeros(uniq.shape[0], dtype=np.result_type(amp.dtype, np.complex64))
-    np.add.at(a_out, inverse, amp)
+        a_out = np.zeros(
+            uniq.shape[0], dtype=np.result_type(amp.dtype, np.complex64)
+        )
+        np.add.at(a_out, inverse, amp)
     if zero_threshold is not None:
         keep = np.abs(a_out) > zero_threshold
         uniq, a_out = uniq[keep], a_out[keep]

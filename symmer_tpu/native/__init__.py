@@ -86,6 +86,10 @@ class _GF2Core:
             ctypes.c_int64, u64p, u64p, f64p,
         ]
         lib.mul_pairs.restype = None
+        lib.cleanup_rows.argtypes = [
+            u64p, f64p, ctypes.c_int64, ctypes.c_int64, u64p, f64p,
+        ]
+        lib.cleanup_rows.restype = ctypes.c_int64
 
     def rref_inplace(self, M: np.ndarray) -> None:
         assert M.dtype == np.uint64 and M.flags["C_CONTIGUOUS"]
@@ -121,6 +125,20 @@ class _GF2Core:
             np.ascontiguousarray(zr.reshape(-1), np.uint64),
             int(m4),
         )
+
+    def cleanup_rows(self, rows: np.ndarray, c: np.ndarray):
+        """Fused unique-rows + coefficient accumulation (first-occurrence
+        order); returns (unique_rows, summed_coeffs)."""
+        rows = np.ascontiguousarray(rows, dtype=np.uint64)
+        c = np.ascontiguousarray(c, dtype=np.complex128)
+        n, words = rows.shape
+        rows_out = np.empty_like(rows)
+        c_out = np.empty(max(n, 1), dtype=np.complex128)
+        n_u = self._lib.cleanup_rows(
+            rows, c.view(np.float64), n, words,
+            rows_out, c_out.view(np.float64),
+        )
+        return rows_out[:n_u], c_out[:n_u]
 
     def mul_pairs(self, x1, z1, c1, x2, z2, c2):
         """All-pairs Pauli product with phases (rows ordered i*m2 + j);

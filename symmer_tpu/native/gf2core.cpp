@@ -90,6 +90,48 @@ int64_t unique_rows(
     return n_unique;
 }
 
+// Fused cleanup: unordered-unique over packed rows WITH coefficient
+// accumulation in the same pass (first-occurrence order, like unique_rows).
+// rows_out receives the unique rows densely; c (interleaved re/im of
+// complex128, length n) accumulates into c_out (length >= n).  One traversal
+// replaces unique_rows + a numpy fancy-index row gather + np.add.at.
+int64_t cleanup_rows(
+    const uint64_t* rows, const double* c, int64_t n, int64_t words,
+    uint64_t* rows_out, double* c_out
+) {
+    if (n == 0) return 0;
+    int64_t cap = 16;
+    while (cap < 2 * n) cap <<= 1;
+    std::vector<int64_t> table(cap, -1);
+    const int64_t mask = cap - 1;
+    int64_t n_unique = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint64_t* row = rows + i * words;
+        uint64_t h = row_hash(row, words);
+        int64_t slot = (int64_t)(h & (uint64_t)mask);
+        for (;;) {
+            int64_t entry = table[slot];
+            if (entry < 0) {
+                table[slot] = n_unique;
+                std::memcpy(rows_out + n_unique * words, row,
+                            (size_t)words * 8);
+                c_out[2 * n_unique] = c[2 * i];
+                c_out[2 * n_unique + 1] = c[2 * i + 1];
+                ++n_unique;
+                break;
+            }
+            const uint64_t* seen = rows_out + entry * words;
+            if (std::memcmp(seen, row, (size_t)words * 8) == 0) {
+                c_out[2 * entry] += c[2 * i];
+                c_out[2 * entry + 1] += c[2 * i + 1];
+                break;
+            }
+            slot = (slot + 1) & mask;
+        }
+    }
+    return n_unique;
+}
+
 // GF(2) matmul on packed operands: C[i,j] = parity(popcount(A_i & B_j)).
 // A: (m, words) packed rows; B: (p, words) packed rows (i.e. B^T's columns);
 // C: (m, p) uint8 output.

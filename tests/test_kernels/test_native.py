@@ -83,3 +83,37 @@ def test_multiply_routing_agrees_with_public_product():
     from ..conftest import dense_op
 
     assert np.allclose(dense_op(C), dense_op(A) @ dense_op(B), atol=1e-12)
+
+
+def test_cleanup_rows_matches_two_step():
+    """Fused unique+accumulate must equal unique_rows + np.add.at exactly
+    (same first-occurrence order, same accumulation order)."""
+    n, W = 5000, 4
+    base = rng.integers(0, 1 << 63, (n // 4, W), dtype=np.uint64)
+    rows = base[rng.integers(0, n // 4, n)]
+    c = rng.normal(size=n) + 1j * rng.normal(size=n)
+    uniq, csum = gf2core.cleanup_rows(rows, c)
+    first, inv = gf2core.unique_rows(rows)
+    cref = np.zeros(len(first), complex)
+    np.add.at(cref, inv, c)
+    assert np.array_equal(uniq, rows[first])
+    assert np.array_equal(csum, cref)
+
+
+def test_host_cleanup_public_path():
+    """PauliwordOp.cleanup through the host backend (fused native kernel)
+    equals the dense-matrix oracle."""
+    from symmer_tpu.config import config
+
+    np.random.seed(5)
+    A = PauliwordOp.random(4, 30)
+    dup = A.append(A.multiply_by_constant(-0.25))
+    old = config.backend
+    try:
+        config.backend = "host"
+        out = dup.cleanup()
+    finally:
+        config.backend = old
+    from ..conftest import dense_op
+
+    assert np.allclose(dense_op(out), dense_op(A) * 0.75, atol=1e-12)
