@@ -400,8 +400,8 @@ def _flagship_flow_times():
         config.backend = old_backend
 
     # (b) Be/STO-3G taper -> contextual subspace -> 3-qubit projection
-    path = "/root/reference/tests/hamiltonian_data/Be_STO-3G_SINGLET_JW.json"
-    if os.path.exists(path):
+    path = _be_data_path()
+    if path:
         with open(path) as f:
             H_data = json.load(f)
         H_op = PauliwordOp.from_dictionary(H_data["hamiltonian"])
@@ -421,6 +421,20 @@ def _flagship_flow_times():
         cs_vqe_flow()
         out["flagship_cs_vqe_Be_ms"] = (time.perf_counter() - t0) * 1e3
     return out
+
+
+def _be_data_path():
+    """Be Hamiltonian fixture: mounted reference checkout preferred, the
+    vendored tests/data copy otherwise; None when neither exists."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in (
+        "/root/reference/tests/hamiltonian_data/Be_STO-3G_SINGLET_JW.json",
+        os.path.join(here, "tests", "data", "hamiltonians",
+                     "Be_STO-3G_SINGLET_JW.json"),
+    ):
+        if os.path.exists(p):
+            return p
+    return None
 
 
 def check():
@@ -950,7 +964,11 @@ def _probe_accelerator(timeout_s: float = 120, env: dict = None) -> dict:
             env=env,
         )
         backend = r.stdout.decode(errors="replace").strip()
-        ok = r.returncode == 0 and backend not in ("", "cpu")
+        # ok = JAX came up at all; a healthy CPU-only host passes immediately
+        # (main() routes it to the host-packed bench) -- only a hung/dead
+        # plugin init is a failure.  Callers that specifically need an
+        # accelerator also check the recorded backend.
+        ok = r.returncode == 0 and backend != ""
     except subprocess.TimeoutExpired:
         ok, backend = False, "timeout"
     return {"ok": ok, "backend": backend, "secs": round(time.time() - t0, 1)}
@@ -1030,8 +1048,8 @@ def _late_tpu_retry():
     rec = _probe_accelerator(timeout_s=90, env=env)
     rec["late"] = True
     _record_probe(rec)
-    if not rec["ok"]:
-        return
+    if not rec["ok"] or rec["backend"] in ("", "cpu"):
+        return  # tunnel still down (or this host simply has no accelerator)
     print(
         "# accelerator came back after CPU sections -- re-running on it",
         file=sys.stderr,

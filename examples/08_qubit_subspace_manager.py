@@ -18,10 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from symmer_tpu import PauliwordOp, QubitSubspaceManager
 from symmer_tpu.utils import exact_gs_energy
 
-PATH = "/root/reference/tests/hamiltonian_data/Be_STO-3G_SINGLET_JW.json"
-if not os.path.exists(PATH):
-    print("Be Hamiltonian data not available; edit PATH to any JW dict")
-    sys.exit(0)
+PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "data", "hamiltonians", "Be_STO-3G_SINGLET_JW.json",
+)
 with open(PATH) as f:
     data = json.load(f)
 

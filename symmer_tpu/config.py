@@ -206,13 +206,18 @@ def enable_compile_cache(cache_dir: str = None, min_compile_secs: float = 1.0) -
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "symmer_tpu_jax"
         )
-    try:
-        backend = jax.default_backend()
-    except Exception:  # pragma: no cover
-        backend = "unknown"
-    if backend == "cpu":
-        # only XLA:CPU AOT entries are machine-feature sensitive; accelerator
-        # entries stay in the shared root so warm caches survive
+    # Only XLA:CPU AOT entries are machine-feature sensitive; accelerator
+    # entries stay in the shared root so warm caches survive.  The platform
+    # is read from configuration (env / jax.config), NOT jax.default_backend():
+    # that call force-initializes the backend, which would break the
+    # documented multi-host ordering (distributed_init must run before any
+    # backend initialization -- docs/scaling.md).
+    platforms = (
+        getattr(jax.config, "jax_platforms", None)
+        or os.environ.get("JAX_PLATFORMS", "")
+        or ""
+    )
+    if platforms.split(",")[0] == "cpu":
         cache_dir = os.path.join(cache_dir, _host_cache_tag())
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

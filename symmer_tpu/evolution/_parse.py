@@ -47,4 +47,9 @@ def safe_angle_eval(expr: str) -> float:
         tree = ast.parse(expr.strip(), mode="eval")
     except SyntaxError as exc:
         raise ValueError(f"unparsable angle expression {expr!r}") from exc
-    return _eval_node(tree)
+    try:
+        # all operands are converted to float up front, so `**` is float pow
+        # (an overflowing exponent raises instead of building a bigint)
+        return _eval_node(tree)
+    except (OverflowError, ZeroDivisionError) as exc:
+        raise ValueError(f"angle expression {expr!r} does not evaluate") from exc

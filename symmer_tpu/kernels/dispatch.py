@@ -145,7 +145,11 @@ def _coeff_dtype():
                     "device_precision='extended' on the CPU backend: "
                     "enabling x64 and running native float64 coefficient "
                     "planes (double-float emulation is only for backends "
-                    "without native f64, i.e. TPU)."
+                    "without native f64, i.e. TPU). This flips the "
+                    "process-global jax_enable_x64 at first kernel use; "
+                    "call symmer_tpu.enable_x64() at startup to choose the "
+                    "moment yourself, or set config.cpu_extended_mode='df' "
+                    "to keep the emulation."
                 )
                 _WARNED_CPU_X64_UPGRADE = True
             from ..config import enable_x64
@@ -801,7 +805,10 @@ def expval(x, z, c, s_pack, amps) -> complex:
     Bp = _next_bucket(B)
     max_elems = 1 << 25
     if T * Bp > max_elems:
-        Tc = max(8, max_elems // Bp)
+        # Tc may drop below the usual bucket floor for huge states: the HBM
+        # bound must win (Tc is fixed for the whole loop, so it still costs
+        # exactly one compile per (Tc, Bp))
+        Tc = max(1, max_elems // Bp)
         ar, ai = _coeff_to_dev(amps, pad_rows=Bp)
         sd = _to_dev(s_pack, pad_rows=Bp)
         parts = []

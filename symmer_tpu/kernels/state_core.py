@@ -123,14 +123,15 @@ def termwise_expval(
     if M == 0 or s.shape[0] == 0:
         return np.zeros(M, complex)
 
-    # collapse duplicate basis rows first (summing amplitudes): the sorted
-    # join below matches each target against ONE occurrence of a basis row,
-    # so a non-canonical state with repeated rows would be undercounted
-    def _dedup_view(a):
+    # structured row view: used for the dedup below and the sorted join
+    def _row_view(a):
         a = np.ascontiguousarray(a)
         return a.view([("", a.dtype)] * a.shape[1]).ravel()
 
-    uniq, inv = np.unique(_dedup_view(s), return_inverse=True)
+    # collapse duplicate basis rows first (summing amplitudes): the sorted
+    # join below matches each target against ONE occurrence of a basis row,
+    # so a non-canonical state with repeated rows would be undercounted
+    uniq, inv = np.unique(_row_view(s), return_inverse=True)
     if len(uniq) != s.shape[0]:
         amp_sum = np.zeros(len(uniq), dtype=complex)
         np.add.at(amp_sum, inv, amp)
@@ -150,10 +151,6 @@ def termwise_expval(
     # match target rows against the support via a sorted structured-view join
     # (vectorised; the former per-(term, row) dict loop was O(M B) interpreted
     # iterations)
-    def _row_view(a):
-        a = np.ascontiguousarray(a)
-        return a.view([("", a.dtype)] * a.shape[1]).ravel()
-
     sv = _row_view(s)
     order = np.argsort(sv)
     sv_sorted = sv[order]

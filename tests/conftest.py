@@ -43,6 +43,11 @@ import pytest  # noqa: E402
 warnings.filterwarnings("ignore")
 
 REFERENCE_HAM_DIR = "/root/reference/tests/hamiltonian_data"
+# vendored fixtures (tests/data/hamiltonians) make the suite self-contained
+# when the reference checkout is not mounted (e.g. CI runners)
+VENDORED_HAM_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "hamiltonians"
+)
 
 # Inline H2 STO-3G JW Hamiltonian fixture with published reference energies
 # (numeric constants as in symmer tests/test_projection/test_qubit_tapering.py:8-50)
@@ -70,12 +75,14 @@ H2_HF_ARRAY = [1, 1, 0, 0]
 
 
 def load_reference_hamiltonian(name: str):
-    """Load a molecular Hamiltonian JSON from the mounted reference test data."""
-    path = os.path.join(REFERENCE_HAM_DIR, name)
-    if not os.path.exists(path):
-        pytest.skip(f"reference hamiltonian data not available: {name}")
-    with open(path) as f:
-        return json.load(f)
+    """Load a molecular Hamiltonian JSON fixture (mounted reference checkout
+    preferred, vendored tests/data copy otherwise)."""
+    for base in (REFERENCE_HAM_DIR, VENDORED_HAM_DIR):
+        path = os.path.join(base, name)
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+    pytest.skip(f"hamiltonian data not available: {name}")
 
 
 @pytest.fixture

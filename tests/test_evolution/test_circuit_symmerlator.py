@@ -275,3 +275,14 @@ def test_qasm_angle_eval_rejects_code_execution():
         CircuitSymmerlator.from_qasm(qasm)
     with pytest.raises(ValueError):
         qasm_to_PauliwordOp(qasm)
+
+
+def test_qasm_angle_eval_overflow_is_value_error():
+    """Huge exponents evaluate in the float domain and surface as ValueError
+    (no bigint construction -- an untrusted file cannot hang the parser)."""
+    from symmer_tpu.evolution._parse import safe_angle_eval
+
+    with pytest.raises(ValueError):
+        safe_angle_eval("9**9**9**9")
+    with pytest.raises(ValueError):
+        safe_angle_eval("1/0")

@@ -120,14 +120,9 @@ def test_adapt_tetris(be_fixture):
 def test_adapt_vqe_on_contextual_subspace_lih():
     """End-to-end production flow: LiH -> taper -> 3-qubit contextual subspace
     -> ADAPT-VQE to the subspace ground state."""
-    import json
-    import os
+    from ..conftest import load_reference_hamiltonian
 
-    path = "/root/reference/tests/hamiltonian_data/LiH_STO-3G_SINGLET_JW.json"
-    if not os.path.exists(path):
-        pytest.skip("reference hamiltonian data not available")
-    with open(path) as f:
-        data = json.load(f)
+    data = load_reference_hamiltonian("LiH_STO-3G_SINGLET_JW.json")
     from symmer_tpu import ContextualSubspace, QubitTapering
 
     H = PauliwordOp.from_dictionary(data["hamiltonian"])

@@ -9,14 +9,9 @@ from symmer_tpu.utils import exact_gs_energy
 
 @pytest.fixture(scope="module")
 def be_tapered():
-    import json
-    import os
+    from ..conftest import load_reference_hamiltonian
 
-    path = "/root/reference/tests/hamiltonian_data/Be_STO-3G_SINGLET_JW.json"
-    if not os.path.exists(path):
-        pytest.skip("reference hamiltonian data not available")
-    with open(path) as f:
-        H_data = json.load(f)
+    H_data = load_reference_hamiltonian("Be_STO-3G_SINGLET_JW.json")
     H_op = PauliwordOp.from_dictionary(H_data["hamiltonian"])
     CC_op = PauliwordOp.from_dictionary(
         H_data["data"]["auxiliary_operators"]["UCCSD_operator"]

@@ -27,11 +27,9 @@ MOLECULES = [
 
 
 def _load(name):
-    path = os.path.join(HAM_DIR, name)
-    if not os.path.exists(path):
-        pytest.skip(f"reference hamiltonian data not available: {name}")
-    with open(path) as f:
-        return json.load(f)
+    from ..conftest import load_reference_hamiltonian
+
+    return load_reference_hamiltonian(name)
 
 
 @pytest.mark.parametrize("name,nq,_", MOLECULES)

@@ -8,14 +8,9 @@ from symmer_tpu.utils import exact_gs_energy
 
 @pytest.fixture(scope="module")
 def be(request):
-    import json
-    import os
+    from ..conftest import load_reference_hamiltonian
 
-    path = "/root/reference/tests/hamiltonian_data/Be_STO-3G_SINGLET_JW.json"
-    if not os.path.exists(path):
-        pytest.skip("reference hamiltonian data not available")
-    with open(path) as f:
-        return json.load(f)
+    return load_reference_hamiltonian("Be_STO-3G_SINGLET_JW.json")
 
 
 def test_qubit_counts_and_error_decay(be):
