@@ -284,10 +284,7 @@ def _host_main():
     zr = rng.integers(0, 1 << 63, (W64,), dtype=np.uint64)
 
     def rot():
-        (xo, zo, co), needs = np_core.rotate_single(x, z, c, xr, zr, 0.3)
-        if needs:
-            xo, zo, co = np_core.cleanup(xo, zo, co, 1e-10)
-        return co
+        return np_core.rotate_single_cleanup(x, z, c, xr, zr, 0.3, 1e-10)[2]
 
     results["rotate_1000q_100k_terms_ms"] = timed(rot)
 

@@ -559,9 +559,9 @@ def perform_rotations(
     kernel_stats.record("perform_rotations", device=use_dev)
     if not use_dev:
         for xr, zr, angle in rotations:
-            (x, z, c), needs = np_core.rotate_single(x, z, c, xr, zr, angle)
-            if needs:
-                x, z, c = np_core.cleanup(x, z, c, zero_threshold)
+            x, z, c = np_core.rotate_single_cleanup(
+                x, z, c, xr, zr, angle, zero_threshold
+            )
         return np_core.cleanup(x, z, c, zero_threshold)
 
     Tp = _next_bucket(T)

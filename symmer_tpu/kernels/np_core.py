@@ -266,6 +266,40 @@ def rotate_single(
         ), True
 
 
+def rotate_single_cleanup(
+    x: np.ndarray, z: np.ndarray, c: np.ndarray,
+    xr: np.ndarray, zr: np.ndarray,
+    angle: Optional[float],
+    zero_threshold: Optional[float] = None,
+) -> Planes:
+    """``rotate_single`` composed with :func:`cleanup` -- the host analog of
+    the fused device rotate+cleanup (jx_core.rotate_nonclifford_cleanup).
+
+    Non-Clifford angles route through the single-pass native kernel when
+    available (the doubled row set never materialises); Clifford angles are
+    term-count-preserving and skip the cleanup entirely.
+    """
+    try:
+        from ..native import gf2core
+    except Exception:  # pragma: no cover
+        gf2core = None
+    if angle is not None and gf2core is not None and x.shape[0] >= 64:
+        a = complex(angle).real
+        multiple = a * 2 / np.pi
+        if abs(round(multiple) - multiple) > 1e-18:  # genuinely non-Clifford
+            xo, zo, co = gf2core.rotate_nonclifford_cleanup(
+                x, z, np.asarray(c, complex), xr, zr, a
+            )
+            if zero_threshold is not None:
+                keep = np.abs(co) > zero_threshold
+                xo, zo, co = xo[keep], zo[keep], co[keep]
+            return xo, zo, co
+    (xo, zo, co), needs = rotate_single(x, z, c, xr, zr, angle)
+    if needs:
+        xo, zo, co = cleanup(xo, zo, co, zero_threshold)
+    return xo, zo, co
+
+
 def tensor(
     x1: np.ndarray, z1: np.ndarray, c1: np.ndarray, nq1: int,
     x2: np.ndarray, z2: np.ndarray, c2: np.ndarray, nq2: int,

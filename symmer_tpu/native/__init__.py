@@ -90,6 +90,12 @@ class _GF2Core:
             u64p, f64p, ctypes.c_int64, ctypes.c_int64, u64p, f64p,
         ]
         lib.cleanup_rows.restype = ctypes.c_int64
+        lib.rotate_nonclifford_cleanup.argtypes = [
+            u64p, u64p, f64p, ctypes.c_int64, ctypes.c_int64,
+            u64p, u64p, ctypes.c_double, ctypes.c_double,
+            u64p, u64p, f64p,
+        ]
+        lib.rotate_nonclifford_cleanup.restype = ctypes.c_int64
 
     def rref_inplace(self, M: np.ndarray) -> None:
         assert M.dtype == np.uint64 and M.flags["C_CONTIGUOUS"]
@@ -125,6 +131,25 @@ class _GF2Core:
             np.ascontiguousarray(zr.reshape(-1), np.uint64),
             int(m4),
         )
+
+    def rotate_nonclifford_cleanup(self, x, z, c, xr, zr, angle: float):
+        """Fused e^{i t/2 Q} conjugation + dedup for a NON-Clifford angle;
+        returns deduplicated (x_out, z_out, coeffs) (threshold not applied)."""
+        x = np.ascontiguousarray(x, dtype=np.uint64)
+        z = np.ascontiguousarray(z, dtype=np.uint64)
+        c = np.ascontiguousarray(c, dtype=np.complex128)
+        n, W = x.shape
+        x_out = np.empty((2 * max(n, 1), W), dtype=np.uint64)
+        z_out = np.empty_like(x_out)
+        c_out = np.empty(2 * max(n, 1), dtype=np.complex128)
+        n_u = self._lib.rotate_nonclifford_cleanup(
+            x, z, c.view(np.float64), n, W,
+            np.ascontiguousarray(xr.reshape(-1), np.uint64),
+            np.ascontiguousarray(zr.reshape(-1), np.uint64),
+            float(np.cos(angle)), float(np.sin(angle)),
+            x_out, z_out, c_out.view(np.float64),
+        )
+        return x_out[:n_u], z_out[:n_u], c_out[:n_u]
 
     def cleanup_rows(self, rows: np.ndarray, c: np.ndarray):
         """Fused unique-rows + coefficient accumulation (first-occurrence

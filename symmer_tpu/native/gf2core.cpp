@@ -206,6 +206,104 @@ void clifford_rotate_inplace(
     }
 }
 
+static inline uint64_t row_hash2(
+    const uint64_t* a, const uint64_t* b, int64_t words
+) {
+    uint64_t h = 1469598103934665603ULL;
+    for (int64_t k = 0; k < words; ++k) {
+        h ^= a[k]; h *= 1099511628211ULL; h ^= h >> 29;
+    }
+    for (int64_t k = 0; k < words; ++k) {
+        h ^= b[k]; h *= 1099511628211ULL; h ^= h >> 29;
+    }
+    return h;
+}
+
+// Fused non-Clifford rotation + dedup: conjugation by R(t) = e^{i t/2 Q}
+// maps commuting terms to themselves and anticommuting terms P to
+// cos(t) P + sin(t) (-i P Q), with the product phase of np_core
+// .multiply_single.  The doubled row set never materialises: every output
+// row goes straight into an open-addressing table keyed on (x, z), with
+// coefficients accumulated on hit (the host analog of the device
+// rotate_nonclifford_cleanup fusion, jx_core).  Returns n_unique; x_out /
+// z_out / c_out are caller-allocated with capacity 2n.
+int64_t rotate_nonclifford_cleanup(
+    const uint64_t* x, const uint64_t* z, const double* c, int64_t n,
+    int64_t W, const uint64_t* xr, const uint64_t* zr,
+    double cos_t, double sin_t,
+    uint64_t* x_out, uint64_t* z_out, double* c_out
+) {
+    if (n == 0) return 0;
+    int64_t cap = 16;
+    while (cap < 4 * n) cap <<= 1;  // up to 2n output rows, load <= 0.5
+    std::vector<int64_t> table(cap, -1);
+    const int64_t mask = cap - 1;
+    int64_t n_unique = 0;
+    int64_t y_r = 0;
+    for (int64_t k = 0; k < W; ++k) y_r += __builtin_popcountll(xr[k] & zr[k]);
+
+    auto insert = [&](const uint64_t* xi, const uint64_t* zi,
+                      double re, double im) {
+        uint64_t h = row_hash2(xi, zi, W);
+        int64_t slot = (int64_t)(h & (uint64_t)mask);
+        for (;;) {
+            int64_t entry = table[slot];
+            if (entry < 0) {
+                table[slot] = n_unique;
+                std::memcpy(x_out + n_unique * W, xi, (size_t)W * 8);
+                std::memcpy(z_out + n_unique * W, zi, (size_t)W * 8);
+                c_out[2 * n_unique] = re;
+                c_out[2 * n_unique + 1] = im;
+                ++n_unique;
+                return;
+            }
+            if (std::memcmp(x_out + entry * W, xi, (size_t)W * 8) == 0 &&
+                std::memcmp(z_out + entry * W, zi, (size_t)W * 8) == 0) {
+                c_out[2 * entry] += re;
+                c_out[2 * entry + 1] += im;
+                return;
+            }
+            slot = (slot + 1) & mask;
+        }
+    };
+
+    std::vector<uint64_t> xp(W), zp(W);
+    for (int64_t i = 0; i < n; ++i) {
+        const uint64_t* xi = x + i * W;
+        const uint64_t* zi = z + i * W;
+        int64_t ac = 0, y_in = 0, x1z2 = 0, y_out = 0;
+        for (int64_t k = 0; k < W; ++k) {
+            ac += __builtin_popcountll(xi[k] & zr[k])
+                + __builtin_popcountll(zi[k] & xr[k]);
+            y_in += __builtin_popcountll(xi[k] & zi[k]);
+            x1z2 += __builtin_popcountll(xi[k] & zr[k]);
+            const uint64_t xw = xi[k] ^ xr[k];
+            const uint64_t zw = zi[k] ^ zr[k];
+            y_out += __builtin_popcountll(xw & zw);
+            xp[k] = xw;
+            zp[k] = zw;
+        }
+        const double re = c[2 * i], im = c[2 * i + 1];
+        if (!(ac & 1)) {
+            insert(xi, zi, re, im);
+            continue;
+        }
+        insert(xi, zi, re * cos_t, im * cos_t);
+        // phase = sign * i^{(3(y_in + y_r) + y_out) mod 4}, then * (-i sin t)
+        double pr = re * sin_t, pi_ = im * sin_t;
+        if (x1z2 & 1) { pr = -pr; pi_ = -pi_; }
+        // fold the extra factor -i: i^ip * (-i) = i^{ip + 3}
+        const int64_t ip = (3 * (y_in + y_r) + y_out + 3) % 4;
+        switch (ip) {
+            case 0: insert(xp.data(), zp.data(), pr, pi_); break;
+            case 1: insert(xp.data(), zp.data(), -pi_, pr); break;
+            case 2: insert(xp.data(), zp.data(), -pr, -pi_); break;
+            default: insert(xp.data(), zp.data(), pi_, -pr); break;
+        }
+    }
+    return n_unique;
+}
+
 // All-pairs Pauli product (left index outer, rows ordered i*m2 + j) with
 // phases -- the packed equivalent of np_core.multiply: output planes are
 // XORs, the coefficient picks up sign * i^{(3(y1+y2) + y_out) mod 4} with

@@ -117,3 +117,26 @@ def test_host_cleanup_public_path():
     from ..conftest import dense_op
 
     assert np.allclose(dense_op(out), dense_op(A) * 0.75, atol=1e-12)
+
+
+def test_fused_nonclifford_rotate_matches_dense():
+    """rotate_single_cleanup (native single pass) vs the dense oracle:
+    R O R^dag with R = e^{i t/2 Q}."""
+    import scipy.linalg
+
+    from symmer_tpu.kernels import np_core
+    from ..conftest import dense_op, dense_pauli
+
+    np.random.seed(9)
+    O = PauliwordOp.random(5, 70).cleanup()  # >= 64 terms -> native path
+    Q = PauliwordOp.random(5, 1)
+    Q.coeff_vec[:] = 1
+    t = 0.41
+    xo, zo, co = np_core.rotate_single_cleanup(
+        O.x_pack, O.z_pack, O.coeff_vec, Q.x_pack[0], Q.z_pack[0], t, 1e-14
+    )
+    got = dense_op(PauliwordOp.from_planes(xo, zo, co, 5))
+    qd = dense_op(Q)
+    R = scipy.linalg.expm(1j * t / 2 * qd)
+    want = R @ dense_op(O) @ R.conj().T
+    assert np.allclose(got, want, atol=1e-10)
