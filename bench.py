@@ -292,8 +292,7 @@ def _host_main():
     x2, z2, c2 = x[:500], z[:500], c[:500]
 
     def square():
-        xo, zo, co = np_core.multiply(x2, z2, c2, x2, z2, c2)
-        return np_core.cleanup(xo, zo, co, 1e-10)[2]
+        return np_core.multiply_cleanup_host(x2, z2, c2, x2, z2, c2, 1e-10)[2]
 
     results["square_1000q_500_terms_ms"] = timed(square)
 

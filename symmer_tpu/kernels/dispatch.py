@@ -371,8 +371,9 @@ def multiply_cleanup(x1, z1, c1, x2, z2, c2, zero_threshold: Optional[float]) ->
         n_syncs=2,
     ):
         kernel_stats.record("multiply", device=False)
-        out = np_core.multiply(x1, z1, c1, x2, z2, c2)
-        return np_core.cleanup(*out, zero_threshold)
+        return np_core.multiply_cleanup_host(
+            x1, z1, c1, x2, z2, c2, zero_threshold
+        )
     kernel_stats.record("multiply", device=True)
     import jax.numpy as jnp
 

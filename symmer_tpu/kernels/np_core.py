@@ -266,6 +266,30 @@ def rotate_single(
         ), True
 
 
+def multiply_cleanup_host(
+    x1: np.ndarray, z1: np.ndarray, c1: np.ndarray,
+    x2: np.ndarray, z2: np.ndarray, c2: np.ndarray,
+    zero_threshold: Optional[float] = None,
+) -> Planes:
+    """:func:`multiply` composed with :func:`cleanup` -- the host analog of
+    the fused device mul_pairs_cleanup (jx_core): product rows go straight
+    into the native dedup table and the m1*m2 row set never materialises."""
+    try:
+        from ..native import gf2core
+    except Exception:  # pragma: no cover
+        gf2core = None
+    if gf2core is not None and x1.shape[0] * x2.shape[0] >= 1024:
+        xo, zo, co = gf2core.mul_pairs_cleanup(
+            x1, z1, np.asarray(c1, complex), x2, z2, np.asarray(c2, complex)
+        )
+        if zero_threshold is not None:
+            keep = np.abs(co) > zero_threshold
+            xo, zo, co = xo[keep], zo[keep], co[keep]
+        return xo, zo, co
+    xo, zo, co = multiply(x1, z1, c1, x2, z2, c2)
+    return cleanup(xo, zo, co, zero_threshold)
+
+
 def rotate_single_cleanup(
     x: np.ndarray, z: np.ndarray, c: np.ndarray,
     xr: np.ndarray, zr: np.ndarray,

@@ -96,6 +96,12 @@ class _GF2Core:
             u64p, u64p, f64p,
         ]
         lib.rotate_nonclifford_cleanup.restype = ctypes.c_int64
+        lib.mul_pairs_cleanup.argtypes = [
+            u64p, u64p, f64p, ctypes.c_int64,
+            u64p, u64p, f64p, ctypes.c_int64,
+            ctypes.c_int64, u64p, u64p, f64p,
+        ]
+        lib.mul_pairs_cleanup.restype = ctypes.c_int64
 
     def rref_inplace(self, M: np.ndarray) -> None:
         assert M.dtype == np.uint64 and M.flags["C_CONTIGUOUS"]
@@ -131,6 +137,29 @@ class _GF2Core:
             np.ascontiguousarray(zr.reshape(-1), np.uint64),
             int(m4),
         )
+
+    def mul_pairs_cleanup(self, x1, z1, c1, x2, z2, c2):
+        """Fused all-pairs product + dedup (first-occurrence order); the
+        m1*m2 product row set never materialises.  Returns (x, z, coeffs)
+        deduplicated (threshold not applied)."""
+        x1 = np.ascontiguousarray(x1, dtype=np.uint64)
+        z1 = np.ascontiguousarray(z1, dtype=np.uint64)
+        x2 = np.ascontiguousarray(x2, dtype=np.uint64)
+        z2 = np.ascontiguousarray(z2, dtype=np.uint64)
+        c1 = np.ascontiguousarray(c1, dtype=np.complex128)
+        c2 = np.ascontiguousarray(c2, dtype=np.complex128)
+        m1, W = x1.shape
+        m2 = x2.shape[0]
+        P = max(m1 * m2, 1)
+        x_out = np.empty((P, W), dtype=np.uint64)
+        z_out = np.empty_like(x_out)
+        c_out = np.empty(P, dtype=np.complex128)
+        n_u = self._lib.mul_pairs_cleanup(
+            x1, z1, c1.view(np.float64), m1,
+            x2, z2, c2.view(np.float64), m2,
+            W, x_out, z_out, c_out.view(np.float64),
+        )
+        return x_out[:n_u], z_out[:n_u], c_out[:n_u]
 
     def rotate_nonclifford_cleanup(self, x, z, c, xr, zr, angle: float):
         """Fused e^{i t/2 Q} conjugation + dedup for a NON-Clifford angle;

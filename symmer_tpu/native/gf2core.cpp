@@ -304,6 +304,86 @@ int64_t rotate_nonclifford_cleanup(
     return n_unique;
 }
 
+// Fused all-pairs product + dedup: every product row goes straight into the
+// open-addressing table (the m1*m2 row set never materialises) -- the host
+// analog of the device mul_pairs_cleanup fusion (jx_core).  Output capacity
+// must be m1*m2 rows (worst case, no duplicates).  Returns n_unique.
+int64_t mul_pairs_cleanup(
+    const uint64_t* x1, const uint64_t* z1, const double* c1, int64_t m1,
+    const uint64_t* x2, const uint64_t* z2, const double* c2, int64_t m2,
+    int64_t W, uint64_t* x_out, uint64_t* z_out, double* c_out
+) {
+    const int64_t P = m1 * m2;
+    if (P == 0) return 0;
+    int64_t cap = 16;
+    while (cap < 2 * P) cap <<= 1;
+    std::vector<int64_t> table(cap, -1);
+    const int64_t mask = cap - 1;
+    int64_t n_unique = 0;
+    std::vector<uint64_t> xp(W), zp(W);
+    std::vector<int64_t> y2(m2);
+    for (int64_t j = 0; j < m2; ++j) {
+        int64_t y = 0;
+        const uint64_t* xj = x2 + j * W;
+        const uint64_t* zj = z2 + j * W;
+        for (int64_t k = 0; k < W; ++k) y += __builtin_popcountll(xj[k] & zj[k]);
+        y2[j] = y;
+    }
+    for (int64_t i = 0; i < m1; ++i) {
+        const uint64_t* xi = x1 + i * W;
+        const uint64_t* zi = z1 + i * W;
+        int64_t y1 = 0;
+        for (int64_t k = 0; k < W; ++k) y1 += __builtin_popcountll(xi[k] & zi[k]);
+        const double re1 = c1[2 * i], im1 = c1[2 * i + 1];
+        for (int64_t j = 0; j < m2; ++j) {
+            const uint64_t* xj = x2 + j * W;
+            const uint64_t* zj = z2 + j * W;
+            int64_t y_out = 0, x1z2 = 0;
+            for (int64_t k = 0; k < W; ++k) {
+                x1z2 += __builtin_popcountll(xi[k] & zj[k]);
+                const uint64_t xw = xi[k] ^ xj[k];
+                const uint64_t zw = zi[k] ^ zj[k];
+                y_out += __builtin_popcountll(xw & zw);
+                xp[k] = xw;
+                zp[k] = zw;
+            }
+            double re = re1 * c2[2 * j] - im1 * c2[2 * j + 1];
+            double im = re1 * c2[2 * j + 1] + im1 * c2[2 * j];
+            if (x1z2 & 1) { re = -re; im = -im; }
+            const int64_t ip = (3 * (y1 + y2[j]) + y_out) % 4;
+            double pr, pi_;
+            switch (ip) {
+                case 0: pr = re;  pi_ = im;  break;
+                case 1: pr = -im; pi_ = re;  break;
+                case 2: pr = -re; pi_ = -im; break;
+                default: pr = im; pi_ = -re; break;
+            }
+            uint64_t h = row_hash2(xp.data(), zp.data(), W);
+            int64_t slot = (int64_t)(h & (uint64_t)mask);
+            for (;;) {
+                int64_t entry = table[slot];
+                if (entry < 0) {
+                    table[slot] = n_unique;
+                    std::memcpy(x_out + n_unique * W, xp.data(), (size_t)W * 8);
+                    std::memcpy(z_out + n_unique * W, zp.data(), (size_t)W * 8);
+                    c_out[2 * n_unique] = pr;
+                    c_out[2 * n_unique + 1] = pi_;
+                    ++n_unique;
+                    break;
+                }
+                if (std::memcmp(x_out + entry * W, xp.data(), (size_t)W * 8) == 0 &&
+                    std::memcmp(z_out + entry * W, zp.data(), (size_t)W * 8) == 0) {
+                    c_out[2 * entry] += pr;
+                    c_out[2 * entry + 1] += pi_;
+                    break;
+                }
+                slot = (slot + 1) & mask;
+            }
+        }
+    }
+    return n_unique;
+}
+
 // All-pairs Pauli product (left index outer, rows ordered i*m2 + j) with
 // phases -- the packed equivalent of np_core.multiply: output planes are
 // XORs, the coefficient picks up sign * i^{(3(y1+y2) + y_out) mod 4} with

@@ -140,3 +140,19 @@ def test_fused_nonclifford_rotate_matches_dense():
     R = scipy.linalg.expm(1j * t / 2 * qd)
     want = R @ dense_op(O) @ R.conj().T
     assert np.allclose(got, want, atol=1e-10)
+
+
+def test_fused_product_cleanup_matches_dense():
+    """multiply_cleanup_host (fused native product+dedup) vs dense oracle."""
+    from symmer_tpu.kernels import np_core
+    from ..conftest import dense_op
+
+    np.random.seed(10)
+    A = PauliwordOp.random(5, 40).cleanup()
+    B = PauliwordOp.random(5, 30).cleanup()
+    xo, zo, co = np_core.multiply_cleanup_host(
+        A.x_pack, A.z_pack, A.coeff_vec, B.x_pack, B.z_pack, B.coeff_vec,
+        1e-14,
+    )
+    got = dense_op(PauliwordOp.from_planes(xo, zo, co, 5))
+    assert np.allclose(got, dense_op(A) @ dense_op(B), atol=1e-11)
