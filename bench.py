@@ -301,12 +301,10 @@ def _host_main():
     rx = rng.integers(0, 1 << 63, (2000, W64), dtype=np.uint64)
     rz = rng.integers(0, 1 << 63, (2000, W64), dtype=np.uint64)
 
+    m4s = np.asarray([(d % 3 + 1) for d in range(2000)], np.int64)
+
     def cliff():
-        cx, cz, cc = xo_, zo_, co_
-        for d in range(2000):
-            (cx, cz, cc), _ = np_core.rotate_single(
-                cx, cz, cc, rx[d], rz[d], (d % 3 + 1) * np.pi / 2
-            )
+        cx, cz, cc = np_core.clifford_sequence(xo_, zo_, co_, rx, rz, m4s)
         diag = ~np.any(cx, axis=1)
         return cc[diag].sum()
 

@@ -559,10 +559,34 @@ def perform_rotations(
     )
     kernel_stats.record("perform_rotations", device=use_dev)
     if not use_dev:
-        for xr, zr, angle in rotations:
-            x, z, c = np_core.rotate_single_cleanup(
-                x, z, c, xr, zr, angle, zero_threshold
+        # batch consecutive Clifford runs into ONE native sequence call
+        # (term-count preserving, no intermediate cleanup); non-Clifford
+        # steps run the fused native rotate+dedup
+        i = 0
+        n_rot = len(rotations)
+        while i < n_rot:
+            m = is_clifford_angle(rotations[i][2])
+            if m is None:
+                xr, zr, angle = rotations[i]
+                x, z, c = np_core.rotate_single_cleanup(
+                    x, z, c, xr, zr, angle, zero_threshold
+                )
+                i += 1
+                continue
+            j = i
+            ms = []
+            while j < n_rot:
+                mj = is_clifford_angle(rotations[j][2])
+                if mj is None:
+                    break
+                ms.append(mj % 4)
+                j += 1
+            rx = np.asarray([rotations[k][0] for k in range(i, j)])
+            rz = np.asarray([rotations[k][1] for k in range(i, j)])
+            x, z, c = np_core.clifford_sequence(
+                x, z, c, rx, rz, np.asarray(ms, np.int64)
             )
+            i = j
         return np_core.cleanup(x, z, c, zero_threshold)
 
     Tp = _next_bucket(T)

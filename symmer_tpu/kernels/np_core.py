@@ -266,6 +266,31 @@ def rotate_single(
         ), True
 
 
+def clifford_sequence(
+    x: np.ndarray, z: np.ndarray, c: np.ndarray,
+    rx: np.ndarray, rz: np.ndarray, m4s: np.ndarray,
+) -> Planes:
+    """Apply a run of CLIFFORD rotations (pi/2 multiples ``m4s``) in one
+    native call -- the host analog of the device clifford_scan.  Falls back
+    to the per-rotation path without the native library.  Term count is
+    preserved; no cleanup is needed."""
+    try:
+        from ..native import gf2core
+    except Exception:  # pragma: no cover
+        gf2core = None
+    if gf2core is not None:
+        x_o = np.ascontiguousarray(x, np.uint64).copy()
+        z_o = np.ascontiguousarray(z, np.uint64).copy()
+        c_o = np.ascontiguousarray(c, np.complex128).copy()
+        gf2core.clifford_rotate_sequence_inplace(x_o, z_o, c_o, rx, rz, m4s)
+        return x_o, z_o, c_o
+    for d in range(len(m4s)):
+        (x, z, c), _ = rotate_single(
+            x, z, c, rx[d], rz[d], int(m4s[d]) * np.pi / 2
+        )
+    return x, z, c
+
+
 def multiply_cleanup_host(
     x1: np.ndarray, z1: np.ndarray, c1: np.ndarray,
     x2: np.ndarray, z2: np.ndarray, c2: np.ndarray,

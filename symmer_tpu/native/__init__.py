@@ -102,6 +102,11 @@ class _GF2Core:
             ctypes.c_int64, u64p, u64p, f64p,
         ]
         lib.mul_pairs_cleanup.restype = ctypes.c_int64
+        lib.clifford_rotate_sequence_inplace.argtypes = [
+            u64p, u64p, f64p, ctypes.c_int64, ctypes.c_int64,
+            u64p, u64p, i64p, ctypes.c_int64,
+        ]
+        lib.clifford_rotate_sequence_inplace.restype = None
 
     def rref_inplace(self, M: np.ndarray) -> None:
         assert M.dtype == np.uint64 and M.flags["C_CONTIGUOUS"]
@@ -125,6 +130,21 @@ class _GF2Core:
         out = np.zeros((n_cols, out_words), dtype=np.uint64)
         self._lib.transpose_bits(M, rows, in_words, n_cols, out, out_words)
         return out
+
+    def clifford_rotate_sequence_inplace(self, x, z, c, rx, rz, m4s) -> None:
+        """Apply a whole Clifford rotation sequence in one native call.
+
+        x, z: uint64 planes (modified in place); c: complex128 (in place);
+        rx, rz: (depth, W) uint64; m4s: (depth,) int64 pi/2 multiples."""
+        assert x.flags["C_CONTIGUOUS"] and z.flags["C_CONTIGUOUS"]
+        assert c.flags["C_CONTIGUOUS"] and c.dtype == np.complex128
+        n, W = x.shape
+        rx = np.ascontiguousarray(rx, np.uint64).reshape(-1, W)
+        rz = np.ascontiguousarray(rz, np.uint64).reshape(-1, W)
+        m4s = np.ascontiguousarray(m4s, np.int64)
+        self._lib.clifford_rotate_sequence_inplace(
+            x, z, c.view(np.float64), n, W, rx, rz, m4s, len(m4s)
+        )
 
     def clifford_rotate_inplace(self, x, z, c, xr, zr, m4: int) -> None:
         """In-place Clifford rotation (x, z uint64 planes; c complex128)."""

@@ -431,6 +431,23 @@ void mul_pairs(
     }
 }
 
+// Whole Clifford SEQUENCE applied in one call: depth rotations, each a
+// single Pauli (xr_d, zr_d) with pi/2 multiple m4_d, run left-to-right over
+// the same planes (the host analog of the device clifford_scan, jx_core --
+// one ctypes crossing instead of one per gate).
+void clifford_rotate_sequence_inplace(
+    uint64_t* x, uint64_t* z, double* coeffs,
+    int64_t n, int64_t W,
+    const uint64_t* rx, const uint64_t* rz, const int64_t* m4s,
+    int64_t depth
+) {
+    for (int64_t d = 0; d < depth; ++d) {
+        clifford_rotate_inplace(
+            x, z, coeffs, n, W, rx + d * W, rz + d * W, m4s[d]
+        );
+    }
+}
+
 // Qubitwise-commutation matrix on packed operands:
 // C[i,j] = 1 iff ((x1_i ^ x2_j) | (z1_i ^ z2_j)) & (x1_i | z1_i) & (x2_j | z2_j)
 // vanishes, i.e. on every qubit the terms agree or one acts trivially
