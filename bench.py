@@ -863,7 +863,12 @@ def mesh_bench():
 
     import symmer_tpu
     from symmer_tpu import PauliwordOp, QubitTapering
-    from symmer_tpu.config import config, enable_compile_cache
+    from symmer_tpu.config import config, enable_compile_cache, enable_x64
+
+    if devs[0].platform == "cpu":
+        # virtual-CPU mesh: native f64 planes (pre-empts the extended->x64
+        # fence so its warning never lands in the artifact tail)
+        enable_x64(True)
     from symmer_tpu.parallel.mesh import get_mesh
 
     enable_compile_cache(
@@ -928,6 +933,28 @@ def mesh_bench():
     solver = NoncontextualSolver(nc)
     n_free = int(np.sum(~solver.fixed_ev_mask))
     both("nu_search_brute_force", lambda: solver._brute_force_device(n_free))
+
+    # mesh-sharded exact eigensolve: the diagonal table shards over the
+    # statevector row-block axis (one tiled all-gather per matvec)
+    from symmer_tpu.kernels import jx_lanczos
+
+    np.random.seed(5)
+    lop = PauliwordOp.random(10, 80, complex_coeffs=False)
+    lop = (lop + lop.dagger).cleanup()
+    largs = (lop.x_pack, lop.z_pack, lop.coeff_vec, lop.n_qubits)
+    if jx_lanczos._mesh_ok(mesh, lop.n_qubits):
+        config.backend = "device"
+        t_single = timed(lambda: jx_lanczos.lanczos_ground_state(*largs))
+        t_mesh = timed(
+            lambda: jx_lanczos.lanczos_ground_state(*largs, mesh=mesh)
+        )
+        config.backend = "auto"
+        rows["lanczos_10q"] = (t_single, t_mesh)
+        print(
+            f"# lanczos_10q: single {t_single:.1f} ms | "
+            f"mesh[{n_dev}] {t_mesh:.1f} ms",
+            file=sys.stderr,
+        )
 
     speedups = [s / m for s, m in rows.values() if m > 0]
     print(json.dumps({

@@ -172,27 +172,6 @@ def enable_x64(enable: bool = True) -> None:
     config._x64_enabled = enable
 
 
-def _host_cache_tag() -> str:
-    """Short fingerprint of the host CPU feature set.  XLA:CPU AOT cache
-    entries are NOT keyed by machine features, so a cache written on one
-    microarchitecture loads on another with a wall of 'could lead to SIGILL'
-    error logs (and real crash risk); namespacing the cache directory by
-    this tag keeps each host's entries separate."""
-    import hashlib
-    import platform
-
-    ident = platform.machine()
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    ident += line
-                    break
-    except OSError:  # pragma: no cover
-        ident += platform.processor()
-    return hashlib.sha1(ident.encode()).hexdigest()[:10]
-
-
 def enable_compile_cache(cache_dir: str = None, min_compile_secs: float = 1.0) -> str:
     """Point JAX's persistent compilation cache at ``cache_dir`` (default
     ``~/.cache/symmer_tpu_jax``), namespaced per host fingerprint.  On
@@ -206,19 +185,22 @@ def enable_compile_cache(cache_dir: str = None, min_compile_secs: float = 1.0) -
         cache_dir = os.path.join(
             os.path.expanduser("~"), ".cache", "symmer_tpu_jax"
         )
-    # Only XLA:CPU AOT entries are machine-feature sensitive; accelerator
-    # entries stay in the shared root so warm caches survive.  The platform
-    # is read from configuration (env / jax.config), NOT jax.default_backend():
-    # that call force-initializes the backend, which would break the
-    # documented multi-host ordering (distributed_init must run before any
-    # backend initialization -- docs/scaling.md).
+    # The cache exists for ACCELERATOR compiles (a remote TPU compile of the
+    # extended-precision kernels runs minutes); XLA:CPU compiles take seconds
+    # AND the XLA:CPU AOT loader spams machine-feature error logs even for
+    # same-host entries (its validator rejects tuning pseudo-features like
+    # +prefer-no-scatter that never appear in host cpuinfo), so CPU backends
+    # skip persistence entirely.  The platform is read from configuration
+    # (env / jax.config), NOT jax.default_backend(): that call
+    # force-initializes the backend, which would break the documented
+    # multi-host ordering (distributed_init runs before any backend init).
     platforms = (
         getattr(jax.config, "jax_platforms", None)
         or os.environ.get("JAX_PLATFORMS", "")
         or ""
     )
     if platforms.split(",")[0] == "cpu":
-        cache_dir = os.path.join(cache_dir, _host_cache_tag())
+        return ""
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update(
