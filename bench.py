@@ -28,6 +28,63 @@ import time
 import numpy as np
 
 
+# Partial-result state for the SIGTERM emitter: if the driver's timeout kills
+# the bench mid-run (cold compiles through a slow tunnel can take minutes
+# each), we still emit ONE JSON line with every section that DID complete --
+# a partial TPU record beats an rc=124 artifact with no record at all.
+_PARTIAL = {"results": None, "backend": None, "path": None, "emitted": False}
+
+
+def _install_partial_emitter():
+    import signal
+
+    def _on_term(signum, frame):
+        res = _PARTIAL["results"]
+        if res and not _PARTIAL["emitted"]:
+            print(
+                f"# SIGTERM/SIGINT ({signum}) -- emitting "
+                f"{len(res)} completed metrics",
+                file=sys.stderr,
+            )
+            _emit_headline(
+                dict(res), _PARTIAL["backend"], _PARTIAL["path"],
+                interrupted=True,
+            )
+            sys.stdout.flush()
+            sys.stderr.flush()
+        os._exit(0 if res else 124)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _on_term)
+
+
+def _section_clock(n_sections):
+    """Per-section stderr telemetry + wall-clock budget.
+
+    Returns (done, over_budget): call ``done(name)`` after each section;
+    ``over_budget()`` says whether the SYMMER_BENCH_BUDGET_S envelope
+    (default 1500 s) is spent, in which case the caller should skip the
+    remaining sections and emit what it has."""
+    budget = float(os.environ.get("SYMMER_BENCH_BUDGET_S", "1500"))
+    t0 = time.perf_counter()
+    last = [t0, 0]
+
+    def done(name):
+        now = time.perf_counter()
+        last[1] += 1
+        print(
+            f"# [{last[1]}/{n_sections}] {name}: {now - last[0]:.1f}s "
+            f"(total {now - t0:.1f}s)",
+            file=sys.stderr, flush=True,
+        )
+        last[0] = now
+
+    def over_budget():
+        return time.perf_counter() - t0 > budget
+
+    return done, over_budget
+
+
 def _amortized_time(fn, fetch, K=10):
     """Per-op wall time with RPC/dispatch latency amortised out.
 
@@ -78,6 +135,31 @@ def main():
         return _host_main()
 
     results = {}
+    _PARTIAL.update(results=results, backend=dev.platform, path="device-xla")
+    _install_partial_emitter()
+    section_done, over_budget = _section_clock(5)
+    skipped = []
+
+    def finish():
+        for k, v in results.items():
+            if k.startswith("flagship"):
+                print(f"# {k}: {v:.1f} ms", file=sys.stderr)
+            else:
+                print(
+                    f"# {k}: {v:.2f} ms  (vs 1s baseline: {1000.0 / v:.1f}x)",
+                    file=sys.stderr,
+                )
+        if skipped:
+            print(f"# budget spent -- skipped sections: {skipped}",
+                  file=sys.stderr)
+        _emit_headline(results, dev.platform, path="device-xla",
+                       skipped=skipped)
+
+    def budget_spent(*remaining):
+        if over_budget():
+            skipped.extend(remaining)
+            return True
+        return False
 
     # all benchmark data is generated ON DEVICE (uploading ~100 MB of random
     # planes through a PJRT relay would dominate the wall time)
@@ -122,6 +204,9 @@ def main():
         lambda out: int(out[4]),
     )
     results["rotate_1000q_100k_terms_f32_ms"] = t_rot32 * 1e3
+    section_done("rotate (df + f32)")
+    if budget_spent("square", "clifford", "100M-qubit mul", "flagship"):
+        return finish()
 
     # ---- 2. square a 1,000-qubit, 500-term operator -----------------------
     T2 = 500
@@ -137,6 +222,9 @@ def main():
         lambda: square_and_cleanup(x2, z2, cr2, ci2), lambda out: int(out[4])
     )
     results["square_1000q_500_terms_ms"] = t_sq * 1e3
+    section_done("square")
+    if budget_spent("clifford", "100M-qubit mul", "flagship"):
+        return finish()
 
     # ---- 3. Clifford circuit expectation: 1,000 qubits, depth 2,000 -------
     depth = 2000
@@ -157,6 +245,9 @@ def main():
         lambda out: float(np.asarray(out[0]).reshape(-1)[0]),
     )
     results["clifford_1000q_depth2000_ms"] = t_cl * 1e3
+    section_done("clifford scan")
+    if budget_spent("100M-qubit mul", "flagship"):
+        return finish()
 
     # ---- 4. two 100,000,000-qubit single Pauli terms ----------------------
     Wbig = 2 * ((100_000_000 + 63) // 64)
@@ -194,30 +285,37 @@ def main():
         K=4,
     )
     results["mul_100M_qubit_single_terms_ms"] = t_big / R_CHAIN * 1e3
+    section_done("100M-qubit mul")
+    if budget_spent("flagship"):
+        return finish()
 
     # ---- 5. flagship product flow: taper + CS-VQE glue ---------------------
     for k, v in _flagship_flow_times().items():
         results[k] = v
+    section_done("flagship flows")
 
-    for k, v in results.items():
-        baseline_ms = 1000.0  # reference: ~1 s on a laptop for each op
-        if k.startswith("flagship"):
-            print(f"# {k}: {v:.1f} ms", file=sys.stderr)
-        else:
-            print(f"# {k}: {v:.2f} ms  (vs 1s baseline: {baseline_ms / v:.1f}x)", file=sys.stderr)
-
-    _emit_headline(results, jax.devices()[0].platform, path="device-xla")
+    finish()
 
 
-def _emit_headline(results: dict, backend: str, path: str) -> None:
+def _emit_headline(
+    results: dict, backend: str, path: str,
+    interrupted: bool = False, skipped=(),
+) -> None:
     """ONE JSON line on stdout carrying the headline metric AND the full
     labelled metric table + backend/precision provenance, so round-over-round
     regressions in any metric are machine-visible from the driver artifact
     (round-3 lesson: only the rotate number was parsed; the square regression
     lived in unparsed stderr text)."""
-    headline = results["rotate_1000q_100k_terms_ms"]
+    _PARTIAL["emitted"] = True
+    if "rotate_1000q_100k_terms_ms" in results:
+        headline_key = "rotate_1000q_100k_terms_ms"
+        metric_name = "nonclifford_rotation_1000q_100k_terms"
+    else:  # interrupted before section 1 finished: first completed metric
+        headline_key = next(iter(results))
+        metric_name = headline_key.removesuffix("_ms")
+    headline = results[headline_key]
     record = {
-        "metric": "nonclifford_rotation_1000q_100k_terms",
+        "metric": metric_name,
         "value": round(headline, 3),
         "unit": "ms",
         "vs_baseline": round(1000.0 / headline, 2),
@@ -238,6 +336,10 @@ def _emit_headline(results: dict, backend: str, path: str) -> None:
     }
     if backend != "tpu":
         record["tpu_unreachable"] = True
+    if interrupted:
+        record["interrupted"] = True  # killed mid-run; table is partial
+    if skipped:
+        record["sections_skipped"] = list(skipped)
     probes = os.environ.get("_SYMMER_BENCH_PROBES")
     if probes:
         try:
@@ -265,6 +367,8 @@ def _host_main():
     config.backend = "host"
     rng = np.random.default_rng(0)
     results = {}
+    _PARTIAL.update(results=results, backend="cpu", path="host-packed")
+    _install_partial_emitter()
 
     def timed(fn, reps=3):
         fn()  # warm caches/allocators (the 1-core box cold-start is 5-25x)
