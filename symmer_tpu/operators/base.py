@@ -503,6 +503,21 @@ class PauliwordOp:
     def __imul__(self, PwordOp) -> "PauliwordOp":
         return self.__mul__(PwordOp)
 
+    def __rmul__(self, mul_obj) -> "PauliwordOp":
+        # scalar * op (operators and states bind via their own __mul__;
+        # the reference supports only op * scalar)
+        if isinstance(mul_obj, Number):
+            return self.multiply_by_constant(mul_obj)
+        return NotImplemented
+
+    def __neg__(self) -> "PauliwordOp":
+        return self.multiply_by_constant(-1)
+
+    def __truediv__(self, const) -> "PauliwordOp":
+        if not isinstance(const, Number):
+            return NotImplemented
+        return self.multiply_by_constant(1.0 / const)
+
     def __pow__(self, exponent: int) -> "PauliwordOp":
         assert isinstance(exponent, int), "the exponent is not an integer"
         if exponent == 0:
@@ -1010,6 +1025,20 @@ class QuantumState:
 
     def __sub__(self, Qstate: "QuantumState") -> "QuantumState":
         return self + (Qstate * (-1))
+
+    def __rmul__(self, mul_obj):
+        # scalar * state (operator * state binds via PauliwordOp.__mul__)
+        if isinstance(mul_obj, Number):
+            return self * mul_obj
+        return NotImplemented
+
+    def __neg__(self) -> "QuantumState":
+        return self * (-1)
+
+    def __truediv__(self, const) -> "QuantumState":
+        if not isinstance(const, Number):
+            return NotImplemented
+        return self * (1.0 / const)
 
     def __mul__(self, mul_obj):
         if isinstance(mul_obj, Number):

@@ -25,6 +25,10 @@ def exact_gs_energy(
 
     (reference utils.py:14-76)  Specifying ``n_particles`` restricts to
     eigenvectors with that Hamming weight expectation under ``number_operator``.
+
+    Also accepts a ``PauliwordOp`` directly (beyond the reference surface):
+    small operators go through the sparse matrix, wide ones through the
+    matrix-free one-sparse matvec so no dense/CSR matrix is ever built.
     """
     import scipy as sp
 
@@ -32,6 +36,14 @@ def exact_gs_energy(
         n_eigs = 1
 
     from scipy.sparse.linalg import LinearOperator
+
+    if isinstance(sparse_matrix, PauliwordOp):
+        operator = sparse_matrix
+        sparse_matrix = (
+            operator.to_sparse_matrix
+            if operator.n_qubits <= 16
+            else operator.matrix_free_linear_operator()
+        )
 
     if isinstance(sparse_matrix, LinearOperator):
         eigvals, eigvecs = sp.sparse.linalg.eigsh(
@@ -251,10 +263,13 @@ def exact_lowest_states_device(
     multiplets that a single Krylov vector cannot see; ``method='block'``
     runs the band (block) recurrence instead — one pass, multiplicities
     resolved up to the pow2 block width.  ``'auto'`` (default) picks block
-    wherever coefficients run native float64 (bench --lanczos: 3.3x faster
-    warm at equal accuracy, cheap compile) and deflated restarts under
-    double-float emulation, whose long unrolled scalar chains compile
-    pathologically (ROADMAP; TPU compile cost pending measurement).
+    everywhere except double-float emulation on a CPU backend: measured on
+    one TPU v5e chip (bench --lanczos, extended precision) block wins warm
+    759 ms vs 1041 ms at identical 5e-13 accuracy with comparable compile
+    (47 s vs 40 s cold), and on CPU-f64 it wins 3.3x — but the CPU-f32 df
+    configuration compiles the unrolled scalar chains pathologically
+    (minutes; ROADMAP "Investigated and rejected"), so that one config
+    keeps deflated restarts.
     Returns (energies ascending, [QuantumState] of matching length); within
     an exactly degenerate multiplet the states are an orthonormal basis of
     the eigenspace.
@@ -264,7 +279,12 @@ def exact_lowest_states_device(
     from .kernels.dispatch import _coeff_dtype
 
     if method == "auto":
-        method = "block" if _coeff_dtype() == np.float64 else "deflate"
+        import jax
+
+        cpu_df = (
+            jax.default_backend() == "cpu" and _coeff_dtype() != np.float64
+        )
+        method = "deflate" if cpu_df else "block"
     solver = (
         jx_lanczos.lanczos_block_eigsh
         if method == "block"

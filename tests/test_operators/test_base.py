@@ -103,6 +103,16 @@ def test_add_sub_scalar():
     assert np.allclose(dense_op(sum([a, b, a])), 2 * dense_op(a) + dense_op(b))
 
 
+def test_scalar_dunders():
+    # scalar*op, -op, op/scalar (beyond the reference, which only has op*scalar)
+    a = PauliwordOp.random(3, 5)
+    assert np.allclose(dense_op((2 - 1j) * a), (2 - 1j) * dense_op(a))
+    assert np.allclose(dense_op(-a), -dense_op(a))
+    assert np.allclose(dense_op(a / 4), dense_op(a) / 4)
+    with pytest.raises(TypeError):
+        a / PauliwordOp.random(3, 2)
+
+
 def test_pow():
     a = PauliwordOp.random(3, 4)
     assert np.allclose(dense_op(a**2), dense_op(a) @ dense_op(a))

@@ -50,6 +50,17 @@ def test_add_sub_scalar():
     assert np.allclose((a * 2j).to_sparse_matrix.toarray(), 2j * va)
 
 
+def test_scalar_dunders():
+    # scalar*state, -state, state/scalar (beyond the reference surface)
+    a = QuantumState.random(3, 4)
+    va = a.to_sparse_matrix.toarray()
+    assert np.allclose(((2 - 1j) * a).to_sparse_matrix.toarray(), (2 - 1j) * va)
+    assert np.allclose((-a).to_sparse_matrix.toarray(), -va)
+    assert np.allclose((a / 4).to_sparse_matrix.toarray(), va / 4)
+    with pytest.raises(TypeError):
+        a / QuantumState.random(3, 2)
+
+
 def test_inner_product():
     a = QuantumState.haar_random(3)
     b = QuantumState.haar_random(3)

@@ -35,6 +35,19 @@ def test_exact_gs_energy_matches_dense():
     assert np.isclose(op.expval(psi.normalize), gs)
 
 
+def test_exact_gs_energy_accepts_pauliwordop():
+    # passing the operator itself routes small ops through the sparse
+    # matrix and wide ones through the matrix-free one-sparse matvec
+    op = _random_hermitian(4, 10)
+    gs_ref, _ = exact_gs_energy(op.to_sparse_matrix)
+    gs_op, psi = exact_gs_energy(op)
+    assert np.isclose(gs_op, gs_ref)
+    wide = _random_hermitian(17, 6)
+    gs_wide, _ = exact_gs_energy(wide)
+    gs_free, _ = exact_gs_energy_matrix_free(wide)
+    assert np.isclose(gs_wide, gs_free, atol=1e-8)
+
+
 def test_exact_gs_energy_matrix_free():
     op = _random_hermitian(6, 12)
     gs_dense, _ = exact_gs_energy(op.to_sparse_matrix)
