@@ -73,6 +73,16 @@ def pstrings_to_mpo(pstrings: List[str], coeffs=None, Dmax: Optional[int] = None
 pstrings_to_mpo_optimized = pstrings_to_mpo
 
 
+def pstring_to_mpo(pstring: str, scaling=None):
+    """Bond-dimension-1 MPO of a single Pauli string: one (2, 2, 1, 1)
+    site tensor per character, coefficient absorbed into the first site
+    (reference tensor_network.py:247-265)."""
+    mpo = [Paulis[p][:, :, None, None] for p in pstring]
+    if scaling is not None:
+        mpo[0] = mpo[0] * scaling
+    return mpo
+
+
 def truncated_SVD(M, Dmax=None):
     U, S, V = np.linalg.svd(M, full_matrices=False)
     if Dmax is not None and not np.isinf(Dmax) and len(S) > Dmax:

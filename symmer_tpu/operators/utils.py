@@ -77,6 +77,20 @@ def matmul_GF2(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return gf2.matmul_gf2_packed(Ap, Bp)
 
 
+def numba_binary_matmal_GF2(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """API-familiarity alias of :func:`matmul_GF2` keeping the reference's
+    public kernel name (reference operators/utils.py:29-61, numba-compiled
+    there; "matmal" is the reference's own spelling). Routes through the
+    packed-word popcount-parity matmul."""
+    return matmul_GF2(A, B)
+
+
+def numba_dot_matmal_GF2(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """API-familiarity alias of :func:`matmul_GF2` (reference
+    operators/utils.py:63-78: float dot then mod 2)."""
+    return matmul_GF2(A, B)
+
+
 # ---------------------------------------------------------------------------
 # independence / contextuality checks (reference operators/utils.py:504-616)
 # ---------------------------------------------------------------------------

@@ -26,6 +26,21 @@ def lp_norm(vector: np.ndarray, p: int = 2) -> float:
     return float(np.sum(np.abs(vector) ** p) ** (1.0 / p))
 
 
+def one_qubit_noncontextual_gs(op: PauliwordOp):
+    """Ground energy and state of a single-qubit operator (any 1-qubit
+    operator is noncontextual), by dense 2x2 diagonalisation.
+
+    The reference declares this helper with an unfinished body
+    (reference projection/utils.py:29-31, ``op.to``); the evident intent is
+    implemented here.
+    """
+    assert op.n_qubits == 1, "Operator consists of more than one qubit"
+    from ..operators import QuantumState
+
+    evals, evecs = np.linalg.eigh(op.to_dense_matrix())
+    return float(evals[0]), QuantumState.from_array(evecs[:, [0]])
+
+
 def basis_score(
     weighting_operator: PauliwordOp, basis: IndependentOp, p: int = 1
 ) -> float:
@@ -61,18 +76,23 @@ class StabilizerIdentification:
 
     def __init__(self, weighting_operator: PauliwordOp, use_X_only: bool = False) -> None:
         self.use_X_only = use_X_only
-        if use_X_only:
-            # weight by X-support alone: keep the x planes, zero the z planes
-            # (packed -- no boolean block/hstack round trip)
-            weighting_operator = PauliwordOp.from_planes(
-                weighting_operator.x_pack,
-                np.zeros_like(weighting_operator.z_pack),
-                np.abs(weighting_operator.coeff_vec),
-                weighting_operator.n_qubits,
-            ).cleanup()
         self.weighting_operator = weighting_operator
-        self.basis_weighting = weighting_operator.sort(by="magnitude")
-        self.qubit_positions = np.arange(weighting_operator.n_qubits)
+        self.build_basis_weighting_operator()
+
+    def build_basis_weighting_operator(self) -> None:
+        """(Re)derive the magnitude-sorted weighting operator; under
+        ``use_X_only`` weight by X-support alone -- keep the x planes, zero
+        the z planes (packed, no boolean block/hstack round trip)
+        (reference projection/utils.py:99-107)."""
+        if self.use_X_only:
+            self.weighting_operator = PauliwordOp.from_planes(
+                self.weighting_operator.x_pack,
+                np.zeros_like(self.weighting_operator.z_pack),
+                np.abs(self.weighting_operator.coeff_vec),
+                self.weighting_operator.n_qubits,
+            ).cleanup()
+        self.basis_weighting = self.weighting_operator.sort(by="magnitude")
+        self.qubit_positions = np.arange(self.weighting_operator.n_qubits)
         self.term_region = [0, self.basis_weighting.n_terms]
 
     def symmetry_generators_by_term_significance(self, n_preserved: int) -> IndependentOp:

@@ -54,3 +54,16 @@ def test_dmrg_be(be_fixture):
     mpo = get_MPO(H, max_bond_dimension=60)
     psi = find_groundstate_dmrg(mpo, bond_dims=[8, 16, 32], max_sweeps_per_dim=3)
     assert abs(H.expval(psi.normalize) - gs) < 1e-4
+
+
+def test_pstring_to_mpo_single_string_contraction():
+    from symmer_tpu.approximate.tensor_network import Paulis, pstring_to_mpo
+
+    mpo = pstring_to_mpo("XZY", scaling=-0.5j)
+    assert [W.shape for W in mpo] == [(2, 2, 1, 1)] * 3
+    dense = np.array([[1.0]])
+    full = 1
+    for W in mpo:
+        full = np.kron(full, W[:, :, 0, 0])
+    expected = -0.5j * np.kron(np.kron(Paulis["X"], Paulis["Z"]), Paulis["Y"])
+    assert np.allclose(full, expected)

@@ -77,3 +77,24 @@ def test_cli_vqe_random_pool(h2_json):
     assert out.returncode == 0, out.stderr
     result = json.loads(out.stdout)
     assert "vqe_energy" in result
+
+
+def test_reference_cli_compat_names(tmp_path):
+    import argparse
+
+    from symmer_tpu.command_line import (
+        check_path_to_dir,
+        check_path_to_file,
+        cli,
+        command_interface,
+    )
+
+    assert command_interface is cli
+    f = tmp_path / "x.json"
+    f.write_text("{}")
+    assert check_path_to_dir(str(tmp_path)) == str(tmp_path)
+    assert check_path_to_file(str(f)) == str(f)
+    with pytest.raises(argparse.ArgumentTypeError):
+        check_path_to_dir(str(f))
+    with pytest.raises(argparse.ArgumentTypeError):
+        check_path_to_file(str(tmp_path))

@@ -191,3 +191,18 @@ def test_prepare_chunks_parity():
     assert flat == list(range(7))
     assert len(chunks) == min(7, process.n_logical_cores)
     assert list(process.prepare_chunks([])) == []
+
+
+def test_numba_matmal_aliases_match_dense_mod2():
+    from symmer_tpu.operators.utils import (
+        numba_binary_matmal_GF2,
+        numba_dot_matmal_GF2,
+    )
+
+    rng = np.random.default_rng(7)
+    A = rng.integers(0, 2, (13, 9)).astype(bool)
+    B = rng.integers(0, 2, (9, 17)).astype(bool)
+    expected = (A.astype(int) @ B.astype(int)) % 2 == 1
+    assert np.array_equal(numba_binary_matmal_GF2(A, B), expected)
+    assert np.array_equal(numba_dot_matmal_GF2(A, B), expected)
+    assert np.array_equal(matmul_GF2(A, B), expected)

@@ -75,3 +75,26 @@ def test_noncon_generators_from_commuting_stabilizers():
     assert out.is_noncontextual
     # contains an anticommuting augmentation
     assert not np.all(out.commutes_termwise(out))
+
+
+def test_one_qubit_noncontextual_gs():
+    from symmer_tpu.projection.utils import one_qubit_noncontextual_gs
+
+    op = PauliwordOp.from_dictionary({"Z": 0.7, "X": -0.4, "I": 0.1})
+    energy, psi = one_qubit_noncontextual_gs(op)
+    evals = np.linalg.eigvalsh(op.to_dense_matrix())
+    assert np.isclose(energy, evals[0])
+    assert np.isclose(float(np.real(op.expval(psi))), evals[0])
+    with pytest.raises(AssertionError):
+        one_qubit_noncontextual_gs(PauliwordOp.from_list(["ZZ"]))
+
+
+def test_build_basis_weighting_operator_recallable():
+    H = PauliwordOp.random(5, 14).cleanup()
+    SI = StabilizerIdentification(H, use_X_only=True)
+    # X-only weighting zeroes every Z plane and takes |coeff|
+    assert not SI.weighting_operator.z_pack.any()
+    assert np.all(SI.weighting_operator.coeff_vec.real >= 0)
+    before = SI.basis_weighting.n_terms
+    SI.build_basis_weighting_operator()  # idempotent re-derivation
+    assert SI.basis_weighting.n_terms == before
