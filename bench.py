@@ -479,21 +479,28 @@ def _flagship_flow_times():
     H_big = _synthetic_taper_operator()
     ref_state = np.zeros(H_big.n_qubits, dtype=int)
 
+    def best_of(flow, n=3):
+        # best-of-n: a single timed run is exposed to transient process
+        # noise (a cold first bench invocation once recorded 269 ms for a
+        # flow that steady-states at 54 ms -- background compile-cache
+        # writes from the earlier sections were still flushing)
+        flow()  # warm the compile caches
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            flow()
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
     def taper_flow():
         qt = QubitTapering(H_big)
         return qt.taper_it(ref_state=ref_state)
 
-    taper_flow()  # warm the compile caches
-    t0 = time.perf_counter()
-    taper_flow()
-    out["flagship_taper_100q_50k_terms_ms"] = (time.perf_counter() - t0) * 1e3
+    out["flagship_taper_100q_50k_terms_ms"] = best_of(taper_flow)
     old_backend = config.backend
     try:
         config.backend = "host"
-        taper_flow()
-        t0 = time.perf_counter()
-        taper_flow()
-        out["flagship_taper_hostpath_ms"] = (time.perf_counter() - t0) * 1e3
+        out["flagship_taper_hostpath_ms"] = best_of(taper_flow)
     finally:
         config.backend = old_backend
 
@@ -514,10 +521,7 @@ def _flagship_flow_times():
             cs.update_stabilizers(3, strategy="aux_preserving")
             return cs.project_onto_subspace()
 
-        cs_vqe_flow()
-        t0 = time.perf_counter()
-        cs_vqe_flow()
-        out["flagship_cs_vqe_Be_ms"] = (time.perf_counter() - t0) * 1e3
+        out["flagship_cs_vqe_Be_ms"] = best_of(cs_vqe_flow)
     return out
 
 
