@@ -172,13 +172,30 @@ def enable_x64(enable: bool = True) -> None:
     config._x64_enabled = enable
 
 
+def _accelerator_plugin_registered() -> bool:
+    """Whether a non-CPU PJRT backend factory is registered, WITHOUT
+    initializing any backend (plugin registration -- e.g. a sitecustomize
+    hook loading a TPU plugin -- populates the factory table at import time;
+    initialization only happens on first use).  Conservatively True when the
+    registry is unreadable."""
+    try:
+        from jax._src import xla_bridge
+
+        return any(
+            name not in ("cpu", "interpreter")
+            for name in xla_bridge._backend_factories
+        )
+    except Exception:
+        return True
+
+
 def enable_compile_cache(cache_dir: str = None, min_compile_secs: float = 1.0) -> str:
     """Point JAX's persistent compilation cache at ``cache_dir`` (default
-    ``~/.cache/symmer_tpu_jax``), namespaced per host fingerprint.  On
+    ``~/.cache/symmer_tpu_jax``); no-op on CPU-only processes.  On
     remote-attached TPUs a cold compile of the extended-precision kernels
     runs minutes; with the cache enabled every subsequent process starts
-    warm.  Returns the directory used.  Safe to call at any time (affects
-    compiles traced afterwards)."""
+    warm.  Returns the directory used ('' when skipped).  Safe to call at
+    any time (affects compiles traced afterwards)."""
     import jax
 
     if cache_dir is None:
@@ -200,6 +217,10 @@ def enable_compile_cache(cache_dir: str = None, min_compile_secs: float = 1.0) -
         or ""
     )
     if platforms.split(",")[0] == "cpu":
+        return ""
+    if not platforms and not _accelerator_plugin_registered():
+        # nothing configured AND no accelerator plugin registered: this is a
+        # plain CPU-only process -- same skip as an explicit 'cpu' config
         return ""
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -110,8 +110,15 @@ def _jitted(exact: bool = False):
     }
 
 
-def _coeff_dtype():
+def _coeff_dtype(allow_upgrade: bool = True):
     """Device float dtype for coefficient planes.
+
+    ``allow_upgrade=False`` makes this a PURE query: it reports the dtype
+    the CPU-extended fence WILL select without flipping the process-global
+    ``jax_enable_x64`` itself -- for read-only probes (e.g. solver
+    selection) that must not mutate precision state; the effectful upgrade
+    then happens at the first real kernel dispatch.  Do not build device
+    arrays from a pure-query result.
 
     float64 iff x64 is enabled AND the backend supports it: XLA TPU rewrites
     every 64-bit element type to 32-bit pairs and has no lowering for the
@@ -137,6 +144,8 @@ def _coeff_dtype():
             # floors df_mul at ~1e-7 and long df chains compile superlinearly
             # (jx_df docstring).  Fence the production-default config by
             # auto-upgrading to x64; 'f32' precision is honoured as asked.
+            if not allow_upgrade:
+                return np.float64
             global _WARNED_CPU_X64_UPGRADE
             if not _WARNED_CPU_X64_UPGRADE:
                 import warnings
@@ -489,33 +498,50 @@ def is_clifford_angle(angle, tol: float = None):
     return m if abs(m - multiple) <= tol else None
 
 
-def segment_rotations(rotations):
-    """Yield maximal Clifford runs and non-Clifford singles, in order:
-    ('clifford', rx_rows_u32, rz_rows_u32, multiples_i32) /
-    ('nonclifford', xr, zr, angle).  The ONE segmentation shared by the
-    single-device loop and the mesh driver — keeping two copies of this
-    while-loop desynchronised them in the past."""
+def segment_rotation_indices(rotations):
+    """Yield ('clifford', i, j, multiples) index ranges for maximal Clifford
+    runs and ('nonclifford', k, None, None) singles, in order.  The ONE
+    run-breaking rule shared by the single-device loop, the mesh driver and
+    the packed-host path (packing is done by each consumer) — keeping
+    multiple copies of this while-loop desynchronised them in the past."""
     i, n = 0, len(rotations)
     while i < n:
         if is_clifford_angle(rotations[i][2]) is not None:
-            j, ms, rxs, rzs = i, [], [], []
+            j, ms = i, []
             while j < n:
                 mj = is_clifford_angle(rotations[j][2])
                 if mj is None:
                     break
-                rxs.append(pack.to_u32(rotations[j][0].reshape(1, -1))[0])
-                rzs.append(pack.to_u32(rotations[j][1].reshape(1, -1))[0])
                 ms.append(mj)
                 j += 1
+            yield ("clifford", i, j, ms)
+            i = j
+        else:
+            yield ("nonclifford", i, None, None)
+            i += 1
+
+
+def segment_rotations(rotations):
+    """Device-packed view of :func:`segment_rotation_indices`:
+    ('clifford', rx_rows_u32, rz_rows_u32, multiples_i32) /
+    ('nonclifford', xr, zr, angle)."""
+    for kind, i, j, ms in segment_rotation_indices(rotations):
+        if kind == "clifford":
             yield (
                 "clifford",
-                np.array(rxs), np.array(rzs), np.array(ms, np.int32),
+                np.array([
+                    pack.to_u32(rotations[k][0].reshape(1, -1))[0]
+                    for k in range(i, j)
+                ]),
+                np.array([
+                    pack.to_u32(rotations[k][1].reshape(1, -1))[0]
+                    for k in range(i, j)
+                ]),
+                np.array(ms, np.int32),
             )
-            i = j
         else:
             xr, zr, angle = rotations[i]
             yield ("nonclifford", xr, zr, angle)
-            i += 1
 
 
 def perform_rotations(
@@ -561,32 +587,21 @@ def perform_rotations(
     if not use_dev:
         # batch consecutive Clifford runs into ONE native sequence call
         # (term-count preserving, no intermediate cleanup); non-Clifford
-        # steps run the fused native rotate+dedup
-        i = 0
-        n_rot = len(rotations)
-        while i < n_rot:
-            m = is_clifford_angle(rotations[i][2])
-            if m is None:
+        # steps run the fused native rotate+dedup.  Run-breaking rule shared
+        # with the device/mesh paths via segment_rotation_indices.
+        for kind, i, j, ms in segment_rotation_indices(rotations):
+            if kind == "nonclifford":
                 xr, zr, angle = rotations[i]
                 x, z, c = np_core.rotate_single_cleanup(
                     x, z, c, xr, zr, angle, zero_threshold
                 )
-                i += 1
-                continue
-            j = i
-            ms = []
-            while j < n_rot:
-                mj = is_clifford_angle(rotations[j][2])
-                if mj is None:
-                    break
-                ms.append(mj % 4)
-                j += 1
-            rx = np.asarray([rotations[k][0] for k in range(i, j)])
-            rz = np.asarray([rotations[k][1] for k in range(i, j)])
-            x, z, c = np_core.clifford_sequence(
-                x, z, c, rx, rz, np.asarray(ms, np.int64)
-            )
-            i = j
+            else:
+                rx = np.asarray([rotations[k][0] for k in range(i, j)])
+                rz = np.asarray([rotations[k][1] for k in range(i, j)])
+                x, z, c = np_core.clifford_sequence(
+                    x, z, c, rx, rz,
+                    np.asarray([m % 4 for m in ms], np.int64),
+                )
         return np_core.cleanup(x, z, c, zero_threshold)
 
     Tp = _next_bucket(T)

@@ -123,21 +123,26 @@ def termwise_expval(
     if M == 0 or s.shape[0] == 0:
         return np.zeros(M, complex)
 
-    # structured row view: used for the dedup below and the sorted join
+    # structured row view: used for the sorted join and the dedup below
     def _row_view(a):
         a = np.ascontiguousarray(a)
         return a.view([("", a.dtype)] * a.shape[1]).ravel()
 
-    # collapse duplicate basis rows first (summing amplitudes): the sorted
-    # join below matches each target against ONE occurrence of a basis row,
-    # so a non-canonical state with repeated rows would be undercounted
-    uniq, inv = np.unique(_row_view(s), return_inverse=True)
-    if len(uniq) != s.shape[0]:
-        amp_sum = np.zeros(len(uniq), dtype=complex)
-        np.add.at(amp_sum, inv, amp)
-        first = np.zeros(len(uniq), dtype=np.int64)
-        first[inv[::-1]] = np.arange(s.shape[0] - 1, -1, -1)
-        s, amp = s[first], amp_sum
+    sv = _row_view(s)
+    order = np.argsort(sv)
+    sv_sorted = sv[order]
+    # collapse duplicate basis rows (summing amplitudes): the sorted join
+    # below matches each target against ONE occurrence of a basis row, so a
+    # non-canonical state with repeated rows would be undercounted.
+    # Duplicate detection rides the join's own sort -- the common canonical
+    # case pays one adjacent-equality scan, not a second O(B log B) unique()
+    dup = sv_sorted[1:] == sv_sorted[:-1]
+    if dup.any():
+        starts = np.flatnonzero(np.concatenate(([True], ~dup)))
+        amp = np.add.reduceat(amp[order], starts)
+        s = s[order[starts]]  # representatives, already in sorted order
+        sv_sorted = sv_sorted[starts]
+        order = np.arange(starts.shape[0])
     B = s.shape[0]
 
     y_cnt = np.bitwise_count(x & z).sum(axis=1).astype(np.int64)
@@ -150,10 +155,7 @@ def termwise_expval(
 
     # match target rows against the support via a sorted structured-view join
     # (vectorised; the former per-(term, row) dict loop was O(M B) interpreted
-    # iterations)
-    sv = _row_view(s)
-    order = np.argsort(sv)
-    sv_sorted = sv[order]
+    # iterations) -- sv_sorted/order computed above, shared with the dedup
     tv = _row_view(targets)
     pos = np.searchsorted(sv_sorted, tv)
     pos_c = np.minimum(pos, B - 1)

@@ -22,10 +22,13 @@ _LIB = os.path.join(_HERE, "libgf2core.so")
 def _build() -> bool:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return True
-    # compile to a per-process temp name and rename into place: POSIX rename
-    # is atomic, so concurrent builders (pytest-xdist, multi-host launches on
-    # a shared filesystem) never dlopen a partially written .so
-    tmp = f"{_LIB}.{os.getpid()}"
+    # compile to a unique temp name and rename into place: POSIX rename is
+    # atomic, so concurrent builders (pytest-xdist, multi-host launches on a
+    # shared filesystem) never dlopen a partially written .so.  uuid4 rather
+    # than pid: pids collide ACROSS hosts on a shared filesystem
+    import uuid
+
+    tmp = f"{_LIB}.{uuid.uuid4().hex}"
     try:
         subprocess.run(
             # -ffp-contract=off: g++ -O3 contracts a*b-c*d into FMA, which

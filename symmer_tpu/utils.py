@@ -282,7 +282,10 @@ def exact_lowest_states_device(
         import jax
 
         cpu_df = (
-            jax.default_backend() == "cpu" and _coeff_dtype() != np.float64
+            jax.default_backend() == "cpu"
+            # pure query: solver selection must not flip jax_enable_x64
+            # itself; the fence fires at the solve's first kernel dispatch
+            and _coeff_dtype(allow_upgrade=False) != np.float64
         )
         method = "deflate" if cpu_df else "block"
     solver = (
