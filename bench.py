@@ -756,6 +756,179 @@ def check():
     return 1 if failures else 0
 
 
+def fuzz():
+    """Time-budgeted randomized device-vs-host parity fuzz on the live chip.
+
+    ``--check`` compares a FIXED operator set; this mode draws fresh random
+    shapes, densities, rotation mixes and planted-symmetry tapers every trial
+    and compares the production device dispatch (extended precision) against
+    the host packed-f64 oracle.  Shapes are drawn bucket-friendly (the
+    dispatch layer pow2-buckets the term axis) so compile cost amortises and
+    the budget is spent executing, not tracing.
+
+    Usage: ``python bench.py --fuzz [budget_seconds] [seed]``
+    (defaults: 600 s, a fresh seed printed for reproduction).
+    """
+    import jax
+
+    from symmer_tpu.config import enable_compile_cache
+
+    enable_compile_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    )
+
+    from symmer_tpu import PauliwordOp, QuantumState, QubitTapering
+    from symmer_tpu.config import config
+
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    budget_s = float(argv[0]) if argv else 600.0
+    seed = int(argv[1]) if len(argv) > 1 else int.from_bytes(os.urandom(4), "little")
+    rng = np.random.default_rng(seed)
+
+    dev = jax.devices()[0]
+    print(f"# fuzz backend: {dev.platform} ({dev}), budget {budget_s:.0f}s, "
+          f"seed {seed}", file=sys.stderr)
+
+    RTOL = 1e-11  # extended-precision bar (check() observes 1e-13..1e-15)
+
+    def dicts_close(a, b, drop_below=0.0):
+        """Compare term dicts; symmetric-difference terms are failures unless
+        they sit at/below a zero-threshold boundary (|c| <= drop_below)."""
+        da, db = a.to_dictionary, b.to_dictionary
+        scale = max((abs(v) for v in db.values()), default=1.0)
+        bad_sym = [k for k in set(da) ^ set(db)
+                   if abs(da.get(k, db.get(k, 0))) > max(drop_below * 1.01,
+                                                         RTOL * scale)]
+        if bad_sym:
+            worst = max(abs(da.get(k, db.get(k, 0))) for k in bad_sym)
+            return False, 0.0, f"{len(bad_sym)} terms differ (worst |c|={worst:.2e})"
+        err = max((abs(da[k] - db[k]) for k in set(da) & set(db)), default=0.0)
+        return err <= RTOL * scale, err / scale, f"max|dc|/scale={err / scale:.2e}"
+
+    # bucket-friendly shape pools: W in {1, 2} plus the 100q flagship width;
+    # term counts land in a handful of pow2 dispatch buckets
+    NQ_POOL = [9, 23, 47, 64, 100, 128]
+    T_POOL = [60, 200, 700, 1500, 3000, 6000]
+
+    def rand_op(nq, T, dup_frac=0.0, cancel=False):
+        dens = float(rng.uniform(0.1, 0.7))
+        op = PauliwordOp.random(nq, T, density=dens)
+        op.coeff_vec[:] = rng.normal(size=T) + 1j * rng.normal(size=T)
+        if dup_frac > 0:
+            k = max(1, int(T * dup_frac))
+            src = rng.integers(0, T, k)
+            dup = PauliwordOp.from_planes(
+                op.x_pack[src].copy(), op.z_pack[src].copy(),
+                (-op.coeff_vec[src] if cancel
+                 else op.coeff_vec[src] * rng.normal(size=k)), nq)
+            op = op.append(dup)
+        return op
+
+    def run_both(flow):
+        config.backend = "host"
+        host = flow()
+        config.backend = "device"
+        config.device_precision = "extended"
+        try:
+            devr = flow()
+        finally:
+            config.backend = "auto"
+        return host, devr
+
+    def trial_cleanup():
+        nq = int(rng.choice(NQ_POOL)); T = int(rng.choice(T_POOL))
+        op = rand_op(nq, T, dup_frac=float(rng.uniform(0.2, 1.0)),
+                     cancel=bool(rng.random() < 0.3))
+        host, devr = run_both(op.cleanup)
+        return dicts_close(devr, host)
+
+    def trial_multiply():
+        nq = int(rng.choice(NQ_POOL))
+        a = rand_op(nq, int(rng.choice(T_POOL)))
+        b = rand_op(nq, int(rng.choice([20, 60, 200])))
+        thr = 1e-6
+        host, devr = run_both(lambda: a.__mul__(b, zero_threshold=thr))
+        return dicts_close(devr, host, drop_below=thr)
+
+    def trial_rotations():
+        nq = int(rng.choice(NQ_POOL)); T = int(rng.choice(T_POOL))
+        op = rand_op(nq, T, dup_frac=0.3)
+        R = int(rng.choice([6, 12]))
+        rots = []
+        for k in range(R):
+            p = PauliwordOp.random(nq, 1)
+            p.coeff_vec[:] = 1
+            rots.append((p, None if rng.random() < 0.5
+                         else float(rng.uniform(-3.0, 3.0))))
+        host, devr = run_both(lambda: op.perform_rotations(rots))
+        return dicts_close(devr, host)
+
+    def trial_taper():
+        nq = int(rng.choice([32, 64])); n_sym = int(rng.choice([2, 3, 4]))
+        H = _synthetic_taper_operator(n_qubits=nq,
+                                      n_terms=int(rng.choice([2000, 8000])),
+                                      n_sym=n_sym,
+                                      seed=int(rng.integers(0, 2**31)))
+        ref = np.zeros(nq, dtype=int)
+        host, devr = run_both(lambda: QubitTapering(H).taper_it(ref_state=ref))
+        return dicts_close(devr, host)
+
+    def trial_expval():
+        nq = int(rng.choice(NQ_POOL)); B = int(rng.choice([16, 64]))
+        psi = QuantumState.random(nq, B)
+        s = psi._s_pack
+        hop = rng.integers(0, len(s), (48, 2))
+        xe = np.vstack([np.zeros((16, s.shape[1]), np.uint64),
+                        s[hop[:, 0]] ^ s[hop[:, 1]]])
+        ze = PauliwordOp.random(nq, 64, density=0.3).z_pack
+        op = PauliwordOp.from_planes(
+            xe, ze, rng.normal(size=64) + 1j * rng.normal(size=64), nq)
+        host, devr = run_both(lambda: op.expval(psi))
+        err = abs(devr - host) / max(abs(host), 1e-12)
+        return err <= 1e-4, float(err), f"rel_err={err:.2e}"
+
+    trials = {"cleanup": trial_cleanup, "multiply": trial_multiply,
+              "rotations": trial_rotations, "taper": trial_taper,
+              "expval": trial_expval}
+    counts = {k: 0 for k in trials}
+    worst = {k: 0.0 for k in trials}
+    failures = []
+
+    t0 = time.perf_counter()
+    # one warm-up per scenario first so the budget isn't all compiles
+    order = list(trials) * 10_000
+    for i, name in enumerate(order):
+        if i >= len(trials) and time.perf_counter() - t0 > budget_s:
+            break
+        ok, err, msg = trials[name]()
+        counts[name] += 1
+        worst[name] = max(worst[name], err)
+        if not ok:
+            failures.append(f"{name}[{counts[name]}]: {msg}")
+            print(f"# FAIL {name} trial {counts[name]}: {msg} (seed {seed})",
+                  file=sys.stderr)
+    elapsed = time.perf_counter() - t0
+
+    n = sum(counts.values())
+    print(f"# fuzz: {n} trials in {elapsed:.0f}s, {len(failures)} failures; "
+          f"worst rel err per kernel: "
+          + ", ".join(f"{k}={v:.2e}" for k, v in worst.items()),
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "fuzz_parity_failures",
+        "value": len(failures),
+        "unit": f"failures/{n} trials",
+        "vs_baseline": 1.0 if not failures else 0.0,
+        "backend": dev.platform,
+        "seed": seed,
+        "elapsed_s": round(elapsed, 1),
+        "trials": counts,
+        "worst_rel_err": {k: float(f"{v:.3e}") for k, v in worst.items()},
+        "failed": failures[:20],
+    }))
+    return 1 if failures else 0
+
+
 def sweep():
     """Term-count scaling sweep of the fused rotate+cleanup kernel.
 
@@ -1192,6 +1365,8 @@ if __name__ == "__main__":
     _ensure_live_backend()
     if "--check" in sys.argv:
         sys.exit(check())
+    if "--fuzz" in sys.argv:
+        sys.exit(fuzz())
     if "--sweep" in sys.argv:
         sys.exit(sweep())
     if "--lanczos" in sys.argv:

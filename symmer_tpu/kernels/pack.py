@@ -105,10 +105,17 @@ def select_columns(p: np.ndarray, keep_mask: np.ndarray) -> np.ndarray:
     out = np.zeros((T, Wout), np.uint64)
     if n_keep == 0 or T == 0:
         return out
-    bytes_in = p.view(np.uint8).reshape(T, W * 8)
     mask_bits = np.zeros(W * 64, bool)
     mask_bits[:nq] = keep_mask
     mask_bytes = np.packbits(mask_bits, bitorder="little")  # (W * 8,)
+    try:
+        from ..native import gf2core
+    except Exception:  # pragma: no cover
+        gf2core = None
+    if gf2core is not None:
+        # one BMI2 PEXT per (row, word) instead of 16 byte-LUT passes
+        return gf2core.select_columns(p, mask_bytes.view(np.uint64), Wout)
+    bytes_in = p.view(np.uint8).reshape(T, W * 8)
     offs = 0
     for k in range(W * 8):
         mb = int(mask_bytes[k])

@@ -6,7 +6,7 @@
 // Here both are replaced by C++ operating directly on the bit-packed uint64
 // planes (64 qubits per word), exposed through ctypes (see __init__.py).
 //
-// Build: g++ -O3 -shared -fPIC gf2core.cpp -o libgf2core.so
+// Build: g++ -O3 -ffp-contract=off -march=native -shared -fPIC gf2core.cpp -o libgf2core-<cpu-key>.so
 
 #include <cstdint>
 #include <cstring>
@@ -526,6 +526,52 @@ void transpose_bits(
             for (int64_t j = 0; j < cn; ++j) {
                 out[(cb + j) * out_words + rb / 64] = block[j];
             }
+        }
+    }
+}
+
+#if defined(__BMI2__)
+#include <immintrin.h>
+static inline uint64_t pext64(uint64_t v, uint64_t m) { return _pext_u64(v, m); }
+#else
+// software parallel-extract: walk the set bits of the mask
+static inline uint64_t pext64(uint64_t v, uint64_t m) {
+    uint64_t out = 0;
+    for (int j = 0; m; ++j, m &= m - 1) {
+        if (v & (m & (~m + 1ULL))) out |= 1ULL << j;
+    }
+    return out;
+}
+#endif
+
+// Packed bit-column selection (the host analog of kernels/pack.py
+// select_columns): keep the bit columns where the packed keep-mask is set,
+// compacted LSB-first.  One PEXT per (row, word) on BMI2 hardware replaces
+// the python byte-LUT passes; the projection layer's qubit deletion
+// (cf. symmer S3Projection _perform_projection, projection/base.py:62-93)
+// runs at memory speed.
+//   in   : (T, W) packed rows;  masks: (W,) keep-mask words, LSB-first
+//   out  : (T, W_out) pre-zeroed, W_out >= ceil(popcount(masks)/64)
+void select_columns(
+    const uint64_t* in, int64_t T, int64_t W,
+    const uint64_t* masks, uint64_t* out, int64_t W_out
+) {
+    std::vector<int64_t> width(W), base(W);
+    int64_t offs = 0;
+    for (int64_t k = 0; k < W; ++k) {
+        width[k] = __builtin_popcountll(masks[k]);
+        base[k] = offs;
+        offs += width[k];
+    }
+    for (int64_t t = 0; t < T; ++t) {
+        const uint64_t* row = in + t * W;
+        uint64_t* orow = out + t * W_out;
+        for (int64_t k = 0; k < W; ++k) {
+            if (!masks[k]) continue;
+            const uint64_t vals = pext64(row[k], masks[k]);
+            const int64_t w = base[k] >> 6, b = base[k] & 63;
+            orow[w] |= vals << b;
+            if (b + width[k] > 64) orow[w + 1] |= vals >> (64 - b);
         }
     }
 }

@@ -256,6 +256,24 @@ def test_select_columns_matches_boolean_slice():
         assert pack.select_columns(p, np.zeros(nq, bool)).shape == (T, 1)
 
 
+def test_select_columns_numpy_fallback_matches_native(monkeypatch):
+    """The byte-LUT numpy branch (hosts without a C++ toolchain) must agree
+    bit-for-bit with the native PEXT kernel."""
+    import symmer_tpu.native as native
+    from symmer_tpu.kernels import pack
+
+    rng = np.random.default_rng(5)
+    cases = []
+    for nq, T in [(9, 12), (64, 30), (100, 64), (200, 17), (513, 5)]:
+        p = pack.pack_bits(rng.random((T, nq)) < 0.5, nq)
+        keep = rng.random(nq) < rng.random()
+        cases.append((p, keep, pack.select_columns(p, keep)))
+
+    monkeypatch.setattr(native, "gf2core", None)
+    for p, keep, want in cases:
+        assert np.array_equal(pack.select_columns(p, keep), want)
+
+
 def test_exact_cleanup_keys_wired_and_matches():
     """Regression (review finding): config.exact_cleanup_keys was a dead
     knob — no dispatch path passed exact=True.  With plain (non-df)
