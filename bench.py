@@ -109,6 +109,30 @@ def _amortized_time(fn, fetch, K=10):
     return max((tK - t1) / (K - 1), 1e-9)
 
 
+def _honour_platform_env():
+    """Re-select the backend named by JAX_PLATFORMS.
+
+    A sitecustomize hook can pre-register an accelerator platform before this
+    process ever sees the env var, in which case ``JAX_PLATFORMS=cpu python
+    bench.py --fuzz`` would silently run on the accelerator anyway.  Called at
+    the top of every bench entry point.
+    """
+    import jax
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if not want:
+        return
+    try:
+        if jax.default_backend() != want.split(",")[0]:
+            jax.config.update("jax_platforms", want)
+            import jax.extend.backend as _jeb
+
+            _jeb.clear_backends()
+    except Exception as exc:
+        print(f"# warning: could not honour JAX_PLATFORMS={want}: {exc!r}",
+              file=sys.stderr)
+
+
 def main():
     import jax
 
@@ -556,6 +580,8 @@ def check():
     """
     import jax
 
+    _honour_platform_env()
+
     from symmer_tpu.config import enable_compile_cache
 
     enable_compile_cache(
@@ -771,6 +797,8 @@ def fuzz():
     """
     import jax
 
+    _honour_platform_env()
+
     from symmer_tpu.config import enable_compile_cache
 
     enable_compile_cache(
@@ -887,9 +915,33 @@ def fuzz():
         err = abs(devr - host) / max(abs(host), 1e-12)
         return err <= 1e-4, float(err), f"rel_err={err:.2e}"
 
+    def trial_apply_state():
+        # state kernels carry plain-f32 amplitudes (cf. check()'s STATE_RTOL)
+        nq = int(rng.choice(NQ_POOL)); B = int(rng.choice([16, 64]))
+        psi = QuantumState.random(nq, B)
+        s = psi._s_pack
+        hop = rng.integers(0, len(s), (48, 2))
+        xe = np.vstack([np.zeros((16, s.shape[1]), np.uint64),
+                        s[hop[:, 0]] ^ s[hop[:, 1]]])
+        ze = PauliwordOp.random(nq, 64, density=0.3).z_pack
+        op = PauliwordOp.from_planes(
+            xe, ze, rng.normal(size=64) + 1j * rng.normal(size=64), nq)
+        host, devr = run_both(lambda: op * psi)
+        da = dict(zip((r.tobytes() for r in host._s_pack), host._amps))
+        db = dict(zip((r.tobytes() for r in devr._s_pack), devr._amps))
+        scale = max((abs(v) for v in da.values()), default=1.0)
+        tol = 1e-4 * scale
+        bad = [k for k in set(da) ^ set(db)
+               if abs(da.get(k, db.get(k, 0))) > tol]
+        if bad:
+            worst = max(abs(da.get(k, db.get(k, 0))) for k in bad)
+            return False, 0.0, f"{len(bad)} basis rows differ (worst |a|={worst:.2e})"
+        err = max((abs(da[k] - db[k]) for k in set(da) & set(db)), default=0.0)
+        return err <= tol, err / scale, f"max|da|/scale={err / scale:.2e}"
+
     trials = {"cleanup": trial_cleanup, "multiply": trial_multiply,
               "rotations": trial_rotations, "taper": trial_taper,
-              "expval": trial_expval}
+              "expval": trial_expval, "apply_state": trial_apply_state}
     counts = {k: 0 for k in trials}
     worst = {k: 0.0 for k in trials}
     failures = []
@@ -937,6 +989,8 @@ def sweep():
     regresses the small-operator dispatch).  Prints one table row per size.
     """
     import jax
+
+    _honour_platform_env()
 
     from symmer_tpu.config import enable_compile_cache
 
@@ -990,18 +1044,7 @@ def lanczos_bench():
     """
     import jax
 
-    # honour JAX_PLATFORMS even if a sitecustomize hook pre-registered a TPU
-    # platform before this process saw the env var
-    want = os.environ.get("JAX_PLATFORMS", "")
-    if want:
-        try:
-            if jax.default_backend() != want.split(",")[0]:
-                jax.config.update("jax_platforms", want)
-                import jax.extend.backend as _jeb
-
-                _jeb.clear_backends()
-        except Exception:
-            pass
+    _honour_platform_env()
 
     from symmer_tpu.config import enable_compile_cache
 
@@ -1114,18 +1157,7 @@ def mesh_bench():
     """
     import jax
 
-    # honour JAX_PLATFORMS even if a sitecustomize hook pre-registered a TPU
-    # platform before this process saw the env var
-    want = os.environ.get("JAX_PLATFORMS", "")
-    if want:
-        try:
-            if jax.default_backend() != want.split(",")[0]:
-                jax.config.update("jax_platforms", want)
-                import jax.extend.backend as _jeb
-
-                _jeb.clear_backends()
-        except Exception:
-            pass
+    _honour_platform_env()
 
     devs = jax.devices()
     n_dev = 1 << (len(devs).bit_length() - 1)  # largest power of two
