@@ -853,6 +853,7 @@ def fuzz():
         return op
 
     def run_both(flow):
+        prev_precision = config.device_precision
         config.backend = "host"
         host = flow()
         config.backend = "device"
@@ -861,6 +862,7 @@ def fuzz():
             devr = flow()
         finally:
             config.backend = "auto"
+            config.device_precision = prev_precision
         return host, devr
 
     def trial_cleanup():

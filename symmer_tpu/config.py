@@ -176,17 +176,35 @@ def _accelerator_plugin_registered() -> bool:
     """Whether a non-CPU PJRT backend factory is registered, WITHOUT
     initializing any backend (plugin registration -- e.g. a sitecustomize
     hook loading a TPU plugin -- populates the factory table at import time;
-    initialization only happens on first use).  Conservatively True when the
-    registry is unreadable."""
+    initialization only happens on first use).
+
+    Primary probe is the factory registry (private: ``jax._src.xla_bridge.
+    _backend_factories``; its presence is pinned by
+    tests/test_io_profiling.py::test_accelerator_probe_attribute so a JAX
+    rename fails loudly in CI instead of silently changing behaviour).  If
+    the attribute ever disappears, fall back to PUBLIC signals only --
+    installed ``jax_plugins`` entry points or a non-CPU ``JAX_PLATFORMS`` --
+    so plain CPU processes keep the compile cache (and its AOT-loader log
+    spam) disabled rather than conservatively re-enabling it."""
     try:
         from jax._src import xla_bridge
 
+        factories = xla_bridge._backend_factories
+    except (ImportError, AttributeError):
+        factories = None
+    if factories is not None:
         return any(
-            name not in ("cpu", "interpreter")
-            for name in xla_bridge._backend_factories
+            name not in ("cpu", "interpreter") for name in factories
         )
+    try:
+        from importlib.metadata import entry_points
+
+        if list(entry_points(group="jax_plugins")):
+            return True
     except Exception:
-        return True
+        pass
+    want = os.environ.get("JAX_PLATFORMS", "")
+    return any(p and p not in ("cpu", "interpreter") for p in want.split(","))
 
 
 def enable_compile_cache(cache_dir: str = None, min_compile_secs: float = 1.0) -> str:

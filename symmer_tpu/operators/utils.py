@@ -87,8 +87,10 @@ def numba_binary_matmal_GF2(A: np.ndarray, B: np.ndarray) -> np.ndarray:
 
 def numba_dot_matmal_GF2(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     """API-familiarity alias of :func:`matmul_GF2` (reference
-    operators/utils.py:63-78: float dot then mod 2)."""
-    return matmul_GF2(A, B)
+    operators/utils.py:63-78: float dot then mod 2).  The reference variant
+    returns a NUMERIC array (float dot taken mod 2), so the alias casts the
+    packed boolean result to int to keep downstream dtype arithmetic intact."""
+    return matmul_GF2(A, B).astype(int)
 
 
 # ---------------------------------------------------------------------------

@@ -32,3 +32,14 @@ def test_kernel_stats_counts():
         _ = a + b
     assert kernel_stats.timings["section"] > 0
     assert "multiply" in kernel_stats.summary()
+
+
+def test_accelerator_probe_attribute():
+    # Pins the private attribute _accelerator_plugin_registered probes
+    # (symmer_tpu/config.py): a JAX-internal rename must fail HERE, loudly,
+    # rather than silently flipping the compile-cache gating to a fallback.
+    from jax._src import xla_bridge
+
+    factories = xla_bridge._backend_factories
+    assert isinstance(factories, dict)
+    assert "cpu" in factories
