@@ -146,6 +146,13 @@ class _GF2Core:
             u64p, ctypes.c_int64, ctypes.c_int64, u64p, u64p, ctypes.c_int64,
         ]
         lib.select_columns.restype = None
+        lib.clifford_project_cleanup.argtypes = [
+            u64p, u64p, f64p, ctypes.c_int64, ctypes.c_int64,
+            u64p, u64p, i64p, ctypes.c_int64,
+            u64p, u64p, u64p, u64p,
+            u64p, ctypes.c_int64, u64p, f64p,
+        ]
+        lib.clifford_project_cleanup.restype = ctypes.c_int64
 
     def rref_inplace(self, M: np.ndarray) -> None:
         assert M.dtype == np.uint64 and M.flags["C_CONTIGUOUS"]
@@ -238,6 +245,43 @@ class _GF2Core:
             x_out, z_out, c_out.view(np.float64),
         )
         return x_out[:n_u], z_out[:n_u], c_out[:n_u]
+
+    def clifford_project_cleanup(
+        self, x, z, c, rx, rz, m4s,
+        zmask, xmask, negx, negz, colmask, n_out_words: int,
+    ):
+        """Fused host taper projection: Clifford sequence + single-qubit
+        stabilizer commute filter + eigenvalue sign parity + free-column
+        PEXT selection + dedup in one pass per row.  Returns
+        (x_out, z_out, coeffs) on the reduced qubit set, or None when the
+        width exceeds the native kernel's register budget (W > 8)."""
+        x = np.ascontiguousarray(x, dtype=np.uint64)
+        z = np.ascontiguousarray(z, dtype=np.uint64)
+        c = np.ascontiguousarray(c, dtype=np.complex128)
+        n, W = x.shape
+        depth = len(m4s)
+        rx = np.ascontiguousarray(rx, np.uint64).reshape(-1, W)
+        rz = np.ascontiguousarray(rz, np.uint64).reshape(-1, W)
+        m4s = np.ascontiguousarray(m4s, np.int64)
+        rows_out = np.empty((max(n, 1), 2 * n_out_words), dtype=np.uint64)
+        c_out = np.empty(max(n, 1), dtype=np.complex128)
+        n_u = self._lib.clifford_project_cleanup(
+            x, z, c.view(np.float64), n, W,
+            rx, rz, m4s, depth,
+            np.ascontiguousarray(zmask, np.uint64),
+            np.ascontiguousarray(xmask, np.uint64),
+            np.ascontiguousarray(negx, np.uint64),
+            np.ascontiguousarray(negz, np.uint64),
+            np.ascontiguousarray(colmask, np.uint64),
+            n_out_words, rows_out, c_out.view(np.float64),
+        )
+        if n_u < 0:
+            return None
+        return (
+            np.ascontiguousarray(rows_out[:n_u, :n_out_words]),
+            np.ascontiguousarray(rows_out[:n_u, n_out_words:]),
+            c_out[:n_u],
+        )
 
     def cleanup_rows(self, rows: np.ndarray, c: np.ndarray):
         """Fused unique-rows + coefficient accumulation (first-occurrence

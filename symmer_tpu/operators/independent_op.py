@@ -148,7 +148,13 @@ class IndependentOp(PauliwordOp):
         weights = pack.popcount_rows(basis.x_pack) + pack.popcount_rows(basis.z_pack)
         non_sqp = np.where(weights != 1)[0]
         sqp_rows = np.where(weights == 1)[0]
-        basis_non_sqp = basis[list(non_sqp)] if len(non_sqp) else None
+        basis_non_sqp = (
+            PauliwordOp.from_planes(
+                basis.x_pack[non_sqp], basis.z_pack[non_sqp],
+                basis.coeff_vec[non_sqp], basis.n_qubits,
+            )
+            if len(non_sqp) else None
+        )
         for r in sqp_rows:
             symp_row = np.concatenate([
                 pack.unpack_bits(basis.x_pack[r : r + 1], self.n_qubits)[0],
@@ -169,12 +175,26 @@ class IndependentOp(PauliwordOp):
         target[pivot_point + self.n_qubits * (-1) ** (pivot_point // self.n_qubits)] = 1
         pivot_rotation = PauliwordOp(np.bitwise_xor(target, pivot_row.astype(int)), [1])
         self.stabilizer_rotations.append((pivot_rotation, None))
-        rotated_basis = basis_non_sqp._rotate_by_single_Pword(pivot_rotation)
+        rotated_basis = PauliwordOp._rotate_by_single_Pword(
+            basis_non_sqp, pivot_rotation
+        )
         return self._recursive_rotations(rotated_basis)
 
     def generate_stabilizer_rotations(self) -> None:
         """Find the Clifford rotations mapping every stabilizer to a single-qubit
-        Pauli (reference independent_op.py:243-273)."""
+        Pauli (reference independent_op.py:243-273).
+
+        The rotation set depends only on the symplectic planes and the target
+        single-qubit Pauli, NOT on the sector coefficients, so the result is
+        memoised per (planes, target) -- the flagship taper flow needs it for
+        the operator rotation, the rotated stabilizers AND the reference-state
+        projection, and re-deriving it pays the recursion three times."""
+        cache = getattr(self, "_stab_rot_cache", None)
+        key = (self.x_pack.tobytes(), self.z_pack.tobytes(), self.target_sqp)
+        if cache is not None and cache[0] == key:
+            self.stabilizer_rotations = list(cache[1])
+            self.used_indices = list(cache[2])
+            return
         assert self.n_terms <= self.n_qubits, (
             "Too many terms in basis to reduce to single-qubit Paulis"
         )
@@ -183,9 +203,14 @@ class IndependentOp(PauliwordOp):
         )
         self.stabilizer_rotations = []
         self.used_indices = []
-        basis = self.copy()
+        basis = PauliwordOp.from_planes(
+            self.x_pack.copy(), self.z_pack.copy(),
+            np.ones(self.n_terms, dtype=complex), self.n_qubits,
+        )
         self._recursive_rotations(basis)
-        rotated_basis = basis.perform_rotations(self.stabilizer_rotations)
+        rotated_basis = PauliwordOp.perform_rotations(
+            basis, self.stabilizer_rotations
+        )
         for P in rotated_basis:
             symp_row = P.symp_matrix[0]
             sqp_index = int(np.where(symp_row)[0][0]) % self.n_qubits
@@ -197,6 +222,9 @@ class IndependentOp(PauliwordOp):
             R_symp = np.bitwise_xor(target, symp_row.astype(int))
             if np.any(R_symp):
                 self.stabilizer_rotations.append((PauliwordOp(R_symp, [1]), None))
+        self._stab_rot_cache = (
+            key, list(self.stabilizer_rotations), list(self.used_indices)
+        )
 
     def copy(self) -> "IndependentOp":
         op = IndependentOp.__new__(IndependentOp)
@@ -242,17 +270,37 @@ class IndependentOp(PauliwordOp):
             )
 
     def rotate_onto_single_qubit_paulis(self) -> "IndependentOp":
-        """(reference independent_op.py:302-318)"""
+        """(reference independent_op.py:302-318)
+
+        One order-preserving planes-level Clifford pass over the whole basis
+        (the reference rotates each stabilizer separately to keep row i <->
+        stabilizer i alignment; the native clifford_sequence never reorders
+        rows, so the batched pass preserves the same alignment -- including
+        rows whose sector value is 0, which a per-term rotate-then-cleanup
+        would silently drop)."""
         self.generate_stabilizer_rotations()
         if self.stabilizer_rotations != []:
-            rotated = reduce(
-                lambda x, y: PauliwordOp.append(x, y),
-                [
-                    PauliwordOp.perform_rotations(self[i], self.stabilizer_rotations)
-                    for i in range(self.n_terms)
-                ],
+            from ..kernels import np_core
+
+            rx = np.asarray([r.x_pack[0] for r, _ in self.stabilizer_rotations])
+            rz = np.asarray([r.z_pack[0] for r, _ in self.stabilizer_rotations])
+            m4s = np.ones(len(self.stabilizer_rotations), np.int64)
+            x, z, c = np_core.clifford_sequence(
+                np.ascontiguousarray(self.x_pack),
+                np.ascontiguousarray(self.z_pack),
+                self.coeff_vec.astype(complex), rx, rz, m4s,
             )
-            return IndependentOp.from_PauliwordOp(rotated)
+            # Clifford rotation preserves independence and +/-1 reality of the
+            # coefficients; re-validation (IndependentOp.from_PauliwordOp)
+            # would pay an RREF per call for an invariant that holds by
+            # construction
+            out = IndependentOp.__new__(IndependentOp)
+            out._init_from_planes(x, z, c, self.n_qubits)
+            out.coeff_vec = out.coeff_vec.real.astype(int)
+            out.target_sqp = self.target_sqp
+            out.stabilizer_rotations = None
+            out.used_indices = None
+            return out
         return self
 
     def __getitem__(self, key) -> "IndependentOp":

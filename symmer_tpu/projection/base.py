@@ -107,6 +107,8 @@ class S3Projection:
         rotations = self.stabilizers.stabilizer_rotations
         if self._use_fused_device_path(operator, rotations):
             return self._perform_projection_device(operator, rotations)
+        if self._host_fused_applies(operator, rotations):
+            return self._perform_projection_host_fused(operator, rotations)
 
         if len(rotations) > 0:
             op_rotated = operator.perform_rotations(rotations)
@@ -141,6 +143,140 @@ class S3Projection:
         return config.use_device_io(
             host_s, up_bytes=T * row_bytes, down_bytes=T * row_bytes, n_syncs=2
         )
+
+    def _host_fused_applies(self, operator: PauliwordOp, rotations) -> bool:
+        """Host analog of the fused-device eligibility: Clifford-only
+        rotations, at least one free qubit, and a large enough operator that
+        the fused pass (no intermediate full-width cleanup, single-qubit
+        commute mask instead of a general GF(2) matmul) pays for itself."""
+        if len(self.free_qubit_indices) == 0 or operator.n_terms < 256:
+            return False
+        return all(
+            dispatch.is_clifford_angle(angle) is not None
+            for _, angle in rotations
+        )
+
+    def _perform_projection_host_fused(
+        self, operator: PauliwordOp, rotations
+    ) -> PauliwordOp:
+        """Rotation + projection fused on the packed host path.
+
+        Semantically identical to ``perform_rotations`` followed by
+        ``_perform_projection`` but with the redundant work removed:
+
+        - Clifford rotations preserve term count, so the full-width cleanup
+          ``perform_rotations`` ends with is dropped -- ONE cleanup runs at
+          the end, on the column-reduced (narrower) planes.
+        - The rotated stabilizers are single-qubit Paulis on DISTINCT qubits,
+          so the per-stabilizer anticommutation tests are independent bits of
+          one packed XOR expression instead of a general termwise GF(2)
+          product.
+        """
+        from ..kernels import np_core
+
+        x, z = operator.x_pack, operator.z_pack
+        c = np.asarray(operator.coeff_vec, complex)
+        native_out = self._try_native_fused(x, z, c, rotations)
+        if native_out is not None:
+            return native_out
+        if rotations:
+            rx = np.asarray([r.x_pack[0] for r, _ in rotations])
+            rz = np.asarray([r.z_pack[0] for r, _ in rotations])
+            m4s = np.asarray(
+                [dispatch.is_clifford_angle(a) % 4 for _, a in rotations],
+                np.int64,
+            )
+            x, z, c = np_core.clifford_sequence(
+                np.ascontiguousarray(x), np.ascontiguousarray(z), c, rx, rz, m4s
+            )
+
+        # single-qubit stabilizers at DISTINCT qubits: the symplectic-form bit
+        # for the stabilizer at qubit q is (x_q & s_z) ^ (z_q & s_x), and the
+        # stabilizer masks never overlap, so one packed XOR tests all of them
+        # at once (covers X, Y and Z target stabilizers: for a Y stabilizer
+        # both mask bits are set and the test is x_q ^ z_q)
+        rot = self.rotated_stabilizers
+        zmask = np.bitwise_or.reduce(rot.z_pack, axis=0)
+        xmask = np.bitwise_or.reduce(rot.x_pack, axis=0)
+        commutes_all = ~np.any((x & zmask) ^ (z & xmask), axis=1)
+        x_keep = x[commutes_all]
+        z_keep = z[commutes_all]
+        op_coef = c[commutes_all]
+
+        # sign flips from the -1 eigenvalue assignments (same parity trick
+        # as _perform_projection)
+        neg = np.real(np.asarray(rot.coeff_vec)) < 0
+        if neg.any():
+            neg_x = np.bitwise_or.reduce(rot.x_pack[neg], axis=0)
+            neg_z = np.bitwise_or.reduce(rot.z_pack[neg], axis=0)
+            parity = (
+                np.bitwise_count(x_keep & neg_x).sum(axis=1)
+                + np.bitwise_count(z_keep & neg_z).sum(axis=1)
+            ).astype(np.int64) & 1
+            op_coef = op_coef * (1 - 2 * parity)
+
+        self.rotated_flag = False
+        free_mask = np.zeros(operator.n_qubits, dtype=bool)
+        free_mask[self.free_qubit_indices] = True
+        n_free = len(self.free_qubit_indices)
+        return PauliwordOp.from_planes(
+            pack.select_columns(x_keep, free_mask),
+            pack.select_columns(z_keep, free_mask),
+            op_coef, n_free,
+        ).cleanup()
+
+    def _try_native_fused(self, x, z, c, rotations):
+        """One-pass native rotate+project+dedup (gf2core
+        clifford_project_cleanup); None when the native library is missing
+        or the operator is too wide for its register budget."""
+        try:
+            from ..native import gf2core
+        except Exception:  # pragma: no cover
+            return None
+        if gf2core is None:
+            return None
+        rot = self.rotated_stabilizers
+        n_qubits = self.stabilizers.n_qubits
+        W = x.shape[1]
+        if rotations:
+            rx = np.asarray([r.x_pack[0] for r, _ in rotations])
+            rz = np.asarray([r.z_pack[0] for r, _ in rotations])
+            m4s = np.asarray(
+                [dispatch.is_clifford_angle(a) % 4 for _, a in rotations],
+                np.int64,
+            )
+        else:
+            rx = np.zeros((0, W), np.uint64)
+            rz = np.zeros((0, W), np.uint64)
+            m4s = np.zeros(0, np.int64)
+        zmask = np.bitwise_or.reduce(rot.z_pack, axis=0)
+        xmask = np.bitwise_or.reduce(rot.x_pack, axis=0)
+        neg = np.real(np.asarray(rot.coeff_vec)) < 0
+        if neg.any():
+            negx = np.bitwise_or.reduce(rot.x_pack[neg], axis=0)
+            negz = np.bitwise_or.reduce(rot.z_pack[neg], axis=0)
+        else:
+            negx = np.zeros(W, np.uint64)
+            negz = np.zeros(W, np.uint64)
+        free_bool = np.zeros(n_qubits, dtype=bool)
+        free_bool[self.free_qubit_indices] = True
+        colmask = pack.pack_bits(free_bool)[0]
+        n_free = len(self.free_qubit_indices)
+        Wout = pack.n_words_for(n_free)
+        out = gf2core.clifford_project_cleanup(
+            x, z, c, rx, rz, m4s, zmask, xmask, negx, negz, colmask, Wout
+        )
+        if out is None:  # W > 8: fall back to the staged path
+            return None
+        xo, zo, co = out
+        self.rotated_flag = False
+        thr = config.zero_threshold
+        keep = np.abs(co) > thr
+        if not keep.all():
+            xo, zo, co = xo[keep], zo[keep], co[keep]
+        if xo.shape[0] == 0:
+            return PauliwordOp(np.zeros((1, 2 * n_free), dtype=bool), [0])
+        return PauliwordOp.from_planes(xo, zo, co, n_free)
 
     def _perform_projection_device(
         self, operator: PauliwordOp, rotations
@@ -177,7 +313,13 @@ class S3Projection:
         )
 
     def _project_state(self, state: QuantumState) -> QuantumState:
-        """Project a state into the stabilizer subspace (reference :126-159)."""
+        """Project a state into the stabilizer subspace (reference :126-159).
+
+        The reference multiplies the Hadamard/projector/rotation factors into
+        one transformation OPERATOR and applies it once; the factor product
+        grows exponentially in intermediate terms while the state stays tiny,
+        so here each factor is applied right-to-left directly to the state
+        (associativity -- identical result, every intermediate is a state)."""
         transformation_list = []
         rotated = self.stabilizers.rotate_onto_single_qubit_paulis()
         # Hadamards on X-stabilised qubits
@@ -193,8 +335,9 @@ class S3Projection:
         transformation_list += [
             trotter(s[0] * (np.pi / 4 * 1j)) for s in self.stabilizers.stabilizer_rotations
         ]
-        transformation = reduce(lambda x, y: x * y, transformation_list)
-        transformed_state = transformation * state
+        transformed_state = reduce(
+            lambda psi, T: T * psi, reversed(transformation_list), state
+        )
         # drop stabilised qubit positions and merge duplicates
         return QuantumState(
             transformed_state.state_matrix[:, self.free_qubit_indices],
