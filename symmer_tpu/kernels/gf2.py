@@ -180,6 +180,113 @@ def extract_bit_range(M: np.ndarray, start: int, length: int) -> np.ndarray:
     return np.ascontiguousarray(out)
 
 
+def kernel_basis_symplectic(
+    A_pack: np.ndarray, n_a: int, B_pack: np.ndarray, n_b: int
+) -> np.ndarray:
+    """Kernel basis of the bit-concatenation [A | B] without materialising it.
+
+    The symmetry-generator search needs null([Z | X]) of a T x 2n bit matrix;
+    for T >> n the concat alone is a multi-10-MB copy.  With the native
+    module: scatter XOR-fold each block into sketch buckets (two rounds),
+    bit-concatenate only the SMALL folded rows, solve the small kernel
+    exactly, and verify every candidate against the unconcatenated blocks in
+    one native pass (null_check2).  Verified-exact like
+    :func:`_kernel_basis_sketched`; any verification failure falls back to
+    the materialised exact path.
+    """
+    from .pack import concat_bit_planes, qubit_mask
+
+    R = A_pack.shape[0]
+    n_bits = n_a + n_b
+    try:
+        from ..native import gf2core
+    except Exception:  # pragma: no cover
+        gf2core = None
+    if gf2core is not None and R > 4096 and R >= 4 * n_bits:
+        rng = np.random.default_rng(0x5EED)
+        m = n_bits + 128
+        folded = []
+        for _ in range(2):
+            idx = rng.integers(0, m, R)
+            fa = gf2core.xor_fold(A_pack, idx, m)
+            fb = gf2core.xor_fold(B_pack, idx, m)
+            # stray bits beyond n_a/n_b in the last packed word fold
+            # through XOR, so masking the folded rows is equivalent to
+            # masking the inputs
+            fa &= qubit_mask(n_a)[None, :]
+            fb &= qubit_mask(n_b)[None, :]
+            folded.append(concat_bit_planes(fa, n_a, fb, n_b))
+        C = np.ascontiguousarray(np.vstack(folded))
+        cand = kernel_basis_packed(C, n_bits)
+        if cand.shape[0] == 0:
+            return cand
+        if cand.shape[0] <= 128:
+            va = extract_bit_range(cand, 0, n_a)
+            vb = extract_bit_range(cand, n_a, n_b)
+            if gf2core.null_check2(A_pack, B_pack, va, vb):
+                return cand
+    M = concat_bit_planes(A_pack, n_a, B_pack, n_b)
+    return kernel_basis_packed(M, n_bits)
+
+
+def _kernel_basis_sketched(M: np.ndarray, n_bits: int):
+    """Verified GF(2) sketch of :func:`kernel_basis_packed` for tall matrices.
+
+    The kernel depends only on the ROW SPACE of M, and rank(M) <= n_bits, so
+    a T-row matrix carries enormous redundancy when T >> n_bits.  XOR-fold
+    the rows into random buckets (two independent partitions of
+    ``n_bits + 128`` buckets each -- a sparse random sketch S, giving
+    C = S.M with rowspace(C) = rowspace(M) with overwhelming probability),
+    solve the SMALL kernel exactly, then VERIFY every candidate against the
+    full M.  null(C) >= null(M) always holds, so: all candidates verified =>
+    the spaces are equal and the answer is exact; any failure => return None
+    and the caller falls back to the exact path.  Cost: one linear pass over
+    M plus an O(n_bits^2)-scale reduction, instead of an O(n_bits * T)-scale
+    reduction -- 20x on the 1000-qubit x 200k-term symmetry search.
+    """
+    R = M.shape[0]
+    W = max(1, (n_bits + 63) // 64)
+    if M.shape[1] == W:
+        Mn = np.ascontiguousarray(M, dtype=np.uint64)
+    else:
+        Mn = np.zeros((R, W), dtype=np.uint64)
+        Mn[:, : min(W, M.shape[1])] = M[:, : min(W, M.shape[1])]
+    try:
+        from ..native import gf2core
+    except Exception:  # pragma: no cover
+        gf2core = None
+    rng = np.random.default_rng(0x5EED)
+    m = n_bits + 128
+    folded_rounds = []
+    for _ in range(2):
+        idx = rng.integers(0, m, R)
+        if gf2core is not None:
+            folded_rounds.append(gf2core.xor_fold(Mn, idx, m))
+            continue
+        order = np.argsort(idx, kind="stable")
+        sorted_rows = Mn[order]
+        si = idx[order]
+        starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+        folded_rounds.append(np.bitwise_xor.reduceat(sorted_rows, starts, axis=0))
+    C = np.ascontiguousarray(np.vstack(folded_rounds))
+    cand = kernel_basis_packed(C, n_bits)
+    if cand.shape[0] == 0:
+        # null(C) contains null(M); an empty sketch kernel proves M has none
+        return cand
+    if cand.shape[0] > 128:
+        # verification would cost as much as the exact path; bail out
+        return None
+    if gf2core is not None:
+        zb = np.zeros((R, 1), np.uint64)
+        zv = np.zeros((cand.shape[0], 1), np.uint64)
+        return cand if gf2core.null_check2(Mn, zb, cand, zv) else None
+    for v in cand:
+        parity = np.bitwise_count(Mn & v[None, :]).sum(axis=1, dtype=np.int64) & 1
+        if parity.any():
+            return None
+    return cand
+
+
 def kernel_basis_packed(M: np.ndarray, n_bits: int) -> np.ndarray:
     """Basis of the null space {v : M v = 0 (mod 2)} of the packed bit matrix.
 
@@ -190,6 +297,10 @@ def kernel_basis_packed(M: np.ndarray, n_bits: int) -> np.ndarray:
     With the native module the whole computation stays bit-packed: a C++
     64x64-block transpose + packed RREF, then the kernel vectors are read
     straight out of the identity-block bit range of the qualifying rows.
+    Tall matrices (terms >> bits) first go through the verified random
+    sketch (:func:`_kernel_basis_sketched`), which is exact whenever it
+    returns (candidates are checked against the full M) and falls through
+    to the direct reduction otherwise.
 
     Args:
         M: packed rows, each row a vector of ``n_bits`` bits.
@@ -197,6 +308,10 @@ def kernel_basis_packed(M: np.ndarray, n_bits: int) -> np.ndarray:
         packed rows spanning the kernel (possibly zero rows -> empty).
     """
     R = M.shape[0]
+    if R > 4096 and R >= 4 * n_bits:
+        out = _kernel_basis_sketched(M, n_bits)
+        if out is not None:
+            return out
     try:
         from ..native import gf2core
     except Exception:  # pragma: no cover

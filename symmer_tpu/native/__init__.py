@@ -153,6 +153,15 @@ class _GF2Core:
             u64p, ctypes.c_int64, u64p, f64p,
         ]
         lib.clifford_project_cleanup.restype = ctypes.c_int64
+        lib.xor_fold.argtypes = [
+            u64p, ctypes.c_int64, ctypes.c_int64, i64p, u64p,
+        ]
+        lib.xor_fold.restype = None
+        lib.null_check2.argtypes = [
+            u64p, ctypes.c_int64, u64p, ctypes.c_int64, ctypes.c_int64,
+            u64p, u64p, ctypes.c_int64,
+        ]
+        lib.null_check2.restype = ctypes.c_int64
 
     def rref_inplace(self, M: np.ndarray) -> None:
         assert M.dtype == np.uint64 and M.flags["C_CONTIGUOUS"]
@@ -282,6 +291,30 @@ class _GF2Core:
             np.ascontiguousarray(rows_out[:n_u, n_out_words:]),
             c_out[:n_u],
         )
+
+    def xor_fold(self, M: np.ndarray, idx: np.ndarray, m: int) -> np.ndarray:
+        """Scatter XOR-fold rows into m buckets: out[idx[i]] ^= M[i]."""
+        M = np.ascontiguousarray(M, dtype=np.uint64)
+        idx = np.ascontiguousarray(idx, dtype=np.int64)
+        R, W = M.shape
+        out = np.zeros((m, W), dtype=np.uint64)
+        if R:
+            self._lib.xor_fold(M, R, W, idx, out)
+        return out
+
+    def null_check2(self, A, B, Va, Vb) -> bool:
+        """True iff every candidate [Va_j | Vb_j] annihilates every row
+        [A_i | B_i] under the GF(2) symplectic pairing parity."""
+        A = np.ascontiguousarray(A, dtype=np.uint64)
+        B = np.ascontiguousarray(B, dtype=np.uint64)
+        Va = np.ascontiguousarray(Va, dtype=np.uint64)
+        Vb = np.ascontiguousarray(Vb, dtype=np.uint64)
+        R, Wa = A.shape
+        Wb = B.shape[1]
+        k = Va.shape[0]
+        if R == 0 or k == 0:
+            return True
+        return self._lib.null_check2(A, Wa, B, Wb, R, Va, Vb, k) == 0
 
     def cleanup_rows(self, rows: np.ndarray, c: np.ndarray):
         """Fused unique-rows + coefficient accumulation (first-occurrence

@@ -646,6 +646,49 @@ void select_columns(
     }
 }
 
+// Scatter XOR-fold: out[idx[i]] ^= M[i] for every row.  The GF(2) sketch
+// compression behind the tall-matrix kernel-basis search (kernels/gf2.py
+// _kernel_basis_sketched): one linear pass replaces argsort + gather +
+// reduceat.  out must be zeroed, (m, W); idx values in [0, m).
+void xor_fold(
+    const uint64_t* M, int64_t R, int64_t W,
+    const int64_t* idx, uint64_t* out
+) {
+    for (int64_t i = 0; i < R; ++i) {
+        const uint64_t* r = M + i * W;
+        uint64_t* o = out + idx[i] * W;
+        for (int64_t k = 0; k < W; ++k) o[k] ^= r[k];
+    }
+}
+
+// Null-space verification for the two-block (symplectic) layout: rows are
+// the bit-concatenation [A_i | B_i] without materialising the concat.
+// Returns 1 as soon as some candidate j has parity(popcount(A_i & Va_j)) ^
+// parity(popcount(B_i & Vb_j)) == 1 for some row i, else 0 (all candidates
+// annihilate every row).  Va/Vb: (k, Wa)/(k, Wb) packed candidate halves.
+int64_t null_check2(
+    const uint64_t* A, int64_t Wa,
+    const uint64_t* B, int64_t Wb,
+    int64_t R,
+    const uint64_t* Va, const uint64_t* Vb, int64_t k
+) {
+    for (int64_t i = 0; i < R; ++i) {
+        const uint64_t* a = A + i * Wa;
+        const uint64_t* b = B + i * Wb;
+        for (int64_t j = 0; j < k; ++j) {
+            uint64_t acc = 0;
+            const uint64_t* va = Va + j * Wa;
+            for (int64_t w = 0; w < Wa; ++w) acc ^= a[w] & va[w];
+            const uint64_t* vb = Vb + j * Wb;
+            uint64_t accb = 0;
+            for (int64_t w = 0; w < Wb; ++w) accb ^= b[w] & vb[w];
+            if ((__builtin_popcountll(acc) + __builtin_popcountll(accb)) & 1)
+                return 1;
+        }
+    }
+    return 0;
+}
+
 // Fused host taper projection (the host mirror of the device
 // clifford_rotate_project fusion, kernels/jx_core): for each input term, in
 // ONE pass while the row is in registers --

@@ -26,6 +26,8 @@ from __future__ import annotations
 import functools
 from typing import Optional, Sequence, Tuple
 
+import numpy as np
+
 from ..config import config
 from ..kernels import dispatch, pack
 
@@ -40,15 +42,21 @@ class DeviceOperator:
     new ``DeviceOperator`` sharing no buffers.
     """
 
-    __slots__ = ("x32", "z32", "cr", "ci", "n_valid", "n_qubits")
+    __slots__ = ("x32", "z32", "cr", "ci", "n_valid", "n_qubits", "_free_mask")
 
-    def __init__(self, x32, z32, cr, ci, n_valid: int, n_qubits: int):
+    def __init__(self, x32, z32, cr, ci, n_valid: int, n_qubits: int,
+                 free_mask=None):
         self.x32 = x32
         self.z32 = z32
         self.cr = cr
         self.ci = ci
         self.n_valid = int(n_valid)
         self.n_qubits = int(n_qubits)
+        # set by clifford_rotate_project: bool[n_qubits] of FREE columns.
+        # The projected planes stay at full word width with the stabilized
+        # columns zeroed (= tapered operator tensor identity, so resident
+        # follow-ups are exact); to_host() deletes the columns on download.
+        self._free_mask = free_mask
 
     # -- host boundary ------------------------------------------------------
 
@@ -65,20 +73,37 @@ class DeviceOperator:
         )
 
     def to_host(self):
-        """Download the valid rows as a PauliwordOp (ONE batched transfer)."""
+        """Download the valid rows as a PauliwordOp (ONE batched transfer).
+
+        A pending projection column selection (``_free_mask``) is applied on
+        the downloaded planes: the result is the REDUCED-qubit operator."""
         from .base import PauliwordOp
 
         x, z, c = dispatch._planes_from_dev(
             self.x32, self.z32, self.cr, self.ci, self.n_valid
         )
+        n_qubits = self.n_qubits
+        W = pack.n_words_for(n_qubits)
+        if self._free_mask is not None:
+            n_free = int(self._free_mask.sum())
+            if x.shape[0]:
+                x = pack.select_columns(x[:, :W], self._free_mask)
+                z = pack.select_columns(z[:, :W], self._free_mask)
+            n_qubits, W = n_free, pack.n_words_for(n_free)
         if x.shape[0] == 0:
-            return PauliwordOp.empty(self.n_qubits).cleanup()
-        W = pack.n_words_for(self.n_qubits)
-        return PauliwordOp.from_planes(x[:, :W], z[:, :W], c, self.n_qubits)
+            return PauliwordOp.empty(n_qubits).cleanup()
+        return PauliwordOp.from_planes(x[:, :W], z[:, :W], c, n_qubits)
 
     @property
     def n_terms(self) -> int:
         return self.n_valid
+
+    def copy(self) -> "DeviceOperator":
+        """Instances are immutable (every operation returns a new object
+        sharing no buffers), so copy is the identity -- present so generic
+        operator-handling code (e.g. QubitTapering.taper_it's defensive
+        copy) accepts resident operands."""
+        return self
 
     def __repr__(self) -> str:
         return (
@@ -94,7 +119,8 @@ class DeviceOperator:
         n = int(n)
         Tp = dispatch._next_bucket(max(n, 1))
         return DeviceOperator(
-            ox[:Tp], oz[:Tp], ocr[:Tp], oci[:Tp], n, self.n_qubits
+            ox[:Tp], oz[:Tp], ocr[:Tp], oci[:Tp], n, self.n_qubits,
+            free_mask=self._free_mask,
         )
 
     def cleanup(self, zero_threshold: Optional[float] = None) -> "DeviceOperator":
@@ -153,6 +179,51 @@ class DeviceOperator:
             rot_planes, zero_threshold,
         )
         return DeviceOperator(dx, dz, dcr, dci, n, self.n_qubits)
+
+    def clifford_rotate_project(
+        self, rotations, rotated_stabilizers, free_qubit_mask,
+        zero_threshold: float = 1e-15,
+    ) -> "DeviceOperator":
+        """Fused stabilizer-subspace projection, fully device-resident.
+
+        The flagship taper/CS-VQE projection (Clifford rotation scan +
+        commuting-term filter + eigenvalue sign flips + stabilized-column
+        masking + cleanup) as ONE kernel on the resident planes -- one scalar
+        sync, no operator transfer.  The host-in/host-out analog is
+        dispatch.clifford_rotate_project; the S3Projection layer routes here
+        when the operator is already resident.
+
+        Args:
+            rotations: (PauliwordOp, angle) Clifford rotation sequence.
+            rotated_stabilizers: IndependentOp of single-qubit stabilizers
+                (signs in coeff_vec give the eigenvalue assignments).
+            free_qubit_mask: bool[n_qubits], True at columns to KEEP; the
+                planes stay full-width with stabilized columns zeroed (the
+                tapered operator tensor identity), to_host() deletes them.
+        """
+        import jax.numpy as jnp
+
+        rot = rotated_stabilizers
+        rot_planes = [
+            (r.x_pack[0], r.z_pack[0], angle) for r, angle in rotations
+        ]
+        W64 = pack.n_words_for(self.n_qubits)
+        rx, rz, ms, neg_x, neg_z, col_keep = dispatch.projection_prep(
+            rot_planes, rot.x_pack, rot.z_pack, rot.coeff_vec,
+            np.asarray(free_qubit_mask, bool), W64,
+        )
+        row = lambda a: dispatch._to_dev(a.reshape(1, -1))[0]
+        ox, oz, ocr, oci, n = dispatch._jitted_project()(
+            self.x32, self.z32, self.cr, self.ci, self.n_valid,
+            jnp.asarray(rx), jnp.asarray(rz), jnp.asarray(ms),
+            dispatch._to_dev(rot.x_pack), dispatch._to_dev(rot.z_pack),
+            row(neg_x), row(neg_z), row(col_keep),
+            jnp.asarray(zero_threshold, dispatch._coeff_dtype()),
+            dispatch._rel_floor(),
+        )
+        out = self._rebucket(ox, oz, ocr, oci, n)
+        out._free_mask = np.asarray(free_qubit_mask, bool)
+        return out
 
     def expval(self, psi) -> complex:
         """<psi|O|psi> against a (host) QuantumState: the operator planes

@@ -72,10 +72,13 @@ class IndependentOp(PauliwordOp):
         via the packed GF(2) kernel-basis routine.
         """
         # rows are [Z|X]-swapped planes; kernel vectors v satisfy M.v = 0 mod 2,
-        # i.e. v commutes with every term (fully bit-packed pipeline)
+        # i.e. v commutes with every term (fully bit-packed pipeline; the
+        # two-block entry point sketches tall matrices without materialising
+        # the [Z|X] concatenation)
         nq = PwordOp.n_qubits
-        M = pack.concat_bit_planes(PwordOp.z_pack, nq, PwordOp.x_pack, nq)
-        kernel = gf2.kernel_basis_packed(M, 2 * nq)
+        kernel = gf2.kernel_basis_symplectic(
+            PwordOp.z_pack, nq, PwordOp.x_pack, nq
+        )
         S_x = gf2.extract_bit_range(kernel, 0, nq)
         S_z = gf2.extract_bit_range(kernel, nq, nq)
         W = pack.n_words_for(nq)

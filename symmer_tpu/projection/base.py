@@ -105,6 +105,22 @@ class S3Projection:
         )
 
         rotations = self.stabilizers.stabilizer_rotations
+        from ..operators.device_op import DeviceOperator
+
+        if isinstance(operator, DeviceOperator):
+            # device-resident flagship flow: the operator planes never leave
+            # HBM -- the stabilizer bookkeeping above is O(n_qubits) host
+            # work, the projection is one fused kernel + one scalar sync
+            assert all(
+                dispatch.is_clifford_angle(angle) is not None
+                for _, angle in rotations
+            ), "device-resident projection requires Clifford rotations"
+            free_mask = np.zeros(self.stabilizers.n_qubits, dtype=bool)
+            free_mask[self.free_qubit_indices] = True
+            self.rotated_flag = False
+            return operator.clifford_rotate_project(
+                rotations, self.rotated_stabilizers, free_mask
+            )
         if self._use_fused_device_path(operator, rotations):
             return self._perform_projection_device(operator, rotations)
         if self._host_fused_applies(operator, rotations):

@@ -119,3 +119,22 @@ def test_taper_no_symmetries_returns_unchanged():
     assert QT.symmetry_generators.n_terms == 0
     out = QT.taper_it()
     assert out == H.cleanup()
+
+
+def test_taper_device_resident_matches_host(h2):
+    """The device-resident flagship flow (aux_operator=DeviceOperator) must
+    reproduce the host taper exactly: full-width planes with zeroed
+    stabilized columns on device, column deletion at download."""
+    H, fx = h2
+    ref = fx["hf_array"]
+    qt_host = QubitTapering(H)
+    t_host = qt_host.taper_it(ref_state=ref)
+
+    qt_dev = QubitTapering(H)
+    t_dev = qt_dev.taper_it(ref_state=ref, aux_operator=H.to_device())
+    from symmer_tpu.operators.device_op import DeviceOperator
+
+    assert isinstance(t_dev, DeviceOperator)
+    down = t_dev.to_host()
+    assert down.n_qubits == t_host.n_qubits
+    assert down == t_host
