@@ -47,12 +47,20 @@ def test_tapering_preserves_fci(name, nq, _):
     assert abs(gs - fci) < 1e-8, f"{name}: {gs} vs {fci}"
 
 
-# exact energies frozen from the host-float64 path (generated once, round 3);
-# regressions in cleanup/rotation/projection numerics surface at the
-# BASELINE.md 1e-10 bar instead of the looser published-FCI 1e-8 proxy
-# (reference style: hardcoded constants test_qubit_tapering.py:48-50)
+# exact energies frozen from the host-float64 path (generated once: LiH/Be
+# round 3, HF/H2O/BeH2 round 5); regressions in cleanup/rotation/projection
+# numerics surface at the BASELINE.md 1e-10 bar instead of the looser
+# published-FCI 1e-8 proxy (reference style: hardcoded constants
+# test_qubit_tapering.py:48-50; multi-config CS constants
+# test_contextual_subspace.py:37-60)
 LIH_TAPERED_GS_EXACT = -7.8827622309719985
 BE_CSVQE_3Q_GS_EXACT = -14.389536593826167
+CSVQE_3Q_GS_EXACT = {
+    "Be_STO-3G_SINGLET_JW.json": BE_CSVQE_3Q_GS_EXACT,
+    "HF_STO-3G_SINGLET_JW.json": -98.57548286236913,
+    "H2O_STO-3G_SINGLET_JW.json": -74.96895047987964,
+    "BeH2_STO-3G_SINGLET_JW.json": -15.567765366038305,
+}
 
 
 def test_lih_tapered_energy_pinned_1e10():
@@ -64,18 +72,23 @@ def test_lih_tapered_energy_pinned_1e10():
     assert abs(gs - LIH_TAPERED_GS_EXACT) < 1e-10
 
 
-def test_be_cs_vqe_energy_pinned_1e10():
+@pytest.mark.parametrize("name,pinned", sorted(CSVQE_3Q_GS_EXACT.items()))
+def test_cs_vqe_energy_pinned_1e10(name, pinned):
+    """Full CS-VQE flagship flow (taper -> noncontextual solve -> stabilizer
+    selection -> subspace projection) pinned at 1e-10 across four chemistry
+    systems -- any numerical drift in ANY stage of the pipeline lands here."""
     from symmer_tpu import ContextualSubspace
 
-    data = _load("Be_STO-3G_SINGLET_JW.json")
+    data = _load(name)
     H = PauliwordOp.from_dictionary(data["hamiltonian"])
     qt = QubitTapering(H)
     H_taper = qt.taper_it(ref_state=np.asarray(data["data"]["hf_array"]))
     cs = ContextualSubspace(H_taper, noncontextual_strategy="SingleSweep_magnitude")
     cs.update_stabilizers(3, strategy="aux_preserving")
     H_cs = cs.project_onto_subspace()
+    assert H_cs.n_qubits == 3
     gs = exact_gs_energy(H_cs.to_sparse_matrix)[0]
-    assert abs(gs - BE_CSVQE_3Q_GS_EXACT) < 1e-10
+    assert abs(gs - pinned) < 1e-10
 
 
 @pytest.mark.parametrize("name", ["LiH_STO-3G_SINGLET_JW.json"])
