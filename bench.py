@@ -4,11 +4,16 @@ Measures the reference's headline operations (symmer README.md:50-54, see
 BASELINE.md) on the available JAX backend (TPU under the driver):
 
   1. non-Clifford rotation of a 1,000-qubit, 100,000-term operator (+cleanup)
+     -- extended and plain-f32 precision, interleaved, with spread
   2. squaring a 1,000-qubit, 500-term operator (250k cross terms, +cleanup)
   3. expectation value of a depth-2,000 Clifford circuit on 1,000 qubits
   4. multiplying two 100,000,000-qubit single Pauli terms
-  5. flagship product flow: Z2-tapering of a 64-qubit x 20k-term operator
-     (symmetry discovery, sector assignment, Clifford rotations, projection)
+  5. flagship product flows: Z2-tapering at 100q x 50k (with a per-stage
+     breakdown) and 1,000q x 200k terms (default / device-resident / forced
+     host paths), and the Be CS-VQE pipeline
+  6. a compact on-chip correctness pass (extended precision, device vs the
+     packed-numpy host oracle) emitted as the ``check`` field
+  7. term-axis scale: 10^6-term rotate+cleanup and 10^6-row cleanup
 
 Prints ONE JSON line for the headline metric (1) on stdout; the full table
 goes to stderr.  vs_baseline is the speedup over the reference's ~1 s laptop
@@ -58,6 +63,51 @@ def _install_partial_emitter():
         signal.signal(sig, _on_term)
 
 
+def _install_watchdog(deadline_s=None):
+    """Force-emit the partial record if the run wedges past a hard deadline.
+
+    A Python signal handler only runs when the main thread returns to the
+    bytecode loop -- a TPU RPC blocked on a congested tunnel therefore
+    swallows the driver's SIGTERM and the process hangs until SIGKILL, losing
+    every completed metric (observed: a warm-cache run that normally takes
+    200 s sat 48 min in one blocked dispatch).  A daemon THREAD is not
+    blocked by the main thread's RPC, so it can emit and _exit regardless.
+    """
+    import threading
+
+    if deadline_s is None:
+        deadline_s = float(os.environ.get(
+            "SYMMER_BENCH_HARD_DEADLINE_S",
+            str(1.8 * float(os.environ.get("SYMMER_BENCH_BUDGET_S", "1500"))),
+        ))
+    t0 = time.monotonic()
+
+    def _watch():
+        while True:
+            time.sleep(15)
+            if _PARTIAL["emitted"]:
+                return
+            if time.monotonic() - t0 > deadline_s:
+                res = _PARTIAL["results"]
+                print(
+                    f"# watchdog: {deadline_s:.0f}s hard deadline passed "
+                    f"(main thread likely blocked in a device RPC) -- "
+                    f"emitting {len(res or ())} completed metrics",
+                    file=sys.stderr,
+                )
+                if res and not _PARTIAL["emitted"]:
+                    _PARTIAL["emitted"] = True
+                    _emit_headline(
+                        dict(res), _PARTIAL["backend"], _PARTIAL["path"],
+                        interrupted=True,
+                    )
+                sys.stdout.flush()
+                sys.stderr.flush()
+                os._exit(0 if res else 124)
+
+    threading.Thread(target=_watch, daemon=True, name="bench-watchdog").start()
+
+
 def _section_clock(n_sections):
     """Per-section stderr telemetry + wall-clock budget.
 
@@ -92,21 +142,47 @@ def _amortized_time(fn, fetch, K=10):
     completes; only a host fetch truly synchronises.  We therefore time
     [1 run + fetch] and [K runs + single fetch] (executions serialise on the
     device stream) and report the marginal per-op cost.
+
+    ``fn`` receives the run index and must VARY an input with it (an angle, a
+    coefficient scale): the XLA runtime is allowed to cache/elide a repeated
+    identical (program, args) execution, which would silently deflate the
+    amortised estimate without the kernels changing.
     """
-    fetch(fn())  # warmup/compile
+    fetch(fn(0))  # warmup/compile
     t1 = None
-    for _ in range(2):  # min of two: a single noisy fetch skews the subtraction
+    for j in range(2):  # min of two: a single noisy fetch skews the subtraction
         t0 = time.perf_counter()
-        fetch(fn())
+        fetch(fn(j + 1))
         t = time.perf_counter() - t0
         t1 = t if t1 is None else min(t1, t)
     t0 = time.perf_counter()
     out = None
-    for _ in range(K):
-        out = fn()
+    for j in range(K):
+        out = fn(j + 3)
     fetch(out)
     tK = time.perf_counter() - t0
     return max((tK - t1) / (K - 1), 1e-9)
+
+
+def _interleaved_amortized(variants, fetch, K=10, rounds=3):
+    """Round-robin amortised timing of named variants.
+
+    Measuring variant A's rounds back-to-back and then variant B's exposes
+    the A-vs-B comparison to slow drift (background compile-cache writes,
+    tunnel congestion): BENCH_r04 recorded plain-f32 rotation SLOWER than the
+    strictly-more-arithmetic double-float one.  Interleaving puts every
+    variant through the same noise; returns {name: (best_seconds,
+    spread_pct)} where spread is (max-min)/min over the rounds.
+    """
+    samples = {name: [] for name in variants}
+    for _ in range(rounds):
+        for name, fn in variants.items():
+            samples[name].append(_amortized_time(fn, fetch, K))
+    out = {}
+    for name, ts in samples.items():
+        best = min(ts)
+        out[name] = (best, (max(ts) - best) / best * 100.0)
+    return out
 
 
 def _honour_platform_env():
@@ -159,9 +235,12 @@ def main():
         return _host_main()
 
     results = {}
+    spreads = {}  # metric name -> spread_pct over interleaved rounds
+    extra = {}  # top-level JSON fields (flagship_breakdown, check, ...)
     _PARTIAL.update(results=results, backend=dev.platform, path="device-xla")
     _install_partial_emitter()
-    section_done, over_budget = _section_clock(5)
+    _install_watchdog()
+    section_done, over_budget = _section_clock(7)
     skipped = []
 
     def finish():
@@ -177,7 +256,7 @@ def main():
             print(f"# budget spent -- skipped sections: {skipped}",
                   file=sys.stderr)
         _emit_headline(results, dev.platform, path="device-xla",
-                       skipped=skipped)
+                       skipped=skipped, spreads=spreads, extra=extra)
 
     def budget_spent(*remaining):
         if over_budget():
@@ -216,20 +295,38 @@ def main():
             x, z, cr, ci, xr, zr, angle, x.shape[0], 1e-7
         )
 
-    t_rot = _amortized_time(
-        lambda: rotate_and_cleanup(x, z, cr, ci, xr, zr, 0.3),
+    # interleaved df/f32 rounds: both variants ride the same transient noise,
+    # so the df-vs-f32 delta is attributable to the kernels (BENCH_r04 lesson:
+    # back-to-back blocks once recorded f32 SLOWER than extended).  The angle
+    # varies per run so XLA can never legally elide a repeated execution.
+    rot_timed = _interleaved_amortized(
+        {
+            "rotate_1000q_100k_terms_ms": lambda j: rotate_and_cleanup(
+                x, z, cr, ci, xr, zr, 0.3 + 0.003 * j
+            ),
+            "rotate_1000q_100k_terms_f32_ms": lambda j: rotate_and_cleanup(
+                x, z, cr_f32, ci_f32, xr, zr, 0.3 + 0.003 * j
+            ),
+        },
         lambda out: int(out[4]),
     )
-    results["rotate_1000q_100k_terms_ms"] = t_rot * 1e3
-
-    # plain-f32 coefficient planes for comparison (config.device_precision='f32')
-    t_rot32 = _amortized_time(
-        lambda: rotate_and_cleanup(x, z, cr_f32, ci_f32, xr, zr, 0.3),
-        lambda out: int(out[4]),
-    )
-    results["rotate_1000q_100k_terms_f32_ms"] = t_rot32 * 1e3
-    section_done("rotate (df + f32)")
-    if budget_spent("square", "clifford", "100M-qubit mul", "flagship"):
+    for k, (t, spread) in rot_timed.items():
+        results[k] = t * 1e3
+        spreads[k] = spread
+    if (results["rotate_1000q_100k_terms_ms"]
+            < results["rotate_1000q_100k_terms_f32_ms"]):
+        # df does strictly more arithmetic; faster-than-f32 means the rotate
+        # stage is bandwidth/sort-bound at this size (coefficient lanes are a
+        # small fraction of the sorted payload) -- flag it rather than let it
+        # read as noise
+        extra["timing_note"] = (
+            "extended<=f32 at this size: sort payload is plane-dominated; "
+            f"spreads {spreads['rotate_1000q_100k_terms_ms']:.0f}%/"
+            f"{spreads['rotate_1000q_100k_terms_f32_ms']:.0f}%"
+        )
+    section_done("rotate (df + f32, interleaved)")
+    if budget_spent("square", "clifford", "100M-qubit mul", "flagship",
+                    "on-chip check", "1M-term scale"):
         return finish()
 
     # ---- 2. square a 1,000-qubit, 500-term operator -----------------------
@@ -238,16 +335,21 @@ def main():
     cr2, ci2 = cr[:T2], ci[:T2]  # extended [hi, lo] planes
 
     @jax.jit
-    def square_and_cleanup(x, z, cr, ci):
-        # fused: the 250k x 32-word product planes never reach HBM
+    def square_and_cleanup(x, z, cr, ci, s):
+        # fused: the 250k x 32-word product planes never reach HBM; ``s``
+        # rescales the coefficients so repeated runs are distinct programs
+        # from the runtime's point of view (no legal result caching)
+        cr = cr * s
         return jx_core.mul_pairs_cleanup(x, z, cr, ci, x, z, cr, ci, 1e-7)
 
     t_sq = _amortized_time(
-        lambda: square_and_cleanup(x2, z2, cr2, ci2), lambda out: int(out[4])
+        lambda j: square_and_cleanup(x2, z2, cr2, ci2, 1.0 + 0.001 * j),
+        lambda out: int(out[4]),
     )
     results["square_1000q_500_terms_ms"] = t_sq * 1e3
     section_done("square")
-    if budget_spent("clifford", "100M-qubit mul", "flagship"):
+    if budget_spent("clifford", "100M-qubit mul", "flagship",
+                    "on-chip check", "1M-term scale"):
         return finish()
 
     # ---- 3. Clifford circuit expectation: 1,000 qubits, depth 2,000 -------
@@ -260,17 +362,20 @@ def main():
     rm = jax.random.randint(keys[8], (depth,), 0, 4, jnp.int32)
 
     @jax.jit
-    def clifford_expval(x, z, cr, ci, rx, rz, rm):
+    def clifford_expval(x, z, cr, ci, rx, rz, rm, s):
+        cr = cr * s  # varied per run: forbids runtime result caching
         x, z, cr, ci = jx_core.clifford_scan(x, z, cr, ci, rx, rz, rm)
         return jx_core.expval_iz_sum(x, cr, ci, x.shape[0])
 
     t_cl = _amortized_time(
-        lambda: clifford_expval(xo_, zo_, cro_, cio_, rx, rz, rm),
+        lambda j: clifford_expval(xo_, zo_, cro_, cio_, rx, rz, rm,
+                                  1.0 + 0.001 * j),
         lambda out: float(np.asarray(out[0]).reshape(-1)[0]),
     )
     results["clifford_1000q_depth2000_ms"] = t_cl * 1e3
     section_done("clifford scan")
-    if budget_spent("100M-qubit mul", "flagship"):
+    if budget_spent("100M-qubit mul", "flagship", "on-chip check",
+                    "1M-term scale"):
         return finish()
 
     # ---- 4. two 100,000,000-qubit single Pauli terms ----------------------
@@ -304,26 +409,96 @@ def main():
 
     mul1 = jax.jit(_mul_chained)
     t_big = _amortized_time(
-        lambda: mul1(xb1, zb1, cb, cz, xb2, zb2, cb, cz),
+        lambda j: mul1(xb1, zb1, cb * (1.0 + 0.01 * j), cz, xb2, zb2, cb, cz),
         lambda out: int(out[0]),
         K=4,
     )
     results["mul_100M_qubit_single_terms_ms"] = t_big / R_CHAIN * 1e3
     section_done("100M-qubit mul")
-    if budget_spent("flagship"):
+    if budget_spent("flagship", "on-chip check", "1M-term scale"):
         return finish()
 
     # ---- 5. flagship product flow: taper + CS-VQE glue ---------------------
-    for k, v in _flagship_flow_times().items():
+    # (flagship and check run BEFORE the 1M scale section: on a cold compile
+    # cache the budget clock can truncate the tail, and these two carry the
+    # round-over-round evidence that matters most)
+    flow_times, breakdown = _flagship_flow_times(with_breakdown=True)
+    for k, v in flow_times.items():
         results[k] = v
+    if breakdown:
+        extra["flagship_breakdown"] = breakdown
+        for stage, ms in breakdown.items():
+            print(f"#   taper stage {stage}: {ms:.2f} ms", file=sys.stderr)
     section_done("flagship flows")
+    if budget_spent("on-chip check", "1M-term scale"):
+        return finish()
+
+    # ---- 6. on-chip correctness: device vs host oracle, extended precision -
+    # (the full two-precision pass is ``bench.py --check``; this compact pass
+    # puts the BASELINE.md "1e-10 on the chip" bar into the driver artifact)
+    try:
+        failures, errors = _check_core(
+            precisions=("extended",), include_lanczos=True,
+            include_deflated=False,
+        )
+        ext = {k: v for k, v in errors.items() if k.startswith("extended:")}
+        worst = max(ext, key=ext.get) if ext else None
+        extra["check"] = {
+            "failures": failures,
+            "worst_extended_rel_err": max(ext.values()) if ext else None,
+            "worst_metric": worst,
+        }
+    except Exception as exc:  # a check crash must not cost the timing table
+        extra["check"] = {"error": repr(exc)}
+    section_done("on-chip check")
+    if budget_spent("1M-term scale"):
+        return finish()
+
+    # ---- 7. term-axis scale: 10^6 terms (SURVEY 5.7's upper target) --------
+    # BASELINE.md's headline sizes stop at 10^5 terms; this measures the same
+    # fused rotate+cleanup and the bare cleanup one decade up, HBM-resident.
+    # Peak footprint: 2M doubled rows x 32 u32 words x 2 planes (~512 MB) +
+    # sort payload lanes -- comfortably inside a 16 GB chip (docs/scaling.md
+    # records the measured ceiling).
+    T1M = 1_000_000
+    x1m = rand_bits(keys[1], (T1M, W))
+    z1m = rand_bits(keys[2], (T1M, W))
+    c1m_r = as_df(jax.random.normal(keys[3], (T1M,), jnp.float32))
+    c1m_i = as_df(jax.random.normal(keys[4], (T1M,), jnp.float32))
+    t_rot1m = _amortized_time(
+        lambda j: rotate_and_cleanup(x1m, z1m, c1m_r, c1m_i, xr, zr,
+                                     0.3 + 0.003 * j),
+        lambda out: int(out[4]),
+        K=4,
+    )
+    results["rotate_1000q_1M_terms_ms"] = t_rot1m * 1e3
+
+    # 10^6-row cleanup with genuine duplication pressure: 2^17 distinct rows
+    # gathered to 1M (duplication x8), coefficients accumulated per class
+    n_distinct = 1 << 17
+    idx = jax.random.randint(keys[5], (T1M,), 0, n_distinct, jnp.int32)
+    xd = x1m[:n_distinct][idx]
+    zd = z1m[:n_distinct][idx]
+
+    @jax.jit
+    def cleanup_1m(x, z, cr, ci, s):
+        cr = cr * s
+        return jx_core.cleanup_sorted(x, z, cr, ci, x.shape[0], 1e-7)
+
+    t_cl1m = _amortized_time(
+        lambda j: cleanup_1m(xd, zd, c1m_r, c1m_i, 1.0 + 0.001 * j),
+        lambda out: int(out[4]),
+        K=4,
+    )
+    results["cleanup_1M_rows_ms"] = t_cl1m * 1e3
+    section_done("1M-term scale")
 
     finish()
 
 
 def _emit_headline(
     results: dict, backend: str, path: str,
-    interrupted: bool = False, skipped=(),
+    interrupted: bool = False, skipped=(), spreads=None, extra=None,
 ) -> None:
     """ONE JSON line on stdout carrying the headline metric AND the full
     labelled metric table + backend/precision provenance, so round-over-round
@@ -358,6 +533,12 @@ def _emit_headline(
             for k, v in results.items()
         },
     }
+    for k, pct in (spreads or {}).items():
+        # spread over the interleaved timing rounds: deltas below this are
+        # measurement noise, not kernel changes
+        if k in record["metrics"]:
+            record["metrics"][k]["spread_pct"] = round(pct, 1)
+    record.update(extra or {})
     if backend != "tpu":
         record["tpu_unreachable"] = True
     if interrupted:
@@ -483,13 +664,18 @@ def _synthetic_taper_operator(n_qubits=100, n_terms=50_000, n_sym=4, seed=0):
     return PauliwordOp(np.hstack([xb, zb]), coeffs).cleanup()
 
 
-def _flagship_flow_times():
+def _flagship_flow_times(with_breakdown: bool = False):
     """End-to-end product-flow wall times (glue + mixed host/device kernels).
 
     These guard the *flagship flows* (SURVEY §3.1/§3.2) against glue-path
     regressions -- the four kernel metrics above can stay fast while the
     product gets slow.  Reported: second-run wall time (first run pays
-    jit compiles)."""
+    jit compiles).  With ``with_breakdown`` also returns a per-stage split
+    of the 100q taper flow (symmetry discovery / sector assignment /
+    rotate+project / residual glue), so the artifact shows WHERE the
+    flagship milliseconds go (BENCH_r04 lesson: the flow was timed as one
+    opaque lambda while device == host, and the dominant stage was
+    invisible)."""
     from symmer_tpu import ContextualSubspace, PauliwordOp, QubitTapering
 
     out = {}
@@ -528,6 +714,44 @@ def _flagship_flow_times():
     finally:
         config.backend = old_backend
 
+    breakdown = _taper_stage_breakdown(H_big, ref_state) if with_breakdown \
+        else None
+
+    # (a') the decisive size: 1,000 qubits x 200,000 terms.  Three paths:
+    #   - default (host planes in, device kernels where profitable),
+    #   - device-RESIDENT steady state (H already on chip, taper_it
+    #     aux_operator=H_dev -- the production serving flow: one scalar
+    #     sync per projection, no operator transfer),
+    #   - forced host (packed C++): the transport-independent reference.
+    H_huge = _synthetic_taper_operator(n_qubits=1000, n_terms=200_000, seed=1)
+    ref_huge = np.zeros(H_huge.n_qubits, dtype=int)
+    qt_huge = QubitTapering(H_huge)  # symmetry discovery paid once here
+
+    def taper_huge():
+        return qt_huge.taper_it(ref_state=ref_huge)
+
+    out["flagship_taper_1000q_200k_ms"] = best_of(taper_huge)
+    import jax
+
+    if jax.devices()[0].platform != "cpu":
+        # resident flow only makes sense with a real accelerator (on the CPU
+        # fallback it would time XLA:CPU against the native host path)
+        H_res = H_huge.to_device()
+
+        def taper_huge_resident():
+            return qt_huge.taper_it(ref_state=ref_huge, aux_operator=H_res)
+
+        out["flagship_taper_1000q_200k_resident_ms"] = best_of(
+            taper_huge_resident
+        )
+        del H_res
+    try:
+        config.backend = "host"
+        out["flagship_taper_1000q_200k_hostpath_ms"] = best_of(taper_huge)
+    finally:
+        config.backend = old_backend
+    del H_huge, qt_huge
+
     # (b) Be/STO-3G taper -> contextual subspace -> 3-qubit projection
     path = _be_data_path()
     if path:
@@ -546,7 +770,54 @@ def _flagship_flow_times():
             return cs.project_onto_subspace()
 
         out["flagship_cs_vqe_Be_ms"] = best_of(cs_vqe_flow)
-    return out
+    return (out, breakdown) if with_breakdown else out
+
+
+def _taper_stage_breakdown(H, ref_state, n=3):
+    """Per-stage wall times of the taper flow (best of ``n`` each).
+
+    Stages mirror the reference call stack (SURVEY 3.1: qubit_tapering.py:54
+    -> independent_op.py:275 -> projection/base.py:44):
+      symmetry_discovery  IndependentOp.symmetry_generators (GF(2) kernel
+                          basis of the term matrix, sketched+verified),
+      sector_assignment   update_sector (batched stabilizer expvals on the
+                          reference state),
+      rotate_project      the fused Clifford rotate + stabilizer projection
+                          + cleanup (sector pre-assigned),
+      glue_ms             total flow minus the three stages (Python
+                          orchestration, warnings, copies).
+    """
+    from symmer_tpu import QuantumState, QubitTapering
+    from symmer_tpu.operators import IndependentOp
+
+    def bo(f):
+        f()
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    stages = {}
+    stages["symmetry_discovery_ms"] = bo(
+        lambda: IndependentOp.symmetry_generators(H)
+    )
+    qt = QubitTapering(H)  # generators cached on the instance after this
+    psi_ref = QuantumState(np.asarray(ref_state))
+    stages["sector_assignment_ms"] = bo(
+        lambda: qt.symmetry_generators.update_sector(psi_ref)
+    )
+    sector = np.asarray(qt.symmetry_generators.coeff_vec.real, dtype=int)
+    stages["rotate_project_ms"] = bo(lambda: qt.taper_it(sector=sector))
+    total = bo(lambda: QubitTapering(H).taper_it(ref_state=ref_state))
+    # a fresh QubitTapering re-runs symmetry discovery, so total covers all
+    # three stages; the remainder is host orchestration glue
+    stages["glue_ms"] = max(
+        total - sum(stages.values()), 0.0
+    )
+    stages["total_ms"] = total
+    return {k: round(v, 3) for k, v in stages.items()}
 
 
 def _be_data_path():
@@ -588,11 +859,45 @@ def check():
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     )
 
+    dev = jax.devices()[0]
+    print(f"# check backend: {dev.platform} ({dev})", file=sys.stderr)
+    failures, errors = _check_core()
+    ext_errs = [v for k, v in errors.items() if k.startswith("extended:")]
+    print(json.dumps({
+        "metric": "device_host_check_failures",
+        "value": len(failures),
+        "unit": "kernels",
+        "vs_baseline": 1.0 if not failures else 0.0,
+        "backend": dev.platform,
+        # worst extended-precision error: the BASELINE.md "1e-10 on the chip"
+        # bar, machine-readable per round
+        "worst_extended_rel_err": max(ext_errs) if ext_errs else None,
+        "errors": {k: float(f"{v:.3e}") for k, v in errors.items()},
+        "failed": failures,
+    }))
+    return 1 if failures else 0
+
+
+def _check_core(
+    precisions=(("extended", 1e-12), ("f32", 2e-5)),
+    include_lanczos: bool = True,
+    include_deflated: bool = True,
+):
+    """Device-vs-host-oracle correctness pass; returns (failures, errors).
+
+    ``precisions`` may also name modes without tolerances (("extended",)),
+    in which case the default tolerance for that mode applies.  The full
+    two-precision pass backs ``bench.py --check``; ``main`` folds a compact
+    extended-only pass into the default artifact so the on-chip parity
+    claim is evidenced by the driver, not only by the builder.
+    """
     from symmer_tpu import PauliwordOp, QuantumState
     from symmer_tpu.config import config
 
-    dev = jax.devices()[0]
-    print(f"# check backend: {dev.platform} ({dev})", file=sys.stderr)
+    _DEFAULT_RTOL = {"extended": 1e-12, "f32": 2e-5}
+    precisions = [
+        p if isinstance(p, tuple) else (p, _DEFAULT_RTOL[p]) for p in precisions
+    ]
 
     rng = np.random.default_rng(42)
     STATE_RTOL = 2e-5  # state kernels (expval/apply_state) are plain f32
@@ -662,7 +967,7 @@ def check():
     t_host = taper_flow()
     config.backend = "auto"
 
-    for precision, rtol in (("extended", 1e-12), ("f32", 2e-5)):
+    for precision, rtol in precisions:
         config.backend = "device"
         config.device_precision = precision
         try:
@@ -721,65 +1026,56 @@ def check():
         if not ok:
             failures.append(f"{precision}:apply_state")
 
-    # device Lanczos eigensolver vs host ARPACK (extended-precision path;
-    # same operator as --lanczos so the compile cache is shared)
-    from symmer_tpu.kernels import jx_lanczos
-    from symmer_tpu.utils import exact_gs_energy
+    if include_lanczos:
+        # device Lanczos eigensolver vs host ARPACK (extended-precision path;
+        # same operator as --lanczos so the compile cache is shared)
+        from symmer_tpu.kernels import jx_lanczos
+        from symmer_tpu.utils import exact_gs_energy
 
-    np.random.seed(11)
-    lop = PauliwordOp.random(12, 400, complex_coeffs=False)
-    lop = (lop + lop.dagger).cleanup()
-    evals, _ = jx_lanczos.lanczos_ground_state(
-        lop.x_pack, lop.z_pack, lop.coeff_vec, lop.n_qubits
-    )
-    gs_host = exact_gs_energy(lop.to_sparse_matrix)[0]
-    err = abs(evals[0] - gs_host) / max(abs(gs_host), 1.0)
-    ok = err <= 1e-10
-    errors["extended:lanczos_gs"] = float(err)
-    print(f"# [extended] lanczos_gs: {'PASS' if ok else 'FAIL'} rel_err={err:.2e}",
-          file=sys.stderr)
-    if not ok:
-        failures.append("extended:lanczos_gs")
+        np.random.seed(11)
+        lop = PauliwordOp.random(12, 400, complex_coeffs=False)
+        lop = (lop + lop.dagger).cleanup()
+        evals, _ = jx_lanczos.lanczos_ground_state(
+            lop.x_pack, lop.z_pack, lop.coeff_vec, lop.n_qubits
+        )
+        gs_host = exact_gs_energy(lop.to_sparse_matrix)[0]
+        err = abs(evals[0] - gs_host) / max(abs(gs_host), 1.0)
+        ok = err <= 1e-10
+        errors["extended:lanczos_gs"] = float(err)
+        print(f"# [extended] lanczos_gs: {'PASS' if ok else 'FAIL'} "
+              f"rel_err={err:.2e}", file=sys.stderr)
+        if not ok:
+            failures.append("extended:lanczos_gs")
 
-    # deflated restarts: degenerate multiplet resolved WITH multiplicity
-    # (small op keeps the extra compiles cheap; h(2q) (x) I doubles levels)
-    np.random.seed(13)
-    dop = PauliwordOp.random(2, 6, complex_coeffs=False)
-    dop = (dop + dop.dagger).cleanup().tensor(
-        PauliwordOp.from_dictionary({"I": 1.0})
-    )
-    devals, dvecs = jx_lanczos.lanczos_lowest_eigsh(
-        dop.x_pack, dop.z_pack, dop.coeff_vec, dop.n_qubits, n_vecs=2
-    )
-    dense_pair = np.linalg.eigvalsh(
-        np.asarray(dop.to_sparse_matrix.todense())
-    )[:2]
-    err = float(np.max(np.abs(devals - dense_pair))) / max(
-        abs(dense_pair[0]), 1.0
-    )
-    orth = abs(np.vdot(dvecs[:, 0], dvecs[:, 1]))
-    ok = err <= 1e-10 and orth < 1e-8
-    errors["extended:lanczos_deflated_multiplet"] = float(err)
-    print(f"# [extended] lanczos_deflated_multiplet: "
-          f"{'PASS' if ok else 'FAIL'} rel_err={err:.2e} |<y0|y1>|={orth:.1e}",
-          file=sys.stderr)
-    if not ok:
-        failures.append("extended:lanczos_deflated_multiplet")
+    if include_deflated:
+        from symmer_tpu.kernels import jx_lanczos
 
-    ext_errs = [v for k, v in errors.items() if k.startswith("extended:")]
-    print(json.dumps({
-        "metric": "device_host_check_failures",
-        "value": len(failures),
-        "unit": "kernels",
-        "vs_baseline": 1.0 if not failures else 0.0,
-        "backend": dev.platform,
-        # worst extended-precision error: the BASELINE.md "1e-10 on the chip"
-        # bar, machine-readable per round
-        "worst_extended_rel_err": max(ext_errs) if ext_errs else None,
-        "errors": {k: float(f"{v:.3e}") for k, v in errors.items()},
-        "failed": failures,
-    }))
-    return 1 if failures else 0
+        # deflated restarts: degenerate multiplet resolved WITH multiplicity
+        # (small op keeps the extra compiles cheap; h(2q) (x) I doubles levels)
+        np.random.seed(13)
+        dop = PauliwordOp.random(2, 6, complex_coeffs=False)
+        dop = (dop + dop.dagger).cleanup().tensor(
+            PauliwordOp.from_dictionary({"I": 1.0})
+        )
+        devals, dvecs = jx_lanczos.lanczos_lowest_eigsh(
+            dop.x_pack, dop.z_pack, dop.coeff_vec, dop.n_qubits, n_vecs=2
+        )
+        dense_pair = np.linalg.eigvalsh(
+            np.asarray(dop.to_sparse_matrix.todense())
+        )[:2]
+        err = float(np.max(np.abs(devals - dense_pair))) / max(
+            abs(dense_pair[0]), 1.0
+        )
+        orth = abs(np.vdot(dvecs[:, 0], dvecs[:, 1]))
+        ok = err <= 1e-10 and orth < 1e-8
+        errors["extended:lanczos_deflated_multiplet"] = float(err)
+        print(f"# [extended] lanczos_deflated_multiplet: "
+              f"{'PASS' if ok else 'FAIL'} rel_err={err:.2e} |<y0|y1>|={orth:.1e}",
+              file=sys.stderr)
+        if not ok:
+            failures.append("extended:lanczos_deflated_multiplet")
+
+    return failures, errors
 
 
 def fuzz():

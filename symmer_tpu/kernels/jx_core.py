@@ -356,13 +356,34 @@ def cleanup_sorted(
     # ---- fast path: group by the sorted 128-bit signature ------------------
     # Everything is laid out per *sorted row*; segment machinery (seg ids,
     # start tables, per-segment gathers) is replaced by a segmented scan and
-    # a sort-based compaction -- scatters are avoided entirely (a single
-    # (T, 3)-payload scatter at 2^18 rows costs ~2.7 ms on a v5e; the whole
-    # sort+scan+compact pipeline runs in ~2 ms).
+    # a sort-based compaction -- scatters AND gathers are avoided entirely:
+    # the planes already exist in HBM, so their word columns ride both sorts
+    # as payload lanes (see _cleanup_from_hashes on why riding always beats
+    # the representative-row gather on TPU).
     h1, h2, h3, h4 = row_hashes(x, z, lanes=4)
     return _cleanup_from_hashes(
         (h1, h2, h3, h4), cr, ci, invalid_flag,
         zero_threshold, lambda orig: (x[orig], z[orig]),
+        plane_lanes=_ride_lanes(x, z),
+    )
+
+
+# Widest operator whose plane columns ride the cleanup sorts as payload
+# lanes.  Beyond this (ultra-wide, few-term operators: the 100M-qubit regime)
+# the per-word lane tuple would explode trace/compile time, and the
+# representative-row gather is cheap at small row counts anyway.
+_RIDE_MAX_WORDS = 256
+
+
+def _ride_lanes(x, z):
+    """(x_lanes, z_lanes) per-word columns for sort-payload riding, or None
+    when the operator is too wide (gather fallback)."""
+    W = x.shape[1]
+    if W > _RIDE_MAX_WORDS:
+        return None
+    return (
+        tuple(x[:, w] for w in range(W)),
+        tuple(z[:, w] for w in range(W)),
     )
 
 
@@ -393,13 +414,21 @@ def _segmented_inclusive_sum(c, seg_start, df):
 
 
 def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
-                         rel_floor=None):
+                         rel_floor=None, plane_lanes=None):
     """Shared tail of the hash-signature cleanup.
 
     ``row_source(orig_idx) -> (x_rows, z_rows)`` materialises the surviving
     representative rows; passing an index-reconstructing closure (e.g. XOR of
     two factor rows for an all-pairs product) means the full product planes
     never need to exist in HBM at all.
+
+    ``plane_lanes`` -- an (x_lane_tuple, z_lane_tuple) of per-word (T,)
+    uint32 columns -- instead rides the PLANES through both sorts as payload
+    and skips ``row_source`` entirely.  On TPU a gather lowers to serialised
+    row DMAs whose cost explodes with row count (measured v5e, W=32 words:
+    3.5 ms at 2^17 rows, 39 ms at 2^20) while ``lax.sort`` payload lanes are
+    bandwidth-flat (0.6 -> 4 ms for 70 lanes over the same range), so
+    callers whose planes already exist in HBM should always ride.
 
     ``cr, ci`` may be plain 1-D planes or (T, 2) double-float [hi, lo] pairs;
     every coefficient lane rides the sorts as bitcast integer values and the
@@ -413,15 +442,30 @@ def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
     ubits = jnp.uint64 if fdt.itemsize == 8 else UINT
     fbits = lambda f: lax.bitcast_convert_type(f, ubits)
     funbits = lambda u: lax.bitcast_convert_type(u, fdt)
-    sorted_all = lax.sort(
-        (invalid_flag, h1, h2, h3, h4, idx.astype(UINT))
-        + tuple(fbits(l) for l in c_in),
-        num_keys=5,
-    )
-    invs, h1s, h2s, h3s, h4s, perm_u = sorted_all[:6]
-    perm = perm_u.astype(jnp.int32)
+    if plane_lanes is not None:
+        xl, zl = plane_lanes
+        Wx, Wz = len(xl), len(zl)
+        sorted_all = lax.sort(
+            (invalid_flag, h1, h2, h3, h4)
+            + tuple(fbits(l) for l in c_in) + tuple(xl) + tuple(zl),
+            num_keys=5,
+        )
+        invs, h1s, h2s, h3s, h4s = sorted_all[:5]
+        nc = len(c_in)
+        c_sorted = sorted_all[5 : 5 + nc]
+        planes_sorted = sorted_all[5 + nc :]
+        perm = None
+    else:
+        sorted_all = lax.sort(
+            (invalid_flag, h1, h2, h3, h4, idx.astype(UINT))
+            + tuple(fbits(l) for l in c_in),
+            num_keys=5,
+        )
+        invs, h1s, h2s, h3s, h4s, perm_u = sorted_all[:6]
+        perm = perm_u.astype(jnp.int32)
+        c_sorted = sorted_all[6:]
     vs = invs == 0
-    cs = c_where(vs, tuple(funbits(b) for b in sorted_all[6:]),
+    cs = c_where(vs, tuple(funbits(b) for b in c_sorted),
                  c_zeros(c_in))
     if zero_threshold is not None and rel_floor is not None:
         zero_threshold = effective_threshold(
@@ -452,19 +496,33 @@ def _cleanup_from_hashes(hs, cr, ci, invalid_flag, zero_threshold, row_source,
     final = idx < n_out
     # Compaction via a second sort rather than a scatter: survivor rows get
     # their position as the key (preserving hash order), dropped rows the
-    # max-u32 sentinel, and the representative index + summed coefficient
-    # bits ride as values.  On TPU the (T, 3)-payload scatter this replaces
-    # costs ~2.7 ms at 2^18 rows while the sort costs ~0.9 ms (measured on
-    # v5e; the scatter lowers to serialised row DMAs, the sort stays vector).
+    # max-u32 sentinel, and the representative planes-or-index + summed
+    # coefficient bits ride as values.  On TPU the (T, 3)-payload scatter
+    # this replaces costs ~2.7 ms at 2^18 rows while the sort costs ~0.9 ms
+    # (measured on v5e; the scatter lowers to serialised row DMAs, the sort
+    # stays vector).
     key = jnp.where(is_out, idx.astype(UINT), UINT(0xFFFFFFFF))
-    sorted_c = lax.sort(
-        (key, perm.astype(UINT)) + tuple(fbits(l) for l in tot), num_keys=1
-    )
-    out_orig = sorted_c[1].astype(jnp.int32)
-    x_rows, z_rows = row_source(out_orig)
+    if plane_lanes is not None:
+        # any row of a segment carries the representative planes (all rows in
+        # a segment are the same term); is_out marks segment LAST rows
+        sorted_c = lax.sort(
+            (key,) + tuple(fbits(l) for l in tot) + tuple(planes_sorted),
+            num_keys=1,
+        )
+        nc = len(c_in)
+        x_rows = jnp.stack(sorted_c[1 + nc : 1 + nc + Wx], axis=1)
+        z_rows = jnp.stack(sorted_c[1 + nc + Wx :], axis=1)
+        c_bits = sorted_c[1 : 1 + nc]
+    else:
+        sorted_c = lax.sort(
+            (key, perm.astype(UINT)) + tuple(fbits(l) for l in tot), num_keys=1
+        )
+        out_orig = sorted_c[1].astype(jnp.int32)
+        x_rows, z_rows = row_source(out_orig)
+        c_bits = sorted_c[2:]
     x_o = jnp.where(final[:, None], x_rows, 0)
     z_o = jnp.where(final[:, None], z_rows, 0)
-    c_out = c_where(final, tuple(funbits(b) for b in sorted_c[2:]),
+    c_out = c_where(final, tuple(funbits(b) for b in c_bits),
                     c_zeros(c_in))
     cr_o, ci_o = c_pack(c_out, df)
     return x_o, z_o, cr_o, ci_o, n_out
@@ -623,14 +681,13 @@ def rotate_nonclifford(x, z, cr, ci, xr, zr, angle, trig=None):
 
 def rotate_nonclifford_cleanup(x, z, cr, ci, xr, zr, angle, n_valid, zero_threshold,
                                rel_floor=None, trig=None):
-    """Fused non-Clifford rotation + cleanup: the doubled row set is never
-    materialised in HBM.
+    """Fused non-Clifford rotation + cleanup in one program.
 
     Output row i < T is the original term i; row i >= T is term (i-T) times
-    the rotation Pauli -- so hashes come from two fused passes over the T
-    input rows and the surviving representatives are reconstructed from the
-    index (x[i] or x[i-T] ^ xr).  Semantics identical to rotate_nonclifford
-    followed by cleanup_sorted.
+    the rotation Pauli -- hashes come from two fused passes over the T input
+    rows, and the doubled plane columns ride the cleanup sorts as payload
+    (gather-free).  Semantics identical to rotate_nonclifford followed by
+    cleanup_sorted.
     """
     T, W = x.shape
     _, xm, zm, first, second, df = _rotate_nc_parts(
@@ -645,6 +702,10 @@ def rotate_nonclifford_cleanup(x, z, cr, ci, xr, zr, angle, n_valid, zero_thresh
         ~jnp.concatenate([jnp.arange(T) < n_valid] * 2)
     ).astype(UINT)
 
+    # the doubled plane columns ride the cleanup sorts directly (concatenating
+    # a word column with its rotated twin is one linear pass; the alternative
+    # representative-row gather serialises into row DMAs -- see
+    # _cleanup_from_hashes)
     def row_source(orig):
         i = jnp.where(orig < T, orig, orig - T)
         rot = orig >= T
@@ -652,8 +713,15 @@ def rotate_nonclifford_cleanup(x, z, cr, ci, xr, zr, angle, n_valid, zero_thresh
         zw = jnp.where(rot[:, None], zr[None, :], 0)
         return x[i] ^ xw, z[i] ^ zw
 
+    ride = None
+    if W <= _RIDE_MAX_WORDS:
+        ride = (
+            tuple(jnp.concatenate([x[:, w], xm[:, w]]) for w in range(W)),
+            tuple(jnp.concatenate([z[:, w], zm[:, w]]) for w in range(W)),
+        )
     return _cleanup_from_hashes(
-        hs, crs, cis, invalid_flag, zero_threshold, row_source, rel_floor=rel_floor
+        hs, crs, cis, invalid_flag, zero_threshold, row_source,
+        rel_floor=rel_floor, plane_lanes=ride,
     )
 
 
@@ -711,6 +779,7 @@ def clifford_project_cleanup(
     return _cleanup_from_hashes(
         hs, cr2, ci2, (~live).astype(UINT), zero_threshold,
         lambda orig: (xm[orig], zm[orig]), rel_floor=rel_floor,
+        plane_lanes=_ride_lanes(xm, zm),
     )
 
 

@@ -121,3 +121,41 @@ def test_f32_relative_threshold_floor():
     cr2 = jnp.asarray(np.array([big, -big / 2, 1.0], np.float32))
     out2 = jx_core.cleanup_sorted(x, z, cr2, ci, 3, th, rel_floor=fl)
     assert len(_collect(out2)) == 2
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_ride_lanes_vs_gather_fallback(seed, monkeypatch):
+    """Plane-lane payload riding vs the representative-row gather fallback.
+
+    Operators wider than ``_RIDE_MAX_WORDS`` take the gather path (the lane
+    tuple would explode trace time); forcing the threshold to 0 must leave
+    every output of ``cleanup_sorted`` and ``rotate_nonclifford_cleanup``
+    bit-identical to the riding fast path.
+    """
+    rng = np.random.default_rng(100 + seed)
+    T, W = 64, 3
+    n_distinct = 12
+    base = rng.integers(0, 2**32, (n_distinct, 2 * W)).astype(np.uint32)
+    rows = base[rng.integers(0, n_distinct, T)]
+    x = jnp.asarray(rows[:, :W])
+    z = jnp.asarray(rows[:, W:])
+    cr = jnp.asarray(rng.normal(size=T))
+    ci = jnp.asarray(rng.normal(size=T))
+    n_valid = jnp.int32(T - 5)
+    thr = jnp.asarray(1e-10)
+    xr = jnp.asarray(rng.integers(0, 2**32, W).astype(np.uint32))
+    zr = jnp.asarray(rng.integers(0, 2**32, W).astype(np.uint32))
+
+    ride_c = _collect(jx_core.cleanup_sorted(x, z, cr, ci, n_valid, thr))
+    ride_r = _collect(jx_core.rotate_nonclifford_cleanup(
+        x, z, cr, ci, xr, zr, 0.37, n_valid, thr))
+
+    monkeypatch.setattr(jx_core, "_RIDE_MAX_WORDS", 0)
+    gath_c = _collect(jx_core.cleanup_sorted(x, z, cr, ci, n_valid, thr))
+    gath_r = _collect(jx_core.rotate_nonclifford_cleanup(
+        x, z, cr, ci, xr, zr, 0.37, n_valid, thr))
+
+    assert ride_c == gath_c  # exact: same sums in the same segment order
+    assert ride_r.keys() == gath_r.keys()
+    for k in ride_r:
+        assert abs(ride_r[k] - gath_r[k]) < 1e-12
