@@ -714,6 +714,30 @@ def _flagship_flow_times(with_breakdown: bool = False):
     finally:
         config.backend = old_backend
 
+    import jax
+
+    on_accelerator = jax.devices()[0].platform != "cpu"
+    if on_accelerator:
+        # device-RESIDENT steady state at the headline size too: H already
+        # on chip (the serving flow), so neither upload nor download is in
+        # the loop.  On a REMOTE-attached chip this can LOSE to the host
+        # path (measured: 41 vs 19 ms -- the flow's one scalar sync costs a
+        # ~30 ms tunnel round trip, more than the whole packed-C++ flow),
+        # which is exactly why the default path routes this size to the
+        # host; at 1000q x 200k the kernel work dwarfs the sync and the
+        # resident path wins 6x.  Reported so the artifact shows the
+        # latency floor, not just the win.
+        qt_100 = QubitTapering(H_big)
+        H_res100 = H_big.to_device()
+
+        def taper_flow_resident():
+            return qt_100.taper_it(ref_state=ref_state, aux_operator=H_res100)
+
+        out["flagship_taper_100q_50k_resident_ms"] = best_of(
+            taper_flow_resident
+        )
+        del H_res100, qt_100
+
     breakdown = _taper_stage_breakdown(H_big, ref_state) if with_breakdown \
         else None
 
@@ -731,9 +755,7 @@ def _flagship_flow_times(with_breakdown: bool = False):
         return qt_huge.taper_it(ref_state=ref_huge)
 
     out["flagship_taper_1000q_200k_ms"] = best_of(taper_huge)
-    import jax
-
-    if jax.devices()[0].platform != "cpu":
+    if on_accelerator:
         # resident flow only makes sense with a real accelerator (on the CPU
         # fallback it would time XLA:CPU against the native host path)
         H_res = H_huge.to_device()
