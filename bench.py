@@ -1342,7 +1342,8 @@ def sweep():
         xr = jax.random.bits(keys[4], (W,), dtype=jnp.uint32)
         zr = jax.random.bits(keys[5], (W,), dtype=jnp.uint32)
         t = _amortized_time(
-            lambda: f(x, z, cr, ci, xr, zr, 0.3), lambda o: int(o[4])
+            lambda j: f(x, z, cr, ci, xr, zr, 0.3 + 1e-4 * j),
+            lambda o: int(o[4]),
         )
         rows.append((T, t * 1e3))
         print(f"# rotate_cleanup T=2^{log_t} ({T}): {t * 1e3:.3f} ms", file=sys.stderr)

@@ -780,12 +780,32 @@ def clifford_rotate_project(
     return _planes_from_dev(ox, oz, ocr, oci, int(n))
 
 
+def stabilizer_masks(stab_x, stab_z, stab_signs, free_qubit_mask):
+    """OR masks of the rotated single-qubit stabilizers, the ONE definition
+    of the projection's sign/filter semantics (device, host-fused and native
+    paths all consume it): (zmask, xmask) for the packed one-XOR commute
+    filter, (neg_x, neg_z) for the -1-eigenvalue sign-flip parity (a 0
+    assignment behaves as +1, reference base.py:67-72), and the packed
+    free-column keep mask."""
+    W = stab_x.shape[1]
+    zmask = np.bitwise_or.reduce(stab_z, axis=0)
+    xmask = np.bitwise_or.reduce(stab_x, axis=0)
+    neg = np.real(np.asarray(stab_signs)) < 0
+    if neg.any():
+        neg_x = np.bitwise_or.reduce(stab_x[neg], axis=0)
+        neg_z = np.bitwise_or.reduce(stab_z[neg], axis=0)
+    else:
+        neg_x = np.zeros(W, np.uint64)
+        neg_z = np.zeros(W, np.uint64)
+    col_keep = pack.pack_bits(np.asarray(free_qubit_mask).reshape(1, -1))[0]
+    return zmask, xmask, neg_x, neg_z, col_keep
+
+
 def projection_prep(rotations, stab_x, stab_z, stab_signs, free_qubit_mask, W64):
     """Shared host-side prep for the fused projection (single-device and
     mesh drivers MUST agree on these semantics -- dryrun asserts parity):
-    packed Clifford rotation planes + pi/2 multiples, the OR mask of
-    NEGATIVE-eigenvalue stabilizers for the sign-flip parity (a 0 assignment
-    behaves as +1, reference base.py:67-72), and the free-column bit mask."""
+    packed Clifford rotation planes + pi/2 multiples, plus the
+    ``stabilizer_masks`` sign/column masks."""
     rxs, rzs, ms = [], [], []
     for xr, zr, angle in rotations:
         m = is_clifford_angle(angle)
@@ -796,16 +816,9 @@ def projection_prep(rotations, stab_x, stab_z, stab_signs, free_qubit_mask, W64)
     W32 = 2 * W64
     rx = np.asarray(rxs, np.uint32).reshape(len(rxs), W32)
     rz = np.asarray(rzs, np.uint32).reshape(len(rzs), W32)
-    neg = np.real(np.asarray(stab_signs)) < 0
-    neg_x = (
-        np.bitwise_or.reduce(stab_x[neg], axis=0) if neg.any()
-        else np.zeros(W64, np.uint64)
+    _, _, neg_x, neg_z, col_keep = stabilizer_masks(
+        stab_x, stab_z, stab_signs, free_qubit_mask
     )
-    neg_z = (
-        np.bitwise_or.reduce(stab_z[neg], axis=0) if neg.any()
-        else np.zeros(W64, np.uint64)
-    )
-    col_keep = pack.pack_bits(free_qubit_mask.reshape(1, -1))[0]
     return rx, rz, np.asarray(ms, np.int32), neg_x, neg_z, col_keep
 
 

@@ -194,7 +194,7 @@ def kernel_basis_symplectic(
     :func:`_kernel_basis_sketched`; any verification failure falls back to
     the materialised exact path.
     """
-    from .pack import concat_bit_planes, qubit_mask
+    from .pack import concat_bit_planes
 
     R = A_pack.shape[0]
     n_bits = n_a + n_b
@@ -202,48 +202,107 @@ def kernel_basis_symplectic(
         from ..native import gf2core
     except Exception:  # pragma: no cover
         gf2core = None
-    if gf2core is not None and R > 4096 and R >= 4 * n_bits:
-        rng = np.random.default_rng(0x5EED)
-        m = n_bits + 128
-        folded = []
-        for _ in range(2):
-            idx = rng.integers(0, m, R)
-            fa = gf2core.xor_fold(A_pack, idx, m)
-            fb = gf2core.xor_fold(B_pack, idx, m)
-            # stray bits beyond n_a/n_b in the last packed word fold
-            # through XOR, so masking the folded rows is equivalent to
-            # masking the inputs
-            fa &= qubit_mask(n_a)[None, :]
-            fb &= qubit_mask(n_b)[None, :]
-            folded.append(concat_bit_planes(fa, n_a, fb, n_b))
-        C = np.ascontiguousarray(np.vstack(folded))
-        cand = kernel_basis_packed(C, n_bits)
-        if cand.shape[0] == 0:
-            return cand
-        if cand.shape[0] <= 128:
+    if gf2core is not None and _sketch_applies(R, n_bits):
+        out = _sketched_kernel([(A_pack, n_a), (B_pack, n_b)], gf2core)
+        if out is not None:
+            return out
+    M = concat_bit_planes(A_pack, n_a, B_pack, n_b)
+    # sketch=False: a failed sketch here is deterministic (fixed seed, same
+    # rowspace) -- re-running it on the materialised concat would redo the
+    # identical doomed fold+solve before the exact reduction
+    return kernel_basis_packed(M, n_bits, sketch=False)
+
+
+def _sketch_applies(R: int, n_bits: int) -> bool:
+    """Tall enough that the fold+verify sketch beats the direct reduction."""
+    return R > 4096 and R >= 4 * n_bits
+
+
+def _sketched_kernel(blocks, gf2core):
+    """Verified GF(2) sketch: null space of a bit-concatenation of blocks.
+
+    The kernel depends only on the ROW SPACE, and rank <= n_bits, so a T-row
+    matrix carries enormous redundancy when T >> n_bits.  XOR-fold the rows
+    of each block into random buckets (two independent partitions of
+    ``n_bits + 128`` buckets each -- a sparse random sketch S, giving
+    C = S.M with rowspace(C) = rowspace(M) with overwhelming probability),
+    bit-concatenate only the SMALL folded rows, solve the small kernel
+    exactly, then VERIFY every candidate against the full unconcatenated
+    blocks.  null(C) >= null(M) always holds, so: all candidates verified =>
+    the spaces are equal and the answer is exact; any failure => return None
+    and the caller falls back to the exact path.  Cost: one linear pass over
+    the blocks plus an O(n_bits^2)-scale reduction, instead of an
+    O(n_bits * T)-scale reduction -- 20x on the 1000-qubit x 200k-term
+    symmetry search.
+
+    Args:
+        blocks: list of (packed rows, n_bits) sharing a row count; the
+            matrix sketched is their bit-concatenation along columns.
+        gf2core: the native module, or None for the numpy fold/verify.
+    Returns:
+        packed kernel basis rows (exact), or None on verification failure
+        or when >128 candidates would make verification cost as much as
+        the exact path.
+    """
+    from .pack import concat_bit_planes, qubit_mask
+
+    R = blocks[0][0].shape[0]
+    n_bits = sum(nb for _, nb in blocks)
+    rng = np.random.default_rng(0x5EED)
+    m = n_bits + 128
+    folded_rounds = []
+    for _ in range(2):
+        idx = rng.integers(0, m, R)
+        if gf2core is None:
+            order = np.argsort(idx, kind="stable")
+            si = idx[order]
+            starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
+        acc, n_acc = None, 0
+        for Bn, nb in blocks:
+            if gf2core is not None:
+                fb = gf2core.xor_fold(Bn, idx, m)
+            else:
+                fb = np.bitwise_xor.reduceat(Bn[order], starts, axis=0)
+            # stray bits beyond nb in the last packed word fold through
+            # XOR, so masking the folded rows == masking the inputs
+            fb &= qubit_mask(nb)[None, :]
+            acc, n_acc = (
+                (fb, nb) if acc is None
+                else (concat_bit_planes(acc, n_acc, fb, nb), n_acc + nb)
+            )
+        folded_rounds.append(acc)
+    C = np.ascontiguousarray(np.vstack(folded_rounds))
+    cand = kernel_basis_packed(C, n_bits, sketch=False)
+    if cand.shape[0] == 0:
+        # null(C) contains null(M); an empty sketch kernel proves M has none
+        return cand
+    if cand.shape[0] > 128:
+        return None
+    if gf2core is not None:
+        if len(blocks) == 1:
+            A, B = blocks[0][0], np.zeros((R, 1), np.uint64)
+            va, vb = cand, np.zeros((cand.shape[0], 1), np.uint64)
+        else:
+            (A, n_a), (B, n_b) = blocks
             va = extract_bit_range(cand, 0, n_a)
             vb = extract_bit_range(cand, n_a, n_b)
-            if gf2core.null_check2(A_pack, B_pack, va, vb):
-                return cand
-    M = concat_bit_planes(A_pack, n_a, B_pack, n_b)
-    return kernel_basis_packed(M, n_bits)
+        return cand if gf2core.null_check2(A, B, va, vb) else None
+    for v in cand:
+        parity, start = np.zeros(R, dtype=np.int64), 0
+        for Bn, nb in blocks:
+            vs = extract_bit_range(v[None, :], start, nb)[0]
+            parity += np.bitwise_count(Bn & vs[None, :]).sum(
+                axis=1, dtype=np.int64
+            )
+            start += nb
+        if (parity & 1).any():
+            return None
+    return cand
 
 
 def _kernel_basis_sketched(M: np.ndarray, n_bits: int):
-    """Verified GF(2) sketch of :func:`kernel_basis_packed` for tall matrices.
-
-    The kernel depends only on the ROW SPACE of M, and rank(M) <= n_bits, so
-    a T-row matrix carries enormous redundancy when T >> n_bits.  XOR-fold
-    the rows into random buckets (two independent partitions of
-    ``n_bits + 128`` buckets each -- a sparse random sketch S, giving
-    C = S.M with rowspace(C) = rowspace(M) with overwhelming probability),
-    solve the SMALL kernel exactly, then VERIFY every candidate against the
-    full M.  null(C) >= null(M) always holds, so: all candidates verified =>
-    the spaces are equal and the answer is exact; any failure => return None
-    and the caller falls back to the exact path.  Cost: one linear pass over
-    M plus an O(n_bits^2)-scale reduction, instead of an O(n_bits * T)-scale
-    reduction -- 20x on the 1000-qubit x 200k-term symmetry search.
-    """
+    """Verified GF(2) sketch of :func:`kernel_basis_packed` for tall
+    matrices -- single-block wrapper over :func:`_sketched_kernel`."""
     R = M.shape[0]
     W = max(1, (n_bits + 63) // 64)
     if M.shape[1] == W:
@@ -255,39 +314,12 @@ def _kernel_basis_sketched(M: np.ndarray, n_bits: int):
         from ..native import gf2core
     except Exception:  # pragma: no cover
         gf2core = None
-    rng = np.random.default_rng(0x5EED)
-    m = n_bits + 128
-    folded_rounds = []
-    for _ in range(2):
-        idx = rng.integers(0, m, R)
-        if gf2core is not None:
-            folded_rounds.append(gf2core.xor_fold(Mn, idx, m))
-            continue
-        order = np.argsort(idx, kind="stable")
-        sorted_rows = Mn[order]
-        si = idx[order]
-        starts = np.flatnonzero(np.r_[True, si[1:] != si[:-1]])
-        folded_rounds.append(np.bitwise_xor.reduceat(sorted_rows, starts, axis=0))
-    C = np.ascontiguousarray(np.vstack(folded_rounds))
-    cand = kernel_basis_packed(C, n_bits)
-    if cand.shape[0] == 0:
-        # null(C) contains null(M); an empty sketch kernel proves M has none
-        return cand
-    if cand.shape[0] > 128:
-        # verification would cost as much as the exact path; bail out
-        return None
-    if gf2core is not None:
-        zb = np.zeros((R, 1), np.uint64)
-        zv = np.zeros((cand.shape[0], 1), np.uint64)
-        return cand if gf2core.null_check2(Mn, zb, cand, zv) else None
-    for v in cand:
-        parity = np.bitwise_count(Mn & v[None, :]).sum(axis=1, dtype=np.int64) & 1
-        if parity.any():
-            return None
-    return cand
+    return _sketched_kernel([(Mn, n_bits)], gf2core)
 
 
-def kernel_basis_packed(M: np.ndarray, n_bits: int) -> np.ndarray:
+def kernel_basis_packed(
+    M: np.ndarray, n_bits: int, sketch: bool = True
+) -> np.ndarray:
     """Basis of the null space {v : M v = 0 (mod 2)} of the packed bit matrix.
 
     Used by the symmetry-generator search: stack [M; I], column-reduce, read
@@ -304,11 +336,14 @@ def kernel_basis_packed(M: np.ndarray, n_bits: int) -> np.ndarray:
 
     Args:
         M: packed rows, each row a vector of ``n_bits`` bits.
+        sketch: allow the tall-matrix sketch attempt; callers that already
+            ran (and failed) the deterministic sketch on the same rowspace
+            pass False to go straight to the exact reduction.
     Returns:
         packed rows spanning the kernel (possibly zero rows -> empty).
     """
     R = M.shape[0]
-    if R > 4096 and R >= 4 * n_bits:
+    if sketch and _sketch_applies(R, n_bits):
         out = _kernel_basis_sketched(M, n_bits)
         if out is not None:
             return out

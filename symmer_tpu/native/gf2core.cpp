@@ -435,6 +435,78 @@ void mul_pairs(
 // single Pauli (xr_d, zr_d) with pi/2 multiple m4_d, run left-to-right over
 // the same planes (the host analog of the device clifford_scan, jx_core --
 // one ctypes crossing instead of one per gate).
+// y_r cache for the rotation sequence: yrp[d] = popcount(rx_d & rz_d)
+// (the rotation row's own Y count, a loop invariant of the phase formula).
+// Uses the caller's stack array up to 64 rotations, else the heap vector.
+static inline const int64_t* rotation_y_cache(
+    const uint64_t* rx, const uint64_t* rz, int64_t W, int64_t depth,
+    int64_t* y_stack, std::vector<int64_t>& y_heap
+) {
+    int64_t* yrp = y_stack;
+    if (depth > 64) { y_heap.resize(depth); yrp = y_heap.data(); }
+    for (int64_t d = 0; d < depth; ++d) {
+        int64_t y = 0;
+        for (int64_t k = 0; k < W; ++k)
+            y += __builtin_popcountll(rx[d * W + k] & rz[d * W + k]);
+        yrp[d] = y;
+    }
+    return yrp;
+}
+
+// Per-term Clifford rotation-sequence core (W <= 8): applies all depth
+// rotations to ONE row held in registers.  m4 == 2 is the sign-only
+// conjugation step; m4 in {1, 3} the branch-free pi/2 step (a ~50/50
+// anticommute split defeats the branch predictor -- measured 1.5x on the
+// flagship rotation set -- so always compute and select with an
+// all-ones/zero mask).  Shared by clifford_rotate_sequence_inplace and the
+// fused clifford_project_cleanup so the phase/sign arithmetic has exactly
+// one definition.
+static inline void rotate_row_registers(
+    uint64_t* xi, uint64_t* zi, double& re, double& im, int64_t W,
+    const uint64_t* rx, const uint64_t* rz, const int64_t* m4s,
+    int64_t depth, const int64_t* yrp
+) {
+    for (int64_t d = 0; d < depth; ++d) {
+        const int64_t m4 = m4s[d];
+        if (m4 == 0) continue;
+        const uint64_t* xr = rx + d * W;
+        const uint64_t* zr = rz + d * W;
+        if (m4 == 2) {
+            int64_t ac = 0;
+            for (int64_t k = 0; k < W; ++k) {
+                ac += __builtin_popcountll(xi[k] & zr[k])
+                    + __builtin_popcountll(zi[k] & xr[k]);
+            }
+            if (ac & 1) { re = -re; im = -im; }
+            continue;
+        }
+        const int64_t phase_shift = (m4 == 1) ? 3 : 1;
+        int64_t y_in = 0, x1z2 = 0, zx = 0, y_out = 0;
+        for (int64_t k = 0; k < W; ++k) {
+            y_in += __builtin_popcountll(xi[k] & zi[k]);
+            x1z2 += __builtin_popcountll(xi[k] & zr[k]);
+            zx   += __builtin_popcountll(zi[k] & xr[k]);
+        }
+        const uint64_t ac = (uint64_t)((x1z2 + zx) & 1);
+        const uint64_t sel = (uint64_t)0 - ac;
+        for (int64_t k = 0; k < W; ++k) {
+            const uint64_t xo = xi[k] ^ (xr[k] & sel);
+            const uint64_t zo = zi[k] ^ (zr[k] & sel);
+            y_out += __builtin_popcountll(xo & zo);
+            xi[k] = xo;
+            zi[k] = zo;
+        }
+        // when !ac the planes are unchanged (ip forced to 0, sign to +1)
+        const int64_t ip =
+            (int64_t)(((3 * (y_in + yrp[d]) + y_out + phase_shift) & 3)
+                      * (int64_t)ac);
+        const double sign = (double)(1 - 2 * (int64_t)((x1z2 & 1) & ac));
+        const double sre = sign * re, sim = sign * im;
+        re = (ip == 0) ? sre : (ip == 1) ? -sim : (ip == 2) ? -sre : sim;
+        im = (ip == 0) ? sim : (ip == 1) ? sre  : (ip == 2) ? -sim : -sre;
+    }
+}
+
 void clifford_rotate_sequence_inplace(
     uint64_t* x, uint64_t* z, double* coeffs,
     int64_t n, int64_t W,
@@ -454,64 +526,15 @@ void clifford_rotate_sequence_inplace(
         return;
     }
     int64_t y_r[64];
-    int64_t depth_heap_guard = 0; (void)depth_heap_guard;
     std::vector<int64_t> y_r_heap;
-    int64_t* yrp = y_r;
-    if (depth > 64) { y_r_heap.resize(depth); yrp = y_r_heap.data(); }
-    for (int64_t d = 0; d < depth; ++d) {
-        int64_t y = 0;
-        for (int64_t k = 0; k < W; ++k)
-            y += __builtin_popcountll(rx[d * W + k] & rz[d * W + k]);
-        yrp[d] = y;
-    }
+    const int64_t* yrp = rotation_y_cache(rx, rz, W, depth, y_r, y_r_heap);
     for (int64_t i = 0; i < n; ++i) {
         uint64_t xi[8], zi[8];
         uint64_t* xg = x + i * W;
         uint64_t* zg = z + i * W;
         for (int64_t k = 0; k < W; ++k) { xi[k] = xg[k]; zi[k] = zg[k]; }
         double re = coeffs[2 * i], im = coeffs[2 * i + 1];
-        for (int64_t d = 0; d < depth; ++d) {
-            const int64_t m4 = m4s[d];
-            if (m4 == 0) continue;
-            const uint64_t* xr = rx + d * W;
-            const uint64_t* zr = rz + d * W;
-            if (m4 == 2) {
-                int64_t ac = 0;
-                for (int64_t k = 0; k < W; ++k) {
-                    ac += __builtin_popcountll(xi[k] & zr[k])
-                        + __builtin_popcountll(zi[k] & xr[k]);
-                }
-                if (ac & 1) { re = -re; im = -im; }
-                continue;
-            }
-            // branch-free pi/2 step: a ~50/50 anticommute split defeats the
-            // branch predictor (measured 1.5x on the flagship rotation set),
-            // so always compute and select with an all-ones/zero mask
-            const int64_t phase_shift = (m4 == 1) ? 3 : 1;
-            int64_t y_in = 0, x1z2 = 0, zx = 0, y_out = 0;
-            for (int64_t k = 0; k < W; ++k) {
-                y_in += __builtin_popcountll(xi[k] & zi[k]);
-                x1z2 += __builtin_popcountll(xi[k] & zr[k]);
-                zx   += __builtin_popcountll(zi[k] & xr[k]);
-            }
-            const uint64_t ac = (uint64_t)((x1z2 + zx) & 1);
-            const uint64_t sel = (uint64_t)0 - ac;
-            for (int64_t k = 0; k < W; ++k) {
-                const uint64_t xo = xi[k] ^ (xr[k] & sel);
-                const uint64_t zo = zi[k] ^ (zr[k] & sel);
-                y_out += __builtin_popcountll(xo & zo);
-                xi[k] = xo;
-                zi[k] = zo;
-            }
-            // when !ac the planes are unchanged (ip forced to 0, sign to +1)
-            const int64_t ip =
-                (int64_t)(((3 * (y_in + yrp[d]) + y_out + phase_shift) & 3)
-                          * (int64_t)ac);
-            const double sign = (double)(1 - 2 * (int64_t)((x1z2 & 1) & ac));
-            const double sre = sign * re, sim = sign * im;
-            re = (ip == 0) ? sre : (ip == 1) ? -sim : (ip == 2) ? -sre : sim;
-            im = (ip == 0) ? sim : (ip == 1) ? sre  : (ip == 2) ? -sim : -sre;
-        }
+        rotate_row_registers(xi, zi, re, im, W, rx, rz, m4s, depth, yrp);
         for (int64_t k = 0; k < W; ++k) { xg[k] = xi[k]; zg[k] = zi[k]; }
         coeffs[2 * i] = re;
         coeffs[2 * i + 1] = im;
@@ -718,14 +741,7 @@ int64_t clifford_project_cleanup(
     if (n == 0) return 0;
     int64_t y_r[64];
     std::vector<int64_t> y_r_heap;
-    int64_t* yrp = y_r;
-    if (depth > 64) { y_r_heap.resize(depth); yrp = y_r_heap.data(); }
-    for (int64_t d = 0; d < depth; ++d) {
-        int64_t y = 0;
-        for (int64_t k = 0; k < W; ++k)
-            y += __builtin_popcountll(rx[d * W + k] & rz[d * W + k]);
-        yrp[d] = y;
-    }
+    const int64_t* yrp = rotation_y_cache(rx, rz, W, depth, y_r, y_r_heap);
     int64_t width[8], base[8];
     int64_t offs = 0;
     for (int64_t k = 0; k < W; ++k) {
@@ -746,45 +762,7 @@ int64_t clifford_project_cleanup(
         const uint64_t* zg = z + i * W;
         for (int64_t k = 0; k < W; ++k) { xi[k] = xg[k]; zi[k] = zg[k]; }
         double re = c[2 * i], im = c[2 * i + 1];
-
-        for (int64_t d = 0; d < depth; ++d) {
-            const int64_t m4 = m4s[d];
-            if (m4 == 0) continue;
-            const uint64_t* xr = rx + d * W;
-            const uint64_t* zr = rz + d * W;
-            if (m4 == 2) {
-                int64_t ac = 0;
-                for (int64_t k = 0; k < W; ++k) {
-                    ac += __builtin_popcountll(xi[k] & zr[k])
-                        + __builtin_popcountll(zi[k] & xr[k]);
-                }
-                if (ac & 1) { re = -re; im = -im; }
-                continue;
-            }
-            const int64_t phase_shift = (m4 == 1) ? 3 : 1;
-            int64_t y_in = 0, x1z2 = 0, zx = 0, y_out = 0;
-            for (int64_t k = 0; k < W; ++k) {
-                y_in += __builtin_popcountll(xi[k] & zi[k]);
-                x1z2 += __builtin_popcountll(xi[k] & zr[k]);
-                zx   += __builtin_popcountll(zi[k] & xr[k]);
-            }
-            const uint64_t ac = (uint64_t)((x1z2 + zx) & 1);
-            const uint64_t sel = (uint64_t)0 - ac;
-            for (int64_t k = 0; k < W; ++k) {
-                const uint64_t xo = xi[k] ^ (xr[k] & sel);
-                const uint64_t zo = zi[k] ^ (zr[k] & sel);
-                y_out += __builtin_popcountll(xo & zo);
-                xi[k] = xo;
-                zi[k] = zo;
-            }
-            const int64_t ip =
-                (int64_t)(((3 * (y_in + yrp[d]) + y_out + phase_shift) & 3)
-                          * (int64_t)ac);
-            const double sign = (double)(1 - 2 * (int64_t)((x1z2 & 1) & ac));
-            const double sre = sign * re, sim = sign * im;
-            re = (ip == 0) ? sre : (ip == 1) ? -sim : (ip == 2) ? -sre : sim;
-            im = (ip == 0) ? sim : (ip == 1) ? sre  : (ip == 2) ? -sim : -sre;
-        }
+        rotate_row_registers(xi, zi, re, im, W, rx, rz, m4s, depth, yrp);
 
         // commute filter against the single-qubit stabilizers
         uint64_t anti = 0;

@@ -32,6 +32,17 @@ from ..config import config
 from ..kernels import dispatch, pack
 
 
+def _masks_compatible(a, b) -> bool:
+    """True when two pending-projection masks agree (both absent, or
+    identical free-column sets) -- the condition under which binary
+    device-resident operations have a single consistent qubit indexing."""
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    return a.shape == b.shape and bool(np.all(a == b))
+
+
 class DeviceOperator:
     """A Pauli sum resident on the JAX device.
 
@@ -146,6 +157,14 @@ class DeviceOperator:
         import jax.numpy as jnp
 
         assert self.n_qubits == other.n_qubits, "qubit-count mismatch"
+        if not _masks_compatible(self._free_mask, other._free_mask):
+            raise ValueError(
+                "device-resident multiply of operands with different pending "
+                "projections (free-qubit masks differ): one operand indexes "
+                "reduced qubits, the other full width.  Download with "
+                ".to_host() (applies the column reduction) and re-upload, or "
+                "project both operands with the same stabilizer set."
+            )
         assert zero_threshold is not None and zero_threshold > 0, (
             "device-resident multiply requires a positive threshold "
             "(padding rows are dropped by it)"
@@ -173,12 +192,30 @@ class DeviceOperator:
         rot_planes = []
         for r, angle in rotations:
             assert r.n_terms == 1, "Only rotation by single Pauliword allowed here"
+            assert r.n_qubits == self.n_qubits, "qubit-count mismatch"
             rot_planes.append((r.x_pack[0], r.z_pack[0], angle))
+        # A pending projection (zeroed stabilized columns, _free_mask set)
+        # survives rotations only when no generator has support on a
+        # stabilized column -- rotations are indexed on the FULL qubit range,
+        # so a generator touching a zeroed column would silently mix
+        # reduced/unreduced semantics.  Check before any device work.
+        if self._free_mask is not None:
+            keep = pack.pack_bits(
+                self._free_mask.reshape(1, -1), self.n_qubits
+            )[0]
+            for rx_row, rz_row, _ in rot_planes:
+                if np.any(rx_row & ~keep) or np.any(rz_row & ~keep):
+                    raise ValueError(
+                        "rotation generator touches a stabilized (projected-"
+                        "out) qubit of this device-resident operator; "
+                        "download with .to_host() first"
+                    )
         dx, dz, dcr, dci, n = dispatch.device_rotation_loop(
             self.x32, self.z32, self.cr, self.ci, self.n_valid,
             rot_planes, zero_threshold,
         )
-        return DeviceOperator(dx, dz, dcr, dci, n, self.n_qubits)
+        return DeviceOperator(dx, dz, dcr, dci, n, self.n_qubits,
+                              free_mask=self._free_mask)
 
     def clifford_rotate_project(
         self, rotations, rotated_stabilizers, free_qubit_mask,
@@ -203,6 +240,12 @@ class DeviceOperator:
         """
         import jax.numpy as jnp
 
+        if self._free_mask is not None:
+            raise ValueError(
+                "operator already carries a pending projection; chain "
+                "projections through .to_host() so the second stabilizer "
+                "set indexes the reduced qubits"
+            )
         rot = rotated_stabilizers
         rot_planes = [
             (r.x_pack[0], r.z_pack[0], angle) for r, angle in rotations
@@ -232,6 +275,17 @@ class DeviceOperator:
         non-Hermitian operators carry a meaningful imaginary part)."""
         import jax
 
+        if psi.n_qubits != self.n_qubits:
+            raise ValueError(
+                f"state has {psi.n_qubits} qubits but the resident operator "
+                f"indexes {self.n_qubits}"
+                + (
+                    " (a pending projection keeps the planes at FULL width; "
+                    "expval needs a full-width state, or .to_host() for the "
+                    "reduced-qubit operator)"
+                    if self._free_mask is not None else ""
+                )
+            )
         # pow2-bucket the state axis (rows beyond n_basis are masked out),
         # so distinct state sizes share one compiled program; padded buffer
         # rows carry zero coefficients: exact 0 contribution

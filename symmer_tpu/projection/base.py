@@ -18,6 +18,21 @@ from ..operators import IndependentOp, PauliwordOp, QuantumState
 from ..evolution import Had, trotter
 
 
+def _apply_sign_parity(x_keep, z_keep, coeffs, neg_x, neg_z):
+    """Coefficient sign flips from the -1 eigenvalue assignments: each
+    (single-qubit) rotated stabilizer tests ONE symplectic bit, so the
+    product of the -1 assignments is a parity over the OR of their bit
+    masks (``dispatch.stabilizer_masks``; a 0 assignment behaves as +1,
+    reference base.py:67-72)."""
+    if not (neg_x.any() or neg_z.any()):
+        return coeffs
+    parity = (
+        np.bitwise_count(x_keep & neg_x).sum(axis=1)
+        + np.bitwise_count(z_keep & neg_z).sum(axis=1)
+    ).astype(np.int64) & 1
+    return coeffs * (1 - 2 * parity)
+
+
 class S3Projection:
     """(reference projection/base.py:7-159)"""
 
@@ -48,24 +63,15 @@ class S3Projection:
         z_keep = operator.z_pack[commutes_all]
         op_coef = operator.coeff_vec[commutes_all]
 
-        # sign flips from the +/-1 eigenvalue assignment: each (single-qubit)
-        # rotated stabilizer tests ONE symplectic bit, so the product of the
-        # -1 assignments is a parity over the OR of their bit masks (a 0
-        # assignment behaves as +1, reference base.py:67-72)
         rot = self.rotated_stabilizers
-        neg = np.real(np.asarray(rot.coeff_vec)) < 0
-        if neg.any():
-            neg_x = np.bitwise_or.reduce(rot.x_pack[neg], axis=0)
-            neg_z = np.bitwise_or.reduce(rot.z_pack[neg], axis=0)
-            parity = (
-                np.bitwise_count(x_keep & neg_x).sum(axis=1)
-                + np.bitwise_count(z_keep & neg_z).sum(axis=1)
-            ).astype(np.int64) & 1
-            op_coef = op_coef * (1 - 2 * parity)
-
-        # delete the stabilised qubit columns (packed byte-LUT pext)
         free_mask = np.zeros(operator.n_qubits, dtype=bool)
         free_mask[self.free_qubit_indices] = True
+        _, _, neg_x, neg_z, _ = dispatch.stabilizer_masks(
+            rot.x_pack, rot.z_pack, rot.coeff_vec, free_mask
+        )
+        op_coef = _apply_sign_parity(x_keep, z_keep, op_coef, neg_x, neg_z)
+
+        # delete the stabilised qubit columns (packed byte-LUT pext)
         n_free = len(self.free_qubit_indices)
         if n_free:
             return PauliwordOp.from_planes(
@@ -110,7 +116,26 @@ class S3Projection:
         if isinstance(operator, DeviceOperator):
             # device-resident flagship flow: the operator planes never leave
             # HBM -- the stabilizer bookkeeping above is O(n_qubits) host
-            # work, the projection is one fused kernel + one scalar sync
+            # work, the projection is one fused kernel + one scalar sync.
+            # Mirror the host path's width guard (perform_projection via
+            # _perform_projection asserts operator/stabilizer qubit counts):
+            # a once-projected resident operator keeps FULL-width planes, so
+            # feeding it into a second projection whose stabilizers index the
+            # REDUCED qubits would misalign columns without this check.
+            if operator.n_qubits != self.stabilizers.n_qubits:
+                raise ValueError(
+                    f"resident operator indexes {operator.n_qubits} qubits "
+                    f"but the stabilizers {self.stabilizers.n_qubits}; for a "
+                    "chained projection download the first result with "
+                    ".to_host() (applies the column reduction) and re-upload"
+                )
+            if operator._free_mask is not None:
+                raise ValueError(
+                    "resident operator carries a pending projection (its "
+                    "planes are full-width with stabilized columns zeroed); "
+                    "chain projections through .to_host() so the second "
+                    "stabilizer set indexes the reduced qubits"
+                )
             assert all(
                 dispatch.is_clifford_angle(angle) is not None
                 for _, angle in rotations
@@ -212,28 +237,19 @@ class S3Projection:
         # at once (covers X, Y and Z target stabilizers: for a Y stabilizer
         # both mask bits are set and the test is x_q ^ z_q)
         rot = self.rotated_stabilizers
-        zmask = np.bitwise_or.reduce(rot.z_pack, axis=0)
-        xmask = np.bitwise_or.reduce(rot.x_pack, axis=0)
+        free_mask = np.zeros(operator.n_qubits, dtype=bool)
+        free_mask[self.free_qubit_indices] = True
+        zmask, xmask, neg_x, neg_z, _ = dispatch.stabilizer_masks(
+            rot.x_pack, rot.z_pack, rot.coeff_vec, free_mask
+        )
         commutes_all = ~np.any((x & zmask) ^ (z & xmask), axis=1)
         x_keep = x[commutes_all]
         z_keep = z[commutes_all]
-        op_coef = c[commutes_all]
-
-        # sign flips from the -1 eigenvalue assignments (same parity trick
-        # as _perform_projection)
-        neg = np.real(np.asarray(rot.coeff_vec)) < 0
-        if neg.any():
-            neg_x = np.bitwise_or.reduce(rot.x_pack[neg], axis=0)
-            neg_z = np.bitwise_or.reduce(rot.z_pack[neg], axis=0)
-            parity = (
-                np.bitwise_count(x_keep & neg_x).sum(axis=1)
-                + np.bitwise_count(z_keep & neg_z).sum(axis=1)
-            ).astype(np.int64) & 1
-            op_coef = op_coef * (1 - 2 * parity)
+        op_coef = _apply_sign_parity(
+            x_keep, z_keep, c[commutes_all], neg_x, neg_z
+        )
 
         self.rotated_flag = False
-        free_mask = np.zeros(operator.n_qubits, dtype=bool)
-        free_mask[self.free_qubit_indices] = True
         n_free = len(self.free_qubit_indices)
         return PauliwordOp.from_planes(
             pack.select_columns(x_keep, free_mask),
@@ -265,18 +281,11 @@ class S3Projection:
             rx = np.zeros((0, W), np.uint64)
             rz = np.zeros((0, W), np.uint64)
             m4s = np.zeros(0, np.int64)
-        zmask = np.bitwise_or.reduce(rot.z_pack, axis=0)
-        xmask = np.bitwise_or.reduce(rot.x_pack, axis=0)
-        neg = np.real(np.asarray(rot.coeff_vec)) < 0
-        if neg.any():
-            negx = np.bitwise_or.reduce(rot.x_pack[neg], axis=0)
-            negz = np.bitwise_or.reduce(rot.z_pack[neg], axis=0)
-        else:
-            negx = np.zeros(W, np.uint64)
-            negz = np.zeros(W, np.uint64)
         free_bool = np.zeros(n_qubits, dtype=bool)
         free_bool[self.free_qubit_indices] = True
-        colmask = pack.pack_bits(free_bool)[0]
+        zmask, xmask, negx, negz, colmask = dispatch.stabilizer_masks(
+            rot.x_pack, rot.z_pack, rot.coeff_vec, free_bool
+        )
         n_free = len(self.free_qubit_indices)
         Wout = pack.n_words_for(n_free)
         out = gf2core.clifford_project_cleanup(
